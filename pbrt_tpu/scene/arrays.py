@@ -1,0 +1,169 @@
+"""SceneArrays: the flat SoA device representation of a scene.
+
+This is the TPU-native replacement of the reference's trait-object scene graph
+— every shape, material, light and texture becomes rows of fixed-width arrays
+indexed by integer ids, so device kernels are pure batched array programs
+(design mandate: SURVEY.md §7; reference inventory: src/core/primitive.rs,
+src/core/api.rs RenderOptions::make_scene).
+
+Split into:
+- ``SceneArrays``: jnp array leaves, a registered pytree, traced by jit.
+- ``SceneStatic``: python-level static config (counts, kinds present, texture
+  programs) that shapes the compiled program; passed by closure into jit.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields
+
+import jax
+import numpy as np
+
+# geometry type ids
+GEOM_TRI = 0
+GEOM_SPHERE = 1
+
+# material kind ids
+MAT_NONE = 0
+MAT_MATTE = 1
+MAT_MIRROR = 2
+MAT_GLASS = 3
+MAT_PLASTIC = 4
+MAT_METAL = 5
+MAT_UBER = 6
+MAT_SUBSTRATE = 7
+MAT_TRANSLUCENT = 8
+
+MAT_IDS = {
+    "none": MAT_NONE,
+    "matte": MAT_MATTE,
+    "mirror": MAT_MIRROR,
+    "glass": MAT_GLASS,
+    "plastic": MAT_PLASTIC,
+    "metal": MAT_METAL,
+    "uber": MAT_UBER,
+    "substrate": MAT_SUBSTRATE,
+    "translucent": MAT_TRANSLUCENT,
+}
+
+# material parameter slots (each a vec3 + texture-id indirection)
+P_KD = 0
+P_SIGMA = 1
+P_KR = 2
+P_KT = 3
+P_ETA = 4  # scalar dielectric eta in .x, or conductor eta rgb (metal)
+P_K = 5  # conductor k rgb
+P_KS = 6
+P_UROUGH = 7
+P_VROUGH = 8
+P_OPACITY = 9
+P_REFLECT = 10
+P_TRANSMIT = 11
+N_MAT_PARAMS = 12
+
+# light kind ids
+LIGHT_POINT = 0
+LIGHT_SPOT = 1
+LIGHT_DISTANT = 2
+LIGHT_INFINITE = 3
+LIGHT_AREA = 4
+
+_DELTA_LIGHTS = (LIGHT_POINT, LIGHT_SPOT, LIGHT_DISTANT)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SceneArrays:
+    # --- triangles (T rows; world space, expanded SoA) ---
+    tri_p: jax.Array  # (T, 3, 3) f32 vertex positions
+    tri_n: jax.Array  # (T, 3, 3) f32 shading normals (geometric if absent)
+    tri_uv: jax.Array  # (T, 3, 2) f32
+    # --- spheres (S rows) ---
+    sph_o2w: jax.Array  # (S, 3, 4) f32 object-to-world
+    sph_w2o: jax.Array  # (S, 3, 4) f32 world-to-object
+    sph_param: jax.Array  # (S, 6) f32: radius, zmin, zmax, phimax, thetamin, thetamax
+    # --- primitives (P = T + S rows) ---
+    prim_kind: jax.Array  # (P,) i32 GEOM_*
+    prim_geom: jax.Array  # (P,) i32 row in tri_* or sph_*
+    prim_mat: jax.Array  # (P,) i32 material id
+    prim_light: jax.Array  # (P,) i32 area light id or -1
+    prim_flags: jax.Array  # (P,) i32 bit0: flip geometric normal (rev ^ swap), bit1: has shading normals, bit2: reverse_orientation
+    prim_area: jax.Array  # (P,) f32 surface area (for area light pdfs)
+    # --- BVH ---
+    bvh_min: jax.Array  # (N, 3) f32
+    bvh_max: jax.Array  # (N, 3) f32
+    bvh_off: jax.Array  # (N,) i32
+    bvh_n: jax.Array  # (N,) i32
+    bvh_axis: jax.Array  # (N,) i32
+    bvh_ids: jax.Array  # (P,) i32
+    # --- materials ---
+    mat_kind: jax.Array  # (M,) i32
+    mat_const: jax.Array  # (M, N_MAT_PARAMS, 3) f32 constant values
+    mat_tex: jax.Array  # (M, N_MAT_PARAMS) i32 texture index or -1
+    mat_remap: jax.Array  # (M,) i32 remaproughness flag
+    # --- lights ---
+    light_kind: jax.Array  # (L,) i32
+    light_param: jax.Array  # (L, 12) f32 (layout per kind, see builder)
+    light_prim: jax.Array  # (L,) i32 prim id for area lights, -1 else
+    # --- world ---
+    world_center: jax.Array  # (3,) f32
+    world_radius: jax.Array  # () f32
+    # --- textures: per-texture image stack entries live in a dict of leaves ---
+    tex_images: dict = field(default_factory=dict)  # name "img{i}" -> (H, W, 3) f32
+    tex_param: jax.Array | None = None  # (X, 24) f32 per-texture params
+    # --- infinite light env map machinery (None when constant) ---
+    env_image: jax.Array | None = None  # (H, W, 3)
+    env_cond_cdf: jax.Array | None = None  # (H, W+1)
+    env_marg_cdf: jax.Array | None = None  # (H+1,)
+    env_w2l: jax.Array | None = None  # (3, 4) world-to-light rotation
+
+
+@dataclass
+class TexProgram:
+    """Static per-texture evaluation recipe (children are earlier indices)."""
+
+    kind: str
+    is_float: bool
+    mapping: str = "uv"
+    image_key: str = ""  # key into SceneArrays.tex_images
+    wrap: str = "repeat"
+    tex1: int = -1  # child index or -1 (then const in tex_param)
+    tex2: int = -1
+    amount: int = -1
+    v01: int = -1
+    v10: int = -1
+    dimension: int = 2
+    octaves: int = 8
+
+
+@dataclass
+class SceneStatic:
+    """Static (python-level) scene configuration that shapes compilation."""
+
+    n_tris: int = 0
+    n_spheres: int = 0
+    n_prims: int = 0
+    n_nodes: int = 0
+    n_materials: int = 0
+    n_lights: int = 0
+    n_delta_lights: int = 0
+    max_leaf: int = 4
+    mat_kinds_present: tuple = ()
+    tex_programs: tuple = ()  # tuple[TexProgram]
+    has_infinite: bool = False
+    infinite_light_index: int = -1
+    has_env_map: bool = False
+    has_area_lights: bool = False
+    use_brute_force: bool = False  # no-BVH path for tiny scenes
+
+
+def scene_byte_size(sa: SceneArrays) -> int:
+    total = 0
+    for f in fields(sa):
+        v = getattr(sa, f.name)
+        if v is None:
+            continue
+        if isinstance(v, dict):
+            total += sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in v.values())
+        elif hasattr(v, "shape"):
+            total += int(np.prod(v.shape)) * v.dtype.itemsize
+    return total

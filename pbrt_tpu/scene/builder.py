@@ -1,0 +1,506 @@
+"""Scene compiler: SceneDescription (host records) -> SceneArrays (device SoA).
+
+This is the TPU-native equivalent of the reference's world_end scene assembly
+(/root/reference/src/core/api.rs:1715-1756 + RenderOptions::make_scene :244):
+instead of constructing a Primitives enum tree, every shape is flattened into
+triangle/sphere rows, materials into fixed-width parameter blocks with texture
+indirections, lights into a typed table (mesh area lights expanded to one row
+per triangle, matching the reference's one-DiffuseAreaLight-per-triangle
+behavior, api.rs:1535-1542), and the BVH into a flat node array.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core.spectrum import y_of_rgb
+from .arrays import (
+    GEOM_SPHERE,
+    GEOM_TRI,
+    LIGHT_AREA,
+    LIGHT_DISTANT,
+    LIGHT_INFINITE,
+    LIGHT_POINT,
+    LIGHT_SPOT,
+    MAT_IDS,
+    MAT_MATTE,
+    N_MAT_PARAMS,
+    P_ETA,
+    P_K,
+    P_KD,
+    P_KR,
+    P_KS,
+    P_KT,
+    P_OPACITY,
+    P_REFLECT,
+    P_SIGMA,
+    P_TRANSMIT,
+    P_UROUGH,
+    P_VROUGH,
+    SceneArrays,
+    SceneStatic,
+    TexProgram,
+)
+from .bvh import build_bvh
+from .host import HostLight, HostMaterial, HostTexture, SceneDescription
+
+log = logging.getLogger(__name__)
+
+BRUTE_FORCE_MAX_PRIMS = 64
+
+
+# flags bits for prim_flags
+FLAG_FLIP_GEOM_N = 1
+FLAG_HAS_SHADING_N = 2
+FLAG_REVERSE_ORIENTATION = 4
+FLAG_HAS_UV = 8
+
+
+class _TextureRegistry:
+    """Flattens the host texture DAG into an ordered eval program list.
+
+    Creation order of pbrt named textures is already topological; children are
+    registered before parents on demand."""
+
+    def __init__(self):
+        self.programs: list[TexProgram] = []
+        self.params: list[np.ndarray] = []  # (24,) per texture
+        self.images: dict = {}
+        self._by_id: dict[int, int] = {}
+
+    def register_source(self, src):
+        """src: ('const', value) | ('texture', HostTexture) | None.
+        Returns (const_vec3, tex_index)."""
+        if src is None:
+            return np.zeros(3), -1
+        kind, val = src
+        if kind == "const":
+            v = np.atleast_1d(np.asarray(val, dtype=np.float64)).ravel()
+            if v.size == 1:
+                v = np.repeat(v, 3)
+            return v[:3], -1
+        return np.zeros(3), self.register(val)
+
+    def register(self, tex: HostTexture) -> int:
+        key = id(tex)
+        if key in self._by_id:
+            return self._by_id[key]
+        prog = TexProgram(kind=tex.kind, is_float=tex.is_float, mapping=tex.mapping, wrap=tex.wrap, dimension=tex.dimension, octaves=tex.octaves)
+        par = np.zeros(24, dtype=np.float64)
+        # mapping params: uscale, vscale, udelta, vdelta @ 0:4; v1 @ 4:7, v2 @ 7:10
+        par[0] = tex.uscale
+        par[1] = tex.vscale
+        par[2] = tex.udelta
+        par[3] = tex.vdelta
+        if tex.v1 is not None:
+            par[4:7] = tex.v1
+        if tex.v2 is not None:
+            par[7:10] = tex.v2
+
+        def child(src):
+            c, t = self.register_source(src)
+            return c, t
+
+        if tex.kind == "constant":
+            v = np.atleast_1d(np.asarray(tex.value, dtype=np.float64)).ravel()
+            if v.size == 1:
+                v = np.repeat(v, 3)
+            par[10:13] = v[:3]
+        elif tex.kind in ("scale", "mix", "checkerboard", "dots", "bilerp"):
+            c1, prog.tex1 = child(tex.tex1)
+            c2, prog.tex2 = child(tex.tex2)
+            par[10:13] = c1
+            par[13:16] = c2
+            if tex.kind == "mix":
+                ca, prog.amount = child(tex.amount)
+                par[16:19] = ca
+            if tex.kind == "bilerp":
+                c01, prog.v01 = child(tex.v01)
+                c10, prog.v10 = child(tex.v10)
+                par[16:19] = c01
+                par[19:22] = c10
+        elif tex.kind == "imagemap":
+            key_name = f"img{len(self.images)}"
+            self.images[key_name] = jnp.asarray(np.asarray(tex.image, dtype=np.float32))
+            prog.image_key = key_name
+            par[10] = tex.scale
+        elif tex.kind == "uv":
+            pass
+        elif tex.kind in ("fbm", "wrinkled", "marble", "windy"):
+            par[10] = tex.roughness
+            par[11] = tex.scale
+            par[12] = tex.variation
+            if tex.world_to_texture is not None:
+                par[4:16] = tex.world_to_texture.m[:3, :].ravel()[:12]
+        idx = len(self.programs)
+        self.programs.append(prog)
+        self.params.append(par)
+        self._by_id[key] = idx
+        return idx
+
+
+@dataclass
+class CompiledScene:
+    arrays: SceneArrays
+    static: SceneStatic
+    description: SceneDescription
+
+
+def _sphere_area(sph):
+    # reference sphere.rs area(): phi_max * radius * (zmax - zmin)
+    return sph.phi_max * sph.radius * (np.clip(sph.z_max, -sph.radius, sph.radius) - np.clip(sph.z_min, -sph.radius, sph.radius))
+
+
+def compile_scene(desc: SceneDescription) -> CompiledScene:
+    tri_p, tri_n, tri_uv = [], [], []
+    sph_o2w, sph_w2o, sph_param = [], [], []
+    prim_kind, prim_geom, prim_mat, prim_light, prim_flags, prim_area = [], [], [], [], [], []
+    prim_lo, prim_hi = [], []
+
+    tex_reg = _TextureRegistry()
+    mat_index: dict[int, int] = {}
+    mat_rows: list[tuple] = []  # (kind_id, const (P,3), tex (P,), remap)
+
+    def material_id(mat: HostMaterial) -> int:
+        key = id(mat)
+        if key in mat_index:
+            return mat_index[key]
+        mid = len(mat_rows)
+        mat_rows.append(_compile_material(mat, tex_reg))
+        mat_index[key] = mid
+        return mid
+
+    lights: list[tuple] = []  # (kind, params(12,), prim_id)
+
+    # --- non-area lights first -------------------------------------------------
+    infinite_host: HostLight | None = None
+    for hl in desc.lights:
+        if hl.kind == "point":
+            p = np.zeros(12)
+            p[0:3] = hl.from_point
+            p[3:6] = hl.intensity
+            lights.append((LIGHT_POINT, p, -1))
+        elif hl.kind == "spot":
+            p = np.zeros(12)
+            p[0:3] = hl.from_point
+            p[3:6] = hl.intensity
+            d = np.asarray(hl.to_point) - np.asarray(hl.from_point)
+            d = d / max(np.linalg.norm(d), 1e-12)
+            p[6:9] = d
+            p[9] = np.cos(np.radians(hl.cone_angle))  # cosTotalWidth
+            p[10] = np.cos(np.radians(hl.cone_angle - hl.cone_delta))  # cosFalloffStart
+            lights.append((LIGHT_SPOT, p, -1))
+        elif hl.kind == "distant":
+            p = np.zeros(12)
+            d = np.asarray(hl.from_point) - np.asarray(hl.to_point)  # direction TO light
+            d = d / max(np.linalg.norm(d), 1e-12)
+            p[0:3] = d
+            p[3:6] = hl.intensity
+            lights.append((LIGHT_DISTANT, p, -1))
+        elif hl.kind == "infinite":
+            p = np.zeros(12)
+            p[3:6] = hl.intensity
+            lights.append((LIGHT_INFINITE, p, -1))
+            infinite_host = hl
+        else:
+            log.warning("light kind '%s' dropped", hl.kind)
+
+    # --- primitives ------------------------------------------------------------
+    for prim in desc.primitives:
+        mid = material_id(prim.material)
+        sh = prim.shape
+        if sh.mesh is not None:
+            mesh = sh.mesh
+            v = np.asarray(mesh.p, dtype=np.float64)
+            f = np.asarray(mesh.indices, dtype=np.int64)
+            pv = v[f]  # (t, 3, 3)
+            e1 = pv[:, 1] - pv[:, 0]
+            e2 = pv[:, 2] - pv[:, 0]
+            gn = np.cross(e1, e2)
+            areas = 0.5 * np.linalg.norm(gn, axis=-1)
+            flags = 0
+            if mesh.reverse_orientation ^ mesh.transform_swaps_handedness:
+                flags |= FLAG_FLIP_GEOM_N
+            if mesh.reverse_orientation:
+                flags |= FLAG_REVERSE_ORIENTATION
+            if mesh.n is not None:
+                flags |= FLAG_HAS_SHADING_N
+                nv = np.asarray(mesh.n, dtype=np.float64)[f]
+            else:
+                gnn = gn / np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-30)
+                if flags & FLAG_FLIP_GEOM_N:
+                    gnn = -gnn
+                nv = np.repeat(gnn[:, None, :], 3, axis=1)
+            if mesh.uv is not None:
+                flags |= FLAG_HAS_UV
+                uvv = np.asarray(mesh.uv, dtype=np.float64)[f]
+            else:
+                uvv = np.broadcast_to(np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]), (len(f), 3, 2)).copy()
+
+            t = len(f)
+            t0 = sum(len(c) for c in tri_p)
+            tri_p.append(pv)
+            tri_n.append(nv)
+            tri_uv.append(uvv)
+            base_prim = len(prim_kind)
+            light_ids = np.full(t, -1, dtype=np.int64)
+            if prim.area_light is not None:
+                light_ids = np.arange(len(lights), len(lights) + t)
+                lp = np.zeros(12)
+                lp[0:3] = prim.area_light.intensity
+                lp[3] = 1.0 if prim.area_light.two_sided else 0.0
+                for ti in range(t):
+                    lights.append((LIGHT_AREA, lp, base_prim + ti))
+            prim_kind.extend([GEOM_TRI] * t)
+            prim_geom.extend(range(t0, t0 + t))
+            prim_mat.extend([mid] * t)
+            prim_light.extend(light_ids.tolist())
+            prim_flags.extend([flags] * t)
+            prim_area.extend(areas.tolist())
+            prim_lo.extend(pv.min(axis=1))
+            prim_hi.extend(pv.max(axis=1))
+        elif sh.sphere is not None:
+            sph = sh.sphere
+            o2w = sph.object_to_world
+            w2o = o2w.inverse()
+            si = len(sph_o2w)
+            sph_o2w.append(o2w.m[:3, :])
+            sph_w2o.append(w2o.m[:3, :])
+            zmin = np.clip(min(sph.z_min, sph.z_max), -sph.radius, sph.radius)
+            zmax = np.clip(max(sph.z_min, sph.z_max), -sph.radius, sph.radius)
+            theta_min = np.arccos(np.clip(zmin / sph.radius, -1.0, 1.0))
+            theta_max = np.arccos(np.clip(zmax / sph.radius, -1.0, 1.0))
+            sph_param.append([sph.radius, zmin, zmax, sph.phi_max, theta_min, theta_max])
+            flags = 0
+            if sph.reverse_orientation ^ o2w.swaps_handedness():
+                flags |= FLAG_FLIP_GEOM_N
+            if sph.reverse_orientation:
+                flags |= FLAG_REVERSE_ORIENTATION
+            pid = len(prim_kind)
+            light_id = -1
+            if prim.area_light is not None:
+                light_id = len(lights)
+                lp = np.zeros(12)
+                lp[0:3] = prim.area_light.intensity
+                lp[3] = 1.0 if prim.area_light.two_sided else 0.0
+                lights.append((LIGHT_AREA, lp, pid))
+            prim_kind.append(GEOM_SPHERE)
+            prim_geom.append(si)
+            prim_mat.append(mid)
+            prim_light.append(light_id)
+            prim_flags.append(flags)
+            prim_area.append(_sphere_area(sph))
+            lo, hi = o2w.xbounds([-sph.radius] * 3, [sph.radius] * 3)
+            prim_lo.append(lo)
+            prim_hi.append(hi)
+
+    n_prims = len(prim_kind)
+    if n_prims == 0:
+        log.warning("scene has no primitives")
+
+    # --- world bounds ----------------------------------------------------------
+    if n_prims:
+        wlo = np.min(np.asarray(prim_lo), axis=0)
+        whi = np.max(np.asarray(prim_hi), axis=0)
+    else:
+        wlo = np.zeros(3)
+        whi = np.ones(3)
+    wc = 0.5 * (wlo + whi)
+    wr = float(np.linalg.norm(whi - wc)) + 1e-4
+
+    # --- BVH -------------------------------------------------------------------
+    use_brute = n_prims <= BRUTE_FORCE_MAX_PRIMS
+    max_leaf = desc.accelerator_params.get("maxnodeprims", 4)
+    bvh = build_bvh(np.asarray(prim_lo) if n_prims else np.zeros((0, 3)), np.asarray(prim_hi) if n_prims else np.zeros((0, 3)), max_leaf)
+
+    # --- materials (ensure at least one row) -----------------------------------
+    if not mat_rows:
+        mat_rows.append(_compile_material(HostMaterial(kind="matte", params={"Kd": ("const", np.array([0.5, 0.5, 0.5]))}), tex_reg))
+
+    mat_kind = np.array([r[0] for r in mat_rows], dtype=np.int32)
+    mat_const = np.stack([r[1] for r in mat_rows]).astype(np.float32)
+    mat_tex = np.stack([r[2] for r in mat_rows]).astype(np.int32)
+    mat_remap = np.array([r[3] for r in mat_rows], dtype=np.int32)
+
+    # --- lights ----------------------------------------------------------------
+    n_lights = len(lights)
+    if n_lights:
+        light_kind = np.array([l[0] for l in lights], dtype=np.int32)
+        light_param = np.stack([l[1] for l in lights]).astype(np.float32)
+        light_prim = np.array([l[2] for l in lights], dtype=np.int32)
+    else:
+        light_kind = np.zeros(0, dtype=np.int32)
+        light_param = np.zeros((0, 12), dtype=np.float32)
+        light_prim = np.zeros(0, dtype=np.int32)
+
+    inf_idx = -1
+    has_env = False
+    env_image = env_cond = env_marg = env_w2l = None
+    for i, (k, _p, _pr) in enumerate(lights):
+        if k == LIGHT_INFINITE:
+            inf_idx = i
+    if infinite_host is not None and infinite_host.image is not None:
+        has_env = True
+        img = np.asarray(infinite_host.image, dtype=np.float64) * np.asarray(infinite_host.intensity)[None, None, :]
+        env_image = jnp.asarray(img.astype(np.float32))
+        # luminance-weighted 2D distribution with sin(theta) factor
+        # (reference src/lights/infinite.rs:81; sampling.rs Distribution2D)
+        h, w, _ = img.shape
+        lum = y_of_rgb(img)
+        theta = (np.arange(h) + 0.5) / h * np.pi
+        f = lum * np.sin(theta)[:, None]
+        row_sum = f.sum(axis=1)
+        cond = np.zeros((h, w + 1))
+        cond[:, 1:] = np.cumsum(f, axis=1)
+        cond_int = cond[:, -1:].copy()
+        cond = np.where(cond_int > 0, cond / np.maximum(cond_int, 1e-30), np.linspace(0, 1, w + 1)[None, :])
+        marg = np.zeros(h + 1)
+        marg[1:] = np.cumsum(row_sum)
+        total = marg[-1]
+        marg = marg / max(total, 1e-30)
+        env_cond = jnp.asarray(cond.astype(np.float32))
+        env_marg = jnp.asarray(marg.astype(np.float32))
+        env_w2l = jnp.asarray(infinite_host.light_to_world.m_inv[:3, :].astype(np.float32))
+        # replace the table intensity with the mean (used only for power heuristics)
+        light_param[inf_idx, 3:6] = img.mean(axis=(0, 1))
+
+    tex_param = np.stack(tex_reg.params).astype(np.float32) if tex_reg.params else np.zeros((1, 24), dtype=np.float32)
+
+    def _cat(chunks, shape):
+        if not chunks:
+            return np.zeros((0,) + shape, dtype=np.float32)
+        return np.concatenate([np.asarray(c, dtype=np.float32).reshape((-1,) + shape) for c in chunks], axis=0)
+
+    tri_p_cat = _cat(tri_p, (3, 3))
+
+    arrays = SceneArrays(
+        tri_p=jnp.asarray(tri_p_cat),
+        tri_n=jnp.asarray(_cat(tri_n, (3, 3))),
+        tri_uv=jnp.asarray(_cat(tri_uv, (3, 2))),
+        sph_o2w=jnp.asarray(np.asarray(sph_o2w, dtype=np.float32).reshape(-1, 3, 4)),
+        sph_w2o=jnp.asarray(np.asarray(sph_w2o, dtype=np.float32).reshape(-1, 3, 4)),
+        sph_param=jnp.asarray(np.asarray(sph_param, dtype=np.float32).reshape(-1, 6)),
+        prim_kind=jnp.asarray(np.asarray(prim_kind, dtype=np.int32)),
+        prim_geom=jnp.asarray(np.asarray(prim_geom, dtype=np.int32)),
+        prim_mat=jnp.asarray(np.asarray(prim_mat, dtype=np.int32)),
+        prim_light=jnp.asarray(np.asarray(prim_light, dtype=np.int32)),
+        prim_flags=jnp.asarray(np.asarray(prim_flags, dtype=np.int32)),
+        prim_area=jnp.asarray(np.asarray(prim_area, dtype=np.float32)),
+        bvh_min=jnp.asarray(bvh.bounds_min),
+        bvh_max=jnp.asarray(bvh.bounds_max),
+        bvh_off=jnp.asarray(bvh.offset),
+        bvh_n=jnp.asarray(bvh.n_prims),
+        bvh_axis=jnp.asarray(bvh.axis),
+        bvh_ids=jnp.asarray(bvh.prim_ids),
+        mat_kind=jnp.asarray(mat_kind),
+        mat_const=jnp.asarray(mat_const),
+        mat_tex=jnp.asarray(mat_tex),
+        mat_remap=jnp.asarray(mat_remap),
+        light_kind=jnp.asarray(light_kind),
+        light_param=jnp.asarray(light_param),
+        light_prim=jnp.asarray(light_prim),
+        world_center=jnp.asarray(wc.astype(np.float32)),
+        world_radius=jnp.asarray(np.float32(wr)),
+        tex_images=tex_reg.images,
+        tex_param=jnp.asarray(tex_param),
+        env_image=env_image,
+        env_cond_cdf=env_cond,
+        env_marg_cdf=env_marg,
+        env_w2l=env_w2l,
+    )
+    static = SceneStatic(
+        n_tris=len(tri_p_cat),
+        n_spheres=len(sph_o2w),
+        n_prims=n_prims,
+        n_nodes=len(bvh.n_prims),
+        n_materials=len(mat_rows),
+        n_lights=n_lights,
+        n_delta_lights=sum(1 for l in lights if l[0] in (LIGHT_POINT, LIGHT_SPOT, LIGHT_DISTANT)),
+        max_leaf=max_leaf,
+        mat_kinds_present=tuple(sorted(set(int(k) for k in mat_kind))),
+        tex_programs=tuple(tex_reg.programs),
+        has_infinite=inf_idx >= 0,
+        infinite_light_index=inf_idx,
+        has_env_map=has_env,
+        has_area_lights=any(l[0] == LIGHT_AREA for l in lights),
+        use_brute_force=use_brute,
+    )
+    return CompiledScene(arrays=arrays, static=static, description=desc)
+
+
+def _compile_material(mat: HostMaterial, tex_reg: _TextureRegistry):
+    """HostMaterial -> (kind_id, const (N_MAT_PARAMS,3), tex (N_MAT_PARAMS,), remap)."""
+    kind = MAT_IDS.get(mat.kind, None)
+    if kind is None:
+        if mat.kind in ("fourier", "hair", "disney", "subsurface", "kdsubsurface", "mix"):
+            kind = MAT_MATTE  # placeholder shading; full support in later stages
+        else:
+            kind = MAT_MATTE
+    const = np.zeros((N_MAT_PARAMS, 3), dtype=np.float64)
+    tex = np.full(N_MAT_PARAMS, -1, dtype=np.int64)
+    remap = 1
+
+    def put(slot, name, default=None):
+        src = mat.params.get(name)
+        if src is None:
+            if default is not None:
+                const[slot] = default
+            return
+        if src[0] == "const":
+            v = np.atleast_1d(np.asarray(src[1], dtype=np.float64)).ravel()
+            const[slot] = np.repeat(v, 3)[:3] if v.size == 1 else v[:3]
+        else:
+            c, t = tex_reg.register_source(src)
+            tex[slot] = t
+
+    put(P_KD, "Kd")
+    put(P_SIGMA, "sigma")
+    put(P_KR, "Kr")
+    put(P_KT, "Kt")
+    put(P_KS, "Ks")
+    put(P_OPACITY, "opacity", default=[1.0, 1.0, 1.0])
+    put(P_REFLECT, "reflect")
+    put(P_TRANSMIT, "transmit")
+
+    # eta: scalar (glass/uber) or rgb (metal)
+    eta_src = mat.params.get("eta")
+    if eta_src is not None:
+        if eta_src[0] == "const":
+            v = np.atleast_1d(np.asarray(eta_src[1], dtype=np.float64)).ravel()
+            const[P_ETA] = np.repeat(v, 3)[:3] if v.size == 1 else v[:3]
+        else:
+            tex[P_ETA] = tex_reg.register_source(eta_src)[1]
+    else:
+        const[P_ETA] = 1.5
+    put(P_K, "k")
+
+    # roughness: materials with a single 'roughness' use it for both u/v
+    # unless uroughness/vroughness are given (reference uber.rs, metal.rs).
+    r_src = mat.params.get("roughness")
+    u_src = mat.params.get("uroughness")
+    v_src = mat.params.get("vroughness")
+
+    def put_src(slot, src):
+        if src is None:
+            return False
+        if src[0] == "const":
+            v = np.atleast_1d(np.asarray(src[1], dtype=np.float64)).ravel()
+            const[slot] = np.repeat(v, 3)[:3] if v.size == 1 else v[:3]
+        else:
+            tex[slot] = tex_reg.register_source(src)[1]
+        return True
+
+    if not put_src(P_UROUGH, u_src):
+        put_src(P_UROUGH, r_src)
+    if not put_src(P_VROUGH, v_src):
+        put_src(P_VROUGH, r_src)
+
+    rm = mat.params.get("remaproughness")
+    if rm is not None and rm[0] == "const":
+        remap = 1 if rm[1] else 0
+
+    return kind, const, tex, remap
