@@ -1,0 +1,312 @@
+"""Light sampling: sample_li / pdf_li / escaped-ray radiance, batched.
+
+Replaces the reference's Light trait dispatch (src/core/light.rs:47-76,
+src/lights/*) with masked evaluation over the typed light table. Area lights
+reference their primitive row (one light row per emitting triangle/sphere,
+matching the reference's per-shape DiffuseAreaLight creation,
+src/core/api.rs:1535-1542).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..scene.arrays import (
+    GEOM_SPHERE,
+    GEOM_TRI,
+    LIGHT_AREA,
+    LIGHT_DISTANT,
+    LIGHT_INFINITE,
+    LIGHT_POINT,
+    LIGHT_SPOT,
+    SceneArrays,
+    SceneStatic,
+)
+from .intersect import _xform_point
+
+F32 = jnp.float32
+TWO_PI = 2.0 * jnp.pi
+INV_4PI = 1.0 / (4.0 * jnp.pi)
+
+
+def _norm(v):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def uniform_sample_sphere(u1, u2):
+    z = 1.0 - 2.0 * u1
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = TWO_PI * u2
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+def uniform_sample_triangle(u1, u2):
+    su0 = jnp.sqrt(jnp.maximum(u1, 0.0))
+    return 1.0 - su0, u2 * su0
+
+
+# ---------------------------------------------------------------------------
+# Environment map machinery (src/lights/infinite.rs + sampling.rs Distribution2D)
+# ---------------------------------------------------------------------------
+
+
+def _env_dir_to_uv(sa: SceneArrays, d):
+    """World direction -> env map (u, v) in [0,1)^2."""
+    if sa.env_w2l is not None:
+        dl = jnp.einsum("ij,...j->...i", sa.env_w2l[:, :3], d)
+    else:
+        dl = d
+    dl = _norm(dl)
+    theta = jnp.arccos(jnp.clip(dl[..., 2], -1.0, 1.0))
+    phi = jnp.arctan2(dl[..., 1], dl[..., 0])
+    phi = jnp.where(phi < 0, phi + TWO_PI, phi)
+    return phi / TWO_PI, theta / jnp.pi, theta
+
+
+def env_le(sa: SceneArrays, static: SceneStatic, d):
+    """Escaped-ray radiance from the infinite light (infinite.rs le :120)."""
+    if not static.has_infinite:
+        return jnp.zeros(d.shape[:-1] + (3,), F32)
+    li = sa.light_param[static.infinite_light_index]
+    if not static.has_env_map:
+        return jnp.broadcast_to(li[3:6], d.shape[:-1] + (3,))
+    u, v, _ = _env_dir_to_uv(sa, d)
+    img = sa.env_image
+    h, w, _c = img.shape
+    x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    return img[y, x]
+
+
+def _env_sample(sa: SceneArrays, u1, u2):
+    """Sample direction from the env importance distribution.
+
+    Returns (d_world, li, pdf_solid_angle)."""
+    marg = sa.env_marg_cdf  # (H+1,)
+    cond = sa.env_cond_cdf  # (H, W+1)
+    h = cond.shape[0]
+    w = cond.shape[1] - 1
+    # sample marginal (row)
+    row = jnp.clip(jnp.searchsorted(marg, u1, side="right") - 1, 0, h - 1)
+    m0 = marg[row]
+    m1 = marg[row + 1]
+    dv = jnp.where(m1 > m0, (u1 - m0) / jnp.maximum(m1 - m0, 1e-30), 0.5)
+    v = (row.astype(F32) + dv) / h
+    pdf_v = (m1 - m0) * h
+    # sample conditional (column) — per-row CDF gather
+    crow = cond[row]  # (R, W+1)
+    col = jnp.clip(_searchsorted_rows(crow, u2) - 1, 0, w - 1)
+    r = jnp.arange(col.shape[0])
+    c0 = crow[r, col]
+    c1 = crow[r, col + 1]
+    du = jnp.where(c1 > c0, (u2 - c0) / jnp.maximum(c1 - c0, 1e-30), 0.5)
+    u = (col.astype(F32) + du) / w
+    pdf_u = (c1 - c0) * w
+
+    theta = v * jnp.pi
+    phi = u * TWO_PI
+    sin_t = jnp.sin(theta)
+    dl = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), jnp.cos(theta)], axis=-1)
+    if sa.env_w2l is not None:
+        # light-to-world = transpose of the rotation part of w2l
+        dw = jnp.einsum("ji,...j->...i", sa.env_w2l[:, :3], dl)
+    else:
+        dw = dl
+    img = sa.env_image
+    hh, ww, _ = img.shape
+    x = jnp.clip((u * ww).astype(jnp.int32), 0, ww - 1)
+    y = jnp.clip((v * hh).astype(jnp.int32), 0, hh - 1)
+    li = img[y, x]
+    pdf = jnp.where(sin_t > 1e-7, pdf_u * pdf_v / (2.0 * jnp.pi * jnp.pi * jnp.maximum(sin_t, 1e-7)), 0.0)
+    return dw, li, pdf
+
+
+def _searchsorted_rows(cdf_rows, u):
+    """Per-row searchsorted: cdf_rows (R, N), u (R,) -> (R,) index."""
+    return jnp.sum(cdf_rows <= u[:, None], axis=-1).astype(jnp.int32)
+
+
+def env_pdf_li(sa: SceneArrays, static: SceneStatic, d):
+    """Solid-angle pdf that _env_sample would produce direction d."""
+    if not static.has_env_map:
+        return jnp.full(d.shape[:-1], INV_4PI, F32)
+    u, v, theta = _env_dir_to_uv(sa, d)
+    marg = sa.env_marg_cdf
+    cond = sa.env_cond_cdf
+    h = cond.shape[0]
+    w = cond.shape[1] - 1
+    row = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    col = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    pdf_v = (marg[row + 1] - marg[row]) * h
+    r_idx = jnp.arange(row.shape[0]) if row.ndim == 1 else None
+    crow = cond[row]
+    if row.ndim == 1:
+        c0 = crow[r_idx, col]
+        c1 = crow[r_idx, col + 1]
+    else:
+        c0 = jnp.take_along_axis(crow, col[..., None], axis=-1)[..., 0]
+        c1 = jnp.take_along_axis(crow, col[..., None] + 1, axis=-1)[..., 0]
+    pdf_u = (c1 - c0) * w
+    sin_t = jnp.sin(theta)
+    return jnp.where(sin_t > 1e-7, pdf_u * pdf_v / (2.0 * jnp.pi * jnp.pi * jnp.maximum(sin_t, 1e-7)), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Area-light geometry sampling
+# ---------------------------------------------------------------------------
+
+
+def _sample_prim_point(sa: SceneArrays, prim_ids, u1, u2):
+    """Uniformly sample a point on the primitive's surface.
+
+    Returns (p, n, area). Triangles: uniform barycentric (sampling.rs:147);
+    spheres: uniform area sampling (sphere.rs sample).
+    """
+    prim = jnp.maximum(prim_ids, 0)
+    kind = sa.prim_kind[prim]
+    geom = sa.prim_geom[prim]
+    flags = sa.prim_flags[prim]
+    area = sa.prim_area[prim]
+    R = prim.shape[0]
+    p = jnp.zeros((R, 3), F32)
+    n = jnp.zeros((R, 3), F32)
+    is_tri = kind == GEOM_TRI
+
+    if sa.tri_p.shape[0] > 0:
+        ti = jnp.where(is_tri, geom, 0)
+        tv = sa.tri_p[ti]
+        b0, b1 = uniform_sample_triangle(u1, u2)
+        pt = b0[:, None] * tv[:, 0] + b1[:, None] * tv[:, 1] + (1.0 - b0 - b1)[:, None] * tv[:, 2]
+        e1 = tv[:, 1] - tv[:, 0]
+        e2 = tv[:, 2] - tv[:, 0]
+        nt = _norm(jnp.cross(e1, e2))
+        nt = jnp.where(((flags & 1) != 0)[:, None], -nt, nt)
+        p = jnp.where(is_tri[:, None], pt, p)
+        n = jnp.where(is_tri[:, None], nt, n)
+
+    if sa.sph_param.shape[0] > 0:
+        si = jnp.where(~is_tri, geom, 0)
+        o2w = sa.sph_o2w[si]
+        w2o = sa.sph_w2o[si]
+        radius = sa.sph_param[si, 0]
+        d = uniform_sample_sphere(u1, u2)
+        p_obj = d * radius[:, None]
+        ps = _xform_point(o2w, p_obj)
+        ns = _norm(jnp.einsum("rji,rj->ri", w2o[:, :, :3], d))
+        ns = jnp.where(((flags & 1) != 0)[:, None], -ns, ns)
+        p = jnp.where(is_tri[:, None], p, ps)
+        n = jnp.where(is_tri[:, None], n, ns)
+
+    return p, n, area
+
+
+def area_light_emission(sa: SceneArrays, light_ids, n_light, w):
+    """L emitted from an area light toward direction w (diffuse.rs l())."""
+    li = jnp.maximum(light_ids, 0)
+    par = sa.light_param[li]
+    lemit = par[:, 0:3]
+    two_sided = par[:, 3] > 0
+    emits = two_sided | (_dot(n_light, w) > 0)
+    return jnp.where((emits & (light_ids >= 0))[:, None], lemit, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# sample_li over the whole light table
+# ---------------------------------------------------------------------------
+
+
+def sample_li(sa: SceneArrays, static: SceneStatic, light_ids, p_ref, u1, u2):
+    """Sample incident direction from light `light_ids` toward p_ref.
+
+    Returns dict {wi, li, pdf, dist, delta} — pdf in solid angle, dist the
+    distance to the light sample (for the shadow ray t_max).
+    """
+    R = p_ref.shape[0]
+    lid = jnp.maximum(light_ids, 0)
+    kind = sa.light_kind[lid] if static.n_lights else jnp.zeros(R, jnp.int32)
+    par = sa.light_param[lid] if static.n_lights else jnp.zeros((R, 12), F32)
+
+    wi = jnp.zeros((R, 3), F32)
+    li = jnp.zeros((R, 3), F32)
+    pdf = jnp.zeros(R, F32)
+    dist = jnp.full(R, 1e8, F32)
+    delta = jnp.zeros(R, bool)
+
+    world_d = 2.0 * sa.world_radius
+
+    # point + spot
+    m_pt = (kind == LIGHT_POINT) | (kind == LIGHT_SPOT)
+    to_l = par[:, 0:3] - p_ref
+    d2 = jnp.maximum(_dot(to_l, to_l), 1e-12)
+    dl = jnp.sqrt(d2)
+    wi_pt = to_l / dl[:, None]
+    fall = jnp.ones(R, F32)
+    m_spot = kind == LIGHT_SPOT
+    cos_t = _dot(par[:, 6:9], -wi_pt)
+    ctw = par[:, 9]
+    cfs = par[:, 10]
+    dfall = jnp.clip((cos_t - ctw) / jnp.maximum(cfs - ctw, 1e-9), 0.0, 1.0)
+    fall = jnp.where(m_spot, jnp.where(cos_t < ctw, 0.0, jnp.where(cos_t > cfs, 1.0, dfall ** 4)), fall)
+    wi = jnp.where(m_pt[:, None], wi_pt, wi)
+    li = jnp.where(m_pt[:, None], par[:, 3:6] * (fall / d2)[:, None], li)
+    pdf = jnp.where(m_pt, 1.0, pdf)
+    dist = jnp.where(m_pt, dl, dist)
+    delta = delta | m_pt
+
+    # distant
+    m_dist = kind == LIGHT_DISTANT
+    wi = jnp.where(m_dist[:, None], par[:, 0:3], wi)
+    li = jnp.where(m_dist[:, None], par[:, 3:6], li)
+    pdf = jnp.where(m_dist, 1.0, pdf)
+    dist = jnp.where(m_dist, world_d, dist)
+    delta = delta | m_dist
+
+    # infinite
+    if static.has_infinite:
+        m_inf = kind == LIGHT_INFINITE
+        if static.has_env_map:
+            d_env, li_env, pdf_env = _env_sample(sa, u1, u2)
+        else:
+            d_env = uniform_sample_sphere(u1, u2)
+            li_env = jnp.broadcast_to(par[:, 3:6], (R, 3))
+            pdf_env = jnp.full(R, INV_4PI, F32)
+        wi = jnp.where(m_inf[:, None], d_env, wi)
+        li = jnp.where(m_inf[:, None], li_env, li)
+        pdf = jnp.where(m_inf, pdf_env, pdf)
+        dist = jnp.where(m_inf, world_d, dist)
+
+    # area
+    if static.has_area_lights:
+        m_area = kind == LIGHT_AREA
+        lprim = sa.light_prim[lid]
+        ps, ns, area = _sample_prim_point(sa, lprim, u1, u2)
+        to_s = ps - p_ref
+        d2a = jnp.maximum(_dot(to_s, to_s), 1e-12)
+        da = jnp.sqrt(d2a)
+        wi_a = to_s / da[:, None]
+        cos_l = _dot(ns, -wi_a)
+        two_sided = par[:, 3] > 0
+        emits = two_sided | (cos_l > 0)
+        li_a = jnp.where(emits[:, None], par[:, 0:3], 0.0)
+        # area pdf -> solid angle (shape.rs pdf_interaction)
+        pdf_a = d2a / jnp.maximum(jnp.abs(cos_l) * area, 1e-12)
+        wi = jnp.where(m_area[:, None], wi_a, wi)
+        li = jnp.where(m_area[:, None], li_a, li)
+        pdf = jnp.where(m_area, jnp.where(jnp.abs(cos_l) > 1e-7, pdf_a, 0.0), pdf)
+        dist = jnp.where(m_area, da, dist)
+
+    return {"wi": wi, "li": li, "pdf": pdf, "dist": dist, "delta": delta}
+
+
+def pdf_li_area_hit(sa: SceneArrays, p_ref, hit_p, hit_ng, hit_light, prim_area_of_hit):
+    """pdf_li for a BSDF-sampled ray that hit area light `hit_light` at hit_p
+    with normal hit_ng — used for the MIS weight of the emission pickup."""
+    to_s = hit_p - p_ref
+    d2 = jnp.maximum(_dot(to_s, to_s), 1e-12)
+    wi = to_s / jnp.sqrt(d2)[:, None]
+    cos_l = jnp.abs(_dot(hit_ng, -wi))
+    pdf = d2 / jnp.maximum(cos_l * prim_area_of_hit, 1e-12)
+    return jnp.where(cos_l > 1e-7, pdf, 0.0)

@@ -1,0 +1,196 @@
+"""Material evaluation: per-ray material parameter blocks -> BSDF lobe sets.
+
+The reference's Material::compute_scattering_functions implementations
+(src/materials/matte.rs, mirror.rs, glass.rs, plastic.rs, metal.rs, uber.rs,
+substrate.rs, translucent.rs) become masked writes into the fixed lobe slots
+of bsdf.py — one vectorized constructor per material kind present in the
+scene (static dispatch list from SceneStatic.mat_kinds_present).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..scene.arrays import (
+    MAT_GLASS,
+    MAT_MATTE,
+    MAT_METAL,
+    MAT_MIRROR,
+    MAT_PLASTIC,
+    MAT_SUBSTRATE,
+    MAT_TRANSLUCENT,
+    MAT_UBER,
+    N_MAT_PARAMS,
+    P_ETA,
+    P_K,
+    P_KD,
+    P_KR,
+    P_KS,
+    P_KT,
+    P_OPACITY,
+    P_REFLECT,
+    P_SIGMA,
+    P_TRANSMIT,
+    P_UROUGH,
+    P_VROUGH,
+    SceneArrays,
+    SceneStatic,
+)
+from .bsdf import (
+    LOBE_FRESNEL_BLEND,
+    LOBE_FRESNEL_SPEC,
+    LOBE_LAMBERT_R,
+    LOBE_LAMBERT_T,
+    LOBE_MICRO_R,
+    LOBE_MICRO_T,
+    LOBE_NONE,
+    LOBE_OREN_NAYAR,
+    LOBE_SPEC_R,
+    LOBE_SPEC_T,
+    N_SLOTS,
+    tr_roughness_to_alpha,
+)
+from .texture import eval_textures, material_param
+
+F32 = jnp.float32
+
+FR_NONE = 0.0
+FR_DIELECTRIC = 1.0
+FR_CONDUCTOR = 2.0
+
+
+def _nonblack(c):
+    return jnp.any(c > 0, axis=-1)
+
+
+class _LobeWriter:
+    def __init__(self, n_rays):
+        self.kind = jnp.zeros((n_rays, N_SLOTS), jnp.int32)
+        self.data = jnp.zeros((n_rays, N_SLOTS, 14), F32)
+        self.possible = [set() for _ in range(N_SLOTS)]
+        self.n = n_rays
+
+    def put(self, slot, mask, kind, color, eta=None, k_or_t=None, ax=None, ay=None, fresnel=FR_NONE, ab=None):
+        """Masked write of one lobe into `slot`."""
+        m = mask
+        self.possible[slot].add(int(kind))
+        self.kind = self.kind.at[:, slot].set(jnp.where(m, kind, self.kind[:, slot]))
+        d = self.data[:, slot]
+        d = d.at[:, 0:3].set(jnp.where(m[:, None], color, d[:, 0:3]))
+        if eta is not None:
+            eta = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(eta, F32)), (self.n,)) if jnp.ndim(eta) <= 1 else eta
+            if jnp.ndim(eta) == 1:
+                d = d.at[:, 3].set(jnp.where(m, eta, d[:, 3]))
+            else:
+                d = d.at[:, 3:6].set(jnp.where(m[:, None], eta, d[:, 3:6]))
+        if k_or_t is not None:
+            d = d.at[:, 6:9].set(jnp.where(m[:, None], k_or_t, d[:, 6:9]))
+        if ax is not None:
+            d = d.at[:, 9].set(jnp.where(m, ax, d[:, 9]))
+            d = d.at[:, 10].set(jnp.where(m, ay, d[:, 10]))
+        d = d.at[:, 11].set(jnp.where(m, fresnel, d[:, 11]))
+        if ab is not None:
+            d = d.at[:, 12].set(jnp.where(m, ab[0], d[:, 12]))
+            d = d.at[:, 13].set(jnp.where(m, ab[1], d[:, 13]))
+        self.data = self.data.at[:, slot].set(d)
+
+
+def make_bsdf(sa: SceneArrays, static: SceneStatic, mat_ids, uv, p):
+    """Build lobe sets for a wave of shading points.
+
+    mat_ids: (R,) material row ids; uv: (R, 2); p: (R, 3) world hit points.
+    Returns the lobes dict for bsdf.py.
+    """
+    R = mat_ids.shape[0]
+    tex_values = eval_textures(sa, static.tex_programs, uv, p)
+
+    def param(slot):
+        return material_param(sa, tex_values, mat_ids, slot)
+
+    kind = sa.mat_kind[mat_ids]
+    remap = sa.mat_remap[mat_ids] != 0
+
+    kd = jnp.clip(param(P_KD), 0.0, 1.0)
+    sigma = param(P_SIGMA)[:, 0]
+    kr = jnp.clip(param(P_KR), 0.0, None)
+    kt = jnp.clip(param(P_KT), 0.0, None)
+    ks = jnp.clip(param(P_KS), 0.0, None)
+    eta3 = param(P_ETA)
+    eta = jnp.where(eta3[:, 0] > 0, eta3[:, 0], 1.5)
+    kcond = param(P_K)
+    urough = param(P_UROUGH)[:, 0]
+    vrough = param(P_VROUGH)[:, 0]
+    opacity = jnp.clip(param(P_OPACITY), 0.0, 1.0)
+    refl_c = jnp.clip(param(P_REFLECT), 0.0, None)
+    trans_c = jnp.clip(param(P_TRANSMIT), 0.0, None)
+
+    def alpha_of(r):
+        a = jnp.where(remap, tr_roughness_to_alpha(r), r)
+        return jnp.maximum(a, 1e-3)
+
+    ax = alpha_of(urough)
+    ay = alpha_of(vrough)
+
+    w = _LobeWriter(R)
+    kinds = set(static.mat_kinds_present) or {MAT_MATTE}
+
+    if MAT_MATTE in kinds:
+        m = kind == MAT_MATTE
+        has_kd = _nonblack(kd)
+        # Oren-Nayar A/B from sigma in degrees (reflection.rs:901)
+        sig_rad = jnp.radians(jnp.clip(sigma, 0.0, 90.0))
+        s2 = sig_rad * sig_rad
+        a_on = 1.0 - s2 / (2.0 * (s2 + 0.33))
+        b_on = 0.45 * s2 / (s2 + 0.09)
+        use_on = sigma != 0.0
+        w.put(0, m & has_kd & ~use_on, LOBE_LAMBERT_R, kd)
+        w.put(0, m & has_kd & use_on, LOBE_OREN_NAYAR, kd, ab=(a_on, b_on))
+
+    if MAT_MIRROR in kinds:
+        m = kind == MAT_MIRROR
+        w.put(4, m & _nonblack(kr), LOBE_SPEC_R, kr, fresnel=FR_NONE)
+
+    if MAT_GLASS in kinds:
+        m = kind == MAT_GLASS
+        krg = kr
+        ktg = kt
+        smooth = (urough == 0) & (vrough == 0)
+        both = _nonblack(krg) & _nonblack(ktg)
+        w.put(4, m & smooth & both, LOBE_FRESNEL_SPEC, krg, eta=eta, k_or_t=ktg)
+        w.put(4, m & smooth & ~both & _nonblack(krg), LOBE_SPEC_R, krg, eta=eta, fresnel=FR_DIELECTRIC)
+        w.put(5, m & smooth & ~both & _nonblack(ktg), LOBE_SPEC_T, ktg, eta=eta)
+        w.put(2, m & ~smooth & _nonblack(krg), LOBE_MICRO_R, krg, eta=eta, ax=ax, ay=ay, fresnel=FR_DIELECTRIC)
+        w.put(3, m & ~smooth & _nonblack(ktg), LOBE_MICRO_T, ktg, eta=eta, ax=ax, ay=ay)
+
+    if MAT_PLASTIC in kinds:
+        m = kind == MAT_PLASTIC
+        # plastic defaults Kd=0.25 Ks=0.25 rough=0.1 (plastic.rs)
+        w.put(0, m & _nonblack(kd), LOBE_LAMBERT_R, kd)
+        w.put(2, m & _nonblack(ks), LOBE_MICRO_R, ks, eta=1.5, ax=ax, ay=ay, fresnel=FR_DIELECTRIC)
+
+    if MAT_METAL in kinds:
+        m = kind == MAT_METAL
+        one = jnp.ones((R, 3), F32)
+        w.put(2, m, LOBE_MICRO_R, one, eta=eta3, k_or_t=kcond, ax=ax, ay=ay, fresnel=FR_CONDUCTOR)
+
+    if MAT_UBER in kinds:
+        m = kind == MAT_UBER
+        op = opacity
+        inv_op = 1.0 - op
+        w.put(6, m & _nonblack(inv_op), LOBE_SPEC_T, inv_op, eta=1.0 + 1e-5)
+        w.put(0, m & _nonblack(op * kd), LOBE_LAMBERT_R, op * kd)
+        w.put(2, m & _nonblack(op * ks), LOBE_MICRO_R, op * ks, eta=eta, ax=ax, ay=ay, fresnel=FR_DIELECTRIC)
+        w.put(4, m & _nonblack(op * kr), LOBE_SPEC_R, op * kr, eta=eta, fresnel=FR_DIELECTRIC)
+        w.put(5, m & _nonblack(op * kt), LOBE_SPEC_T, op * kt, eta=eta)
+
+    if MAT_SUBSTRATE in kinds:
+        m = kind == MAT_SUBSTRATE
+        w.put(2, m & (_nonblack(kd) | _nonblack(ks)), LOBE_FRESNEL_BLEND, kd, k_or_t=ks, ax=ax, ay=ay)
+
+    if MAT_TRANSLUCENT in kinds:
+        m = kind == MAT_TRANSLUCENT
+        w.put(0, m & _nonblack(refl_c * kd), LOBE_LAMBERT_R, refl_c * kd)
+        w.put(1, m & _nonblack(trans_c * kd), LOBE_LAMBERT_T, trans_c * kd)
+        w.put(2, m & _nonblack(refl_c * ks), LOBE_MICRO_R, refl_c * ks, eta=1.5, ax=ax, ay=ay, fresnel=FR_DIELECTRIC)
+        w.put(3, m & _nonblack(trans_c * ks), LOBE_MICRO_T, trans_c * ks, eta=1.5, ax=ax, ay=ay)
+
+    return {"kind": w.kind, "data": w.data, "possible": tuple(frozenset(p) for p in w.possible)}

@@ -729,9 +729,76 @@ class API:
                     )
                 )
             ]
-        if name in ("curve", "loopsubdiv", "nurbs", "heightfield"):
-            log.warning("shape '%s' not yet supported; skipped", name)
-            return []
+        if name == "heightfield":
+            from ..scene.tessellate import tessellate_heightfield
+
+            nu = params.find_one_int("nu", -1)
+            nv = params.find_one_int("nv", -1)
+            pz = params.find_floats("Pz")
+            if nu <= 0 or nv <= 0 or pz is None or len(pz) != nu * nv:
+                log.error("heightfield: need nu, nv and nu*nv 'Pz' values")
+                return []
+            return [ShapeRecord(mesh=tessellate_heightfield(o2w, nu, nv, pz, rev))]
+        if name == "loopsubdiv":
+            from ..scene.tessellate import loop_subdivide
+
+            levels = params.find_one_int("levels", params.find_one_int("nlevels", 3))
+            indices = params.find_ints("indices")
+            p = params.find_point3s("P")
+            if indices is None or p is None:
+                log.error("loopsubdiv: missing 'indices' or 'P'")
+                return []
+            return [ShapeRecord(mesh=loop_subdivide(o2w, levels, indices, p, rev))]
+        if name == "curve":
+            from ..scene.tessellate import tessellate_curve
+
+            p = params.find_point3s("P")
+            if p is None or len(p) < 4:
+                log.error("curve: need >= 4 'P' control points")
+                return []
+            ctype = params.find_one_string("type", "flat")
+            width = params.find_one_float("width", 1.0)
+            w0 = params.find_one_float("width0", width)
+            w1 = params.find_one_float("width1", width)
+            degree = 3
+            nseg = (len(p) - 1) // degree
+            norms = params.find_normals("N")
+            out = []
+            for s in range(max(nseg, 1)):
+                cp = p[s * degree : s * degree + 4]
+                if len(cp) < 4:
+                    break
+                u0 = s / max(nseg, 1)
+                u1 = (s + 1) / max(nseg, 1)
+                ws0 = (1 - u0) * w0 + u0 * w1
+                ws1 = (1 - u1) * w0 + u1 * w1
+                seg_norms = None
+                if norms is not None and len(norms) >= nseg + 1:
+                    seg_norms = (norms[s], norms[s + 1])
+                out.append(ShapeRecord(mesh=tessellate_curve(o2w, cp, ws0, ws1, ctype, seg_norms, reverse_orientation=rev)))
+            return out
+        if name == "nurbs":
+            from ..scene.tessellate import tessellate_nurbs
+
+            nu = params.find_one_int("nu", -1)
+            nv = params.find_one_int("nv", -1)
+            uorder = params.find_one_int("uorder", -1)
+            vorder = params.find_one_int("vorder", -1)
+            uknots = params.find_floats("uknots")
+            vknots = params.find_floats("vknots")
+            if min(nu, nv, uorder, vorder) <= 0 or uknots is None or vknots is None:
+                log.error("nurbs: need nu/nv/uorder/vorder/uknots/vknots")
+                return []
+            u0 = params.find_one_float("u0", float(uknots[uorder - 1]))
+            u1 = params.find_one_float("u1", float(uknots[nu]))
+            v0 = params.find_one_float("v0", float(vknots[vorder - 1]))
+            v1 = params.find_one_float("v1", float(vknots[nv]))
+            p = params.find_point3s("P")
+            pw = params.find_floats("Pw")
+            if p is None and pw is None:
+                log.error("nurbs: need 'P' or 'Pw'")
+                return []
+            return [ShapeRecord(mesh=tessellate_nurbs(o2w, nu, uorder, uknots, u0, u1, nv, vorder, vknots, v0, v1, p, pw, rev))]
         log.error("shape '%s' unknown", name)
         return []
 

@@ -1,0 +1,245 @@
+"""Top-level render driver: SceneDescription -> image.
+
+Replaces the reference's SamplerIntegrator::render tile loop
+(src/core/integrator.rs:263-403): instead of 16x16 tiles over threads, whole
+sample waves (every pixel x one sample index) are traced per jit call, and
+the host loop walks sample indices. Pixel filtering uses filter importance
+sampling — the per-sample raster offset is drawn from the reconstruction
+filter distribution, which converges to the same filtered image as the
+reference's FilmTile filter-weight splatting (film.rs:292-331) with
+weight 1 per sample (box/triangle/gaussian), or f/p weights for the
+negative-lobed filters (mitchell/sinc).
+"""
+from __future__ import annotations
+
+import logging
+import math
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .device import rng
+from .device.camera import make_camera, generate_rays
+from .device.integrator import trace_wave
+from .device.sampler import sample_2d
+from .scene.builder import CompiledScene, compile_scene
+from .scene.host import SceneDescription
+
+log = logging.getLogger(__name__)
+F32 = jnp.float32
+
+MAX_RAYS_PER_PASS = 1 << 20
+
+
+# ---------------------------------------------------------------------------
+# Filter importance sampling (src/filters/*; film.rs filter table)
+# ---------------------------------------------------------------------------
+
+
+def _erfinv(x):
+    # Winitzki approximation — adequate for pixel jitter
+    a = 0.147
+    ln1 = jnp.log(jnp.maximum(1.0 - x * x, 1e-30))
+    t1 = 2.0 / (jnp.pi * a) + ln1 / 2.0
+    return jnp.sign(x) * jnp.sqrt(jnp.maximum(jnp.sqrt(t1 * t1 - ln1 / a) - t1, 0.0))
+
+
+def filter_offset(name: str, params: dict, u1, u2):
+    """Map uniform (u1, u2) -> raster offset (dx, dy) and per-sample weight."""
+    if name == "triangle":
+        r = params.get("xwidth", 2.0)
+
+        def tent(u):
+            return jnp.where(u < 0.5, jnp.sqrt(jnp.maximum(2.0 * u, 0.0)) - 1.0, 1.0 - jnp.sqrt(jnp.maximum(2.0 - 2.0 * u, 0.0)))
+
+        return tent(u1) * r, tent(u2) * params.get("ywidth", r), None
+    if name == "gaussian":
+        r = params.get("xwidth", 2.0)
+        ry = params.get("ywidth", r)
+        alpha = params.get("alpha", 2.0)
+        sigma = 1.0 / math.sqrt(2.0 * alpha)
+        # truncated gaussian via inverse-CDF on the untruncated; clip to radius
+        dx = jnp.clip(sigma * math.sqrt(2.0) * _erfinv(2.0 * u1 - 1.0), -r, r)
+        dy = jnp.clip(sigma * math.sqrt(2.0) * _erfinv(2.0 * u2 - 1.0), -ry, ry)
+        return dx, dy, None
+    if name in ("mitchell", "sinc", "lanczossinc"):
+        r = params.get("xwidth", 2.0 if name == "mitchell" else 4.0)
+        ry = params.get("ywidth", r)
+        dx = (2.0 * u1 - 1.0) * r
+        dy = (2.0 * u2 - 1.0) * ry
+
+        if name == "mitchell":
+            b = params.get("B", 1.0 / 3.0)
+            c = params.get("C", 1.0 / 3.0)
+
+            def m1d(x, rad):
+                x = jnp.abs(2.0 * x / rad)
+                return jnp.where(
+                    x > 1,
+                    ((-b - 6 * c) * x ** 3 + (6 * b + 30 * c) * x * x + (-12 * b - 48 * c) * x + (8 * b + 24 * c)) / 6.0,
+                    ((12 - 9 * b - 6 * c) * x ** 3 + (-18 + 12 * b + 6 * c) * x * x + (6 - 2 * b)) / 6.0,
+                )
+
+            w = m1d(dx, r) * m1d(dy, ry) * (4.0 * r * ry)
+        else:
+            tau = params.get("tau", 3.0)
+
+            def sinc1d(x, rad):
+                x = jnp.abs(x)
+                lanczos = jnp.where(x < 1e-5, 1.0, jnp.sin(jnp.pi * x / tau) * tau / jnp.maximum(jnp.pi * x, 1e-9))
+                s = jnp.where(x < 1e-5, 1.0, jnp.sin(jnp.pi * x) / jnp.maximum(jnp.pi * x, 1e-9))
+                return jnp.where(x > rad, 0.0, s * lanczos)
+
+            w = sinc1d(dx, r) * sinc1d(dy, ry) * (4.0 * r * ry)
+        return dx, dy, w
+    # box (default): uniform in [-r, r]
+    r = params.get("xwidth", 0.5)
+    ry = params.get("ywidth", r)
+    return (2.0 * u1 - 1.0) * r, (2.0 * u2 - 1.0) * ry, None
+
+
+# ---------------------------------------------------------------------------
+# Render driver
+# ---------------------------------------------------------------------------
+
+
+def _one_sample_wave(sa, static, icfg, scfg, fcfg, cam, px_base, py_base, pixel_ids, sample_idx, seed):
+    """Trace sample `sample_idx` for every pixel in the wave.
+
+    Returns (L (R,3), w (R,)) — radiance and filter weight.
+    """
+    kind = scfg["kind"]
+    spp = scfg["spp"]
+    u1, u2 = sample_2d(kind, seed, pixel_ids, sample_idx, 0, spp)
+    dx, dy, w = filter_offset(fcfg["filter"], fcfg["filter_params"], u1, u2)
+    px = px_base.astype(F32) + 0.5 + dx
+    py = py_base.astype(F32) + 0.5 + dy
+    ul1, ul2 = sample_2d(kind, seed, pixel_ids, sample_idx, 1, spp)
+    o, d = generate_rays(cam, px, py, ul1, ul2)
+    L, n_vertices = trace_wave(sa, static, icfg, scfg, seed, o, d, pixel_ids, sample_idx)
+    # sanity clamps (integrator.rs:350-368 NaN/negative checks)
+    L = jnp.where(jnp.isfinite(L), L, 0.0)
+    L = jnp.maximum(L, 0.0)
+    if fcfg.get("max_sample_luminance", np.inf) < np.inf:
+        y = L[:, 0] * 0.212671 + L[:, 1] * 0.715160 + L[:, 2] * 0.072169
+        scale = jnp.where(y > fcfg["max_sample_luminance"], fcfg["max_sample_luminance"] / jnp.maximum(y, 1e-12), 1.0)
+        L = L * scale[:, None]
+    if w is None:
+        w = jnp.ones(L.shape[0], F32)
+    return L * w[:, None], w, n_vertices
+
+
+def make_wave_fn(cs: CompiledScene, cam=None):
+    """Build the jitted per-sample wave function for a compiled scene."""
+    desc = cs.description
+    if cam is None:
+        cam = make_camera(desc.camera, desc.film)
+    icfg = {
+        "kind": desc.integrator.kind,
+        "max_depth": max(int(desc.integrator.max_depth), 1),
+        "rr_threshold": desc.integrator.rr_threshold,
+        "strategy": desc.integrator.strategy,
+        "n_samples": desc.integrator.n_samples,
+        "cos_sample": desc.integrator.cos_sample,
+    }
+    scfg = {"kind": desc.sampler.kind, "spp": int(desc.sampler.pixel_samples)}
+    fcfg = {
+        "filter": desc.film.filter_name,
+        "filter_params": dict(desc.film.filter_params),
+        "max_sample_luminance": desc.film.max_sample_luminance,
+    }
+    static = cs.static
+
+    @partial(jax.jit, static_argnums=())
+    def wave(sa, px, py, pixel_ids, sample_idx, seed):
+        return _one_sample_wave(sa, static, icfg, scfg, fcfg, cam, px, py, pixel_ids, sample_idx, seed)
+
+    return wave
+
+
+def render(desc: SceneDescription, seed: int = 0, spp: int | None = None, progress=None):
+    """Render a scene description to an (H, W, 3) float32 numpy image."""
+    cs = compile_scene(desc)
+    return render_compiled(cs, seed=seed, spp=spp, progress=progress)
+
+
+_WAVE_CACHE: dict = {}
+
+
+def _cached_wave_fn(cs: CompiledScene):
+    # hold the CompiledScene itself so its id can't be recycled by the GC
+    cached = _WAVE_CACHE.get("scene")
+    if cached is not cs:
+        _WAVE_CACHE.clear()  # one scene at a time; avoid leaking jit closures
+        _WAVE_CACHE["scene"] = cs
+        _WAVE_CACHE["wave"] = make_wave_fn(cs)
+    return _WAVE_CACHE["wave"]
+
+
+def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, progress=None):
+    desc = cs.description
+    W = desc.film.x_resolution
+    H = desc.film.y_resolution
+    spp = int(spp if spp is not None else desc.sampler.pixel_samples)
+
+    # crop window -> pixel bounds (film.rs create_film :385-393)
+    cx0, cx1, cy0, cy1 = desc.film.crop_window
+    x0 = int(math.ceil(W * cx0))
+    x1 = max(int(math.ceil(W * cx1)), x0 + 1)
+    y0 = int(math.ceil(H * cy0))
+    y1 = max(int(math.ceil(H * cy1)), y0 + 1)
+    ww = x1 - x0
+    wh = y1 - y0
+
+    ys, xs = np.mgrid[y0:y1, x0:x1]
+    px = jnp.asarray(xs.ravel().astype(np.int32))
+    py = jnp.asarray(ys.ravel().astype(np.int32))
+    pixel_ids = jnp.asarray((ys * W + xs).ravel().astype(np.uint32))
+    R = ww * wh
+
+    wave = _cached_wave_fn(cs)
+    sa = cs.arrays
+
+    n_chunks = max(1, int(math.ceil(R / MAX_RAYS_PER_PASS)))
+    chunk = int(math.ceil(R / n_chunks))
+
+    acc = np.zeros((R, 3), np.float64)
+    wacc = np.zeros((R,), np.float64)
+    n_vertices = 0.0
+    t0 = time.time()
+    for s in range(spp):
+        for c in range(n_chunks):
+            sl = slice(c * chunk, min((c + 1) * chunk, R))
+            Lw, w, nv = wave(sa, px[sl], py[sl], pixel_ids[sl], jnp.uint32(s), jnp.uint32(seed))
+            acc[sl] += np.asarray(Lw, np.float64)
+            wacc[sl] += np.asarray(w, np.float64)
+            n_vertices += float(np.asarray(jnp.sum(nv)))
+        if progress:
+            progress(s + 1, spp)
+    dt = time.time() - t0
+    log.info(
+        "rendered %dx%d @ %dspp in %.2fs (%.2f Mrays/s primary, %.2f Mverts/s)",
+        ww, wh, spp, dt, R * spp / max(dt, 1e-9) / 1e6, n_vertices / max(dt, 1e-9) / 1e6,
+    )
+
+    # stats parity with the reference's counters (src/core/integrator.rs:36,
+    # src/integrators/path.rs:24-25, src/core/scene.rs:14-15)
+    from .scene.arrays import scene_byte_size
+    from .utils.stats import STATS
+
+    STATS.counter("Integrator/Camera rays traced", R * spp)
+    STATS.counter("Integrator/Path vertices", int(n_vertices))
+    STATS.distribution("Integrator/Path length", n_vertices / max(R * spp, 1), R * spp)
+    STATS.memory_counter("Memory/Scene arrays", scene_byte_size(cs.arrays))
+
+    img_crop = (acc / np.maximum(wacc, 1e-9)[:, None]).reshape(wh, ww, 3).astype(np.float32)
+    img_crop *= desc.film.scale
+    if (ww, wh) == (W, H):
+        return img_crop
+    img = np.zeros((H, W, 3), np.float32)
+    img[y0:y1, x0:x1] = img_crop
+    return img

@@ -301,11 +301,27 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     n_prims = len(prim_kind)
     if n_prims == 0:
         log.warning("scene has no primitives")
+        # pad with one degenerate (never-hit) triangle so device gathers
+        # always have at least one row
+        tri_p.append(np.full((1, 3, 3), 1e30))
+        tri_n.append(np.tile(np.array([0.0, 0.0, 1.0]), (1, 3, 1)))
+        tri_uv.append(np.zeros((1, 3, 2)))
+        prim_kind.append(GEOM_TRI)
+        prim_geom.append(0)
+        prim_mat.append(0)
+        prim_light.append(-1)
+        prim_flags.append(0)
+        prim_area.append(0.0)
+        prim_lo.append(np.full(3, 1e30))
+        prim_hi.append(np.full(3, 1e30))
+        n_prims = 1
 
-    # --- world bounds ----------------------------------------------------------
-    if n_prims:
-        wlo = np.min(np.asarray(prim_lo), axis=0)
-        whi = np.max(np.asarray(prim_hi), axis=0)
+    # --- world bounds (exclude the never-hit padding row) ----------------------
+    real_lo = [lo for lo in prim_lo if lo[0] < 1e29]
+    real_hi = [hi for hi in prim_hi if hi[0] < 1e29]
+    if real_lo:
+        wlo = np.min(np.asarray(real_lo), axis=0)
+        whi = np.max(np.asarray(real_hi), axis=0)
     else:
         wlo = np.zeros(3)
         whi = np.ones(3)
@@ -443,6 +459,29 @@ def _compile_material(mat: HostMaterial, tex_reg: _TextureRegistry):
     const = np.zeros((N_MAT_PARAMS, 3), dtype=np.float64)
     tex = np.full(N_MAT_PARAMS, -1, dtype=np.int64)
     remap = 1
+
+    # per-kind parameter defaults (reference src/materials/*.rs create_* fns)
+    defaults = {
+        "matte": {"Kd": 0.5},
+        "mirror": {"Kr": 0.9},
+        "glass": {"Kr": 1.0, "Kt": 1.0},
+        "plastic": {"Kd": 0.25, "Ks": 0.25, "roughness": 0.1},
+        "metal": {"roughness": 0.01},
+        "uber": {"Kd": 0.25, "Ks": 0.25, "roughness": 0.1},
+        "substrate": {"Kd": 0.5, "Ks": 0.5, "uroughness": 0.1, "vroughness": 0.1},
+        "translucent": {"Kd": 0.25, "Ks": 0.25, "roughness": 0.1, "reflect": 0.5, "transmit": 0.5},
+    }.get(mat.kind, {})
+    for name, dv in defaults.items():
+        if name not in mat.params:
+            mat.params = dict(mat.params)
+            mat.params[name] = ("const", np.array([dv, dv, dv]))
+    if mat.kind == "metal" and "eta" not in mat.params:
+        from ..core.spectrum import copper_eta_k_rgb
+
+        cu_eta, cu_k = copper_eta_k_rgb()
+        mat.params = dict(mat.params)
+        mat.params["eta"] = ("const", np.asarray(cu_eta))
+        mat.params.setdefault("k", ("const", np.asarray(cu_k)))
 
     def put(slot, name, default=None):
         src = mat.params.get(name)
