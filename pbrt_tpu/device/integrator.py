@@ -56,62 +56,20 @@ def _light_select_pdf(static: SceneStatic):
     return 1.0 / max(static.n_lights, 1)
 
 
-def _nee(sa, static, icfg, scfg, seed, pixel, sample_idx, dim_base, si, lobes, alive, light_index=None, dim_salt=0):
-    """Next-event estimation at the current vertices.
-
-    Returns the radiance contribution (R, 3) (already MIS-weighted, divided
-    by light pdf and selection pdf). light_index: static int to force one
-    light ("all" strategy loops); None = uniform random selection.
-    """
-    R = si["p"].shape[0]
-    if static.n_lights == 0:
-        return jnp.zeros((R, 3), F32)
-    kind = scfg["kind"]
-    spp = scfg["spp"]
-    u_sel = sample_1d(kind, seed, pixel, sample_idx, dim_base + 131 * dim_salt, spp)
-    u1, u2 = sample_2d(kind, seed, pixel, sample_idx, dim_base + 1 + 131 * dim_salt, spp)
-
-    if light_index is None:
-        lid = jnp.minimum((u_sel * static.n_lights).astype(jnp.int32), static.n_lights - 1)
-        sel_pdf = _light_select_pdf(static)
-    else:
-        lid = jnp.full(R, light_index, jnp.int32)
-        sel_pdf = 1.0
-
-    ls = sample_li(sa, static, lid, si["p"], u1, u2)
-    wi = ls["wi"]
-    wo_l = _to_local(si, si["wo"])
-    wi_l = _to_local(si, wi)
-    refl = _dot(wi, si["ng"]) * _dot(si["wo"], si["ng"]) > 0
-    f_val = bsdf_f(lobes, wo_l, wi_l, refl) * jnp.abs(_dot(wi, si["ns"]))[:, None]
-    p_b = bsdf_pdf(lobes, wo_l, wi_l)
-
-    p_l = ls["pdf"] * sel_pdf
-    contributes = alive & (p_l > 0) & jnp.any(f_val * ls["li"] > 0, axis=-1)
-
-    o_sh = _offset_ray(si["p"], si["ng"], wi)
-    t_sh = ls["dist"] * (1.0 - 2.0 * RAY_EPS)
-    occluded = intersect_p(sa, static, o_sh, wi, t_sh)
-    contributes = contributes & ~occluded
-
-    w_l = jnp.where(ls["delta"], 1.0, power_heuristic(1.0, p_l, 1.0, p_b))
-    contrib = f_val * ls["li"] * (w_l / jnp.maximum(p_l, 1e-30))[:, None]
-    return jnp.where(contributes[:, None], contrib, 0.0)
-
-
 def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, seed, o, d, pixel, sample_idx):
     """Trace one wave of camera rays to completion. Returns (L, n_vertices).
 
-    icfg: {"kind": path|directlighting|whitted|ao, "max_depth": int,
+    icfg: {"kind": path|volpath|directlighting|whitted|ao, "max_depth": int,
            "rr_threshold": float, "strategy": all|one, "n_samples": int,
            "cos_sample": bool}
     scfg: {"kind": sampler name, "spp": int}
 
     The bounce loop is a rolled `lax.fori_loop` (bounce body traced ONCE —
     the XLA-friendly replacement of the reference's per-bounce recursion,
-    path.rs li :79-222): sampler dimensions derive from the traced bounce
-    index, and the final iteration's emission pickup runs as a trailing
-    intersect-only pass.
+    path.rs li :79-222 / volpath.rs li :82-232): sampler dimensions derive
+    from the traced bounce index; per-ray bounce counters track real
+    scattering events so null-material boundary crossings and the final
+    emission pickup match the reference's depth semantics.
     """
     R = o.shape[0]
     ikind = icfg["kind"]
@@ -121,21 +79,46 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         return _trace_ao(sa, static, icfg, scfg, seed, o, d, pixel, sample_idx), jnp.ones(R, F32)
 
     sel_pdf = _light_select_pdf(static)
-    nee_on = ikind in ("path", "directlighting")
+    nee_on = ikind in ("path", "volpath", "directlighting")
+    handle_media = ikind == "volpath" and static.n_media > 0
+    pass_null = static.has_null_material or handle_media
     kind_s = scfg["kind"]
     spp = scfg["spp"]
-    DPB = 5  # sample dims per bounce (dims 0-1 = film/lens, consumed by caller)
+    DPB = 8  # sample dims per bounce (dims 0-1 = film/lens, consumed by caller)
+    extra_iters = 4 if pass_null else 0
 
-    def pickup(state, b):
-        """Escaped-ray env radiance + area-light emission with deferred MIS."""
-        o, d, L, beta, alive, prev_specular, prev_pdf, prev_p, eta_scale, n_vertices = state
+    if handle_media or pass_null:
+        from .media import hg_p, hg_sample, medium_sample, transmittance_shadow
+
+    def pickup(state, b=None):
+        """Per-iteration head: intersect, medium distance sampling (volpath.rs
+        :107-111 — the segment transmittance weight lands on beta BEFORE any
+        emission is collected), then escaped-ray env radiance + area-light
+        emission with deferred MIS for rays that reached the surface."""
+        (o, d, L, beta, alive, prev_specular, prev_pdf, prev_p, eta_scale,
+         n_vertices, medium, bounces) = state
         hit = intersect(sa, static, o, d, jnp.full(R, jnp.inf, F32))
         si = surface_interaction(sa, hit, o, d)
         valid = si["valid"]
         n_vertices = n_vertices + (alive & valid)
 
+        if handle_media:
+            t_surf = jnp.where(valid, hit["t"], jnp.full(R, jnp.inf, F32))
+            bkey = jnp.uint32(0) if b is None else b.astype(jnp.uint32)
+            mkey = (jnp.asarray(seed, jnp.uint32) * jnp.uint32(131)
+                    + jnp.asarray(sample_idx, jnp.uint32) * jnp.uint32(7) + bkey)
+            ms = medium_sample(sa, static, medium, o, d, t_surf, mkey)
+            in_scatter = alive & ms["hit_medium"]
+            beta = jnp.where((alive & (medium >= 0))[:, None], beta * ms["weight"], beta)
+            p_med = o + d * ms["t"][:, None]
+            g_par = sa.med_param[jnp.maximum(medium, 0), 6]
+            med_vertex = {"p": p_med, "wo": -d, "g": g_par, "active": in_scatter}
+        else:
+            in_scatter = jnp.zeros(R, bool)
+            med_vertex = None
+
         if static.has_infinite:
-            esc = alive & ~valid
+            esc = alive & ~valid & ~in_scatter
             le = env_le(sa, static, d)
             if nee_on:
                 p_l = env_pdf_li(sa, static, d) * sel_pdf
@@ -143,11 +126,11 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
             else:
                 w = jnp.ones(R, F32)
             L = L + jnp.where(esc[:, None], beta * le * w[:, None], 0.0)
-        alive = alive & valid
+        alive = alive & (valid | in_scatter)
 
         if static.has_area_lights:
             lid = si["light"]
-            emitting = alive & (lid >= 0)
+            emitting = alive & ~in_scatter & (lid >= 0)
             le = area_light_emission(sa, lid, si["ng"], si["wo"])
             if nee_on:
                 area = sa.prim_area[jnp.maximum(si["prim"], 0)]
@@ -157,35 +140,113 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
                 w = jnp.ones(R, F32)
             L = L + jnp.where(emitting[:, None], beta * le * w[:, None], 0.0)
 
-        return (o, d, L, beta, alive, prev_specular, prev_pdf, prev_p, eta_scale, n_vertices), si
+        state = (o, d, L, beta, alive, prev_specular, prev_pdf, prev_p, eta_scale,
+                 n_vertices, medium, bounces)
+        return state, si, hit, in_scatter, med_vertex
+
+    def _shadow_visible_tr(p_v, ng_v, wi, dist, medium_v, b):
+        """Shadow factor: binary visibility, or transmittance when media/null
+        boundaries are present (VisibilityTester::unoccluded vs ::tr)."""
+        o_sh = _offset_ray(p_v, ng_v, wi)
+        t_sh = dist * (1.0 - 2.0 * RAY_EPS)
+        if pass_null:
+            key = (jnp.asarray(seed, jnp.uint32) * jnp.uint32(31) + jnp.asarray(sample_idx, jnp.uint32)) ^ (b.astype(jnp.uint32) * jnp.uint32(0x68E31DA4))
+            return transmittance_shadow(sa, static, o_sh, wi, t_sh, medium_v, key)
+        occ = intersect_p(sa, static, o_sh, wi, t_sh)
+        return jnp.where(occ[:, None], 0.0, 1.0)
+
+    def _nee_at(si, lobes, alive_m, medium_v, b, dim_base, light_index=None, dim_salt=0,
+                medium_vertex=None):
+        """NEE supporting both surface (BSDF) and medium (phase) vertices.
+
+        medium_vertex: None for surface-only, else dict {p, wo, g, active}.
+        """
+        if static.n_lights == 0:
+            return jnp.zeros((R, 3), F32)
+        u_sel = sample_1d(kind_s, seed, pixel, sample_idx, dim_base + 131 * dim_salt, spp)
+        u1, u2 = sample_2d(kind_s, seed, pixel, sample_idx, dim_base + 1 + 131 * dim_salt, spp)
+
+        if light_index is None:
+            lid = jnp.minimum((u_sel * static.n_lights).astype(jnp.int32), static.n_lights - 1)
+            spdf = sel_pdf
+        else:
+            lid = jnp.full(R, light_index, jnp.int32)
+            spdf = 1.0
+
+        if medium_vertex is None:
+            p_v = si["p"]
+            ng_v = si["ng"]
+        else:
+            p_v = jnp.where(medium_vertex["active"][:, None], medium_vertex["p"], si["p"])
+            ng_v = si["ng"]
+
+        ls = sample_li(sa, static, lid, p_v, u1, u2)
+        wi = ls["wi"]
+
+        # surface: BSDF eval
+        wo_l = _to_local(si, si["wo"])
+        wi_l = _to_local(si, wi)
+        refl = _dot(wi, si["ng"]) * _dot(si["wo"], si["ng"]) > 0
+        f_val = bsdf_f(lobes, wo_l, wi_l, refl) * jnp.abs(_dot(wi, si["ns"]))[:, None]
+        p_b = bsdf_pdf(lobes, wo_l, wi_l)
+
+        if medium_vertex is not None:
+            ph = hg_p(_dot(medium_vertex["wo"], wi), medium_vertex["g"])
+            f_val = jnp.where(medium_vertex["active"][:, None], ph[:, None], f_val)
+            p_b = jnp.where(medium_vertex["active"], ph, p_b)
+
+        p_l = ls["pdf"] * spdf
+        contributes = alive_m & (p_l > 0) & jnp.any(f_val * ls["li"] > 0, axis=-1)
+
+        if medium_vertex is None:
+            vis = _shadow_visible_tr(p_v, ng_v, wi, ls["dist"], medium_v, b)
+        else:
+            # medium points have no normal; offset along wi itself
+            ng_sh = jnp.where(medium_vertex["active"][:, None], wi, ng_v)
+            vis = _shadow_visible_tr(p_v, ng_sh, wi, ls["dist"], medium_v, b)
+
+        w_l = jnp.where(ls["delta"], 1.0, power_heuristic(1.0, p_l, 1.0, p_b))
+        contrib = f_val * ls["li"] * vis * (w_l / jnp.maximum(p_l, 1e-30))[:, None]
+        return jnp.where(contributes[:, None], contrib, 0.0)
 
     def bounce_body(b, state):
-        state, si = pickup(state, b)
-        o, d, L, beta, alive, prev_specular, prev_pdf, prev_p, eta_scale, n_vertices = state
+        state, si, hit, in_scatter, med_vertex = pickup(state, b)
+        (o, d, L, beta, alive, prev_specular, prev_pdf, prev_p, eta_scale,
+         n_vertices, medium, bounces) = state
         dim_base = 2 + b * DPB
+        can_scatter = alive & (bounces < max_depth - 1)
+        in_scatter = in_scatter & can_scatter
+
+        on_surface = can_scatter & si["valid"] & ~in_scatter
+        # null-material boundary: pass through, swap medium, free of depth
+        if pass_null:
+            mat_kind_hit = sa.mat_kind[si["mat"]]
+            is_null = on_surface & (mat_kind_hit == 0) & (si["light"] < 0)
+            on_surface = on_surface & ~is_null
+        else:
+            is_null = jnp.zeros(R, bool)
 
         lobes = make_bsdf(sa, static, si["mat"], si["uv"], si["p"])
         has_lobes = num_lobes(lobes) > 0
-        alive_sh = alive & has_lobes
+        alive_sh = on_surface & has_lobes
+        alive_nee = alive_sh | in_scatter
 
-        # --- NEE ---
+        # --- NEE (uniform_sample_onelight / estimate_direct) ---
         if nee_on and static.n_lights > 0:
             if ikind == "directlighting" and icfg.get("strategy", "all") == "all":
                 for li_idx in range(static.n_lights):
-                    L = L + beta * _nee(sa, static, icfg, scfg, seed, pixel, sample_idx, dim_base, si, lobes, alive_sh, light_index=li_idx, dim_salt=li_idx)
+                    L = L + beta * _nee_at(si, lobes, alive_sh, medium, b, dim_base, light_index=li_idx, dim_salt=li_idx)
             else:
-                L = L + beta * _nee(sa, static, icfg, scfg, seed, pixel, sample_idx, dim_base, si, lobes, alive_sh)
+                L = L + beta * _nee_at(si, lobes, alive_nee, medium, b, dim_base, medium_vertex=med_vertex)
         elif ikind == "whitted" and static.n_lights > 0:
-            L = L + beta * _nee(sa, static, icfg, scfg, seed, pixel, sample_idx, dim_base, si, lobes, alive_sh)
+            L = L + beta * _nee_at(si, lobes, alive_sh, medium, b, dim_base)
 
-        # --- BSDF sampling / continuation ---
+        # --- BSDF / phase sampling for continuation ---
         u_lobe = sample_1d(kind_s, seed, pixel, sample_idx, dim_base + 2, spp)
         u1, u2 = sample_2d(kind_s, seed, pixel, sample_idx, dim_base + 3, spp)
         wo_l = _to_local(si, si["wo"])
 
         if ikind in ("directlighting", "whitted"):
-            # continuation only through specular lobes (specular_reflect/
-            # transmit, src/core/integrator.rs:409-520)
             from .bsdf import SPECULAR_KINDS
 
             spec_only = {
@@ -200,29 +261,63 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         wi_w = _to_world(si, bs["wi"])
         cos_term = jnp.abs(_dot(wi_w, si["ns"]))
         thru = bs["f"] * (cos_term / jnp.maximum(bs["pdf"], 1e-30))[:, None]
-        alive = alive_sh & bs["valid"] & jnp.any(thru > 0, axis=-1)
-        beta = jnp.where(alive[:, None], beta * thru, beta)
-        eta_scale = jnp.where(alive, eta_scale * bs["eta_scale"], eta_scale)
-        prev_specular = bs["specular"]
-        prev_pdf = jnp.maximum(bs["pdf"], 1e-30)
-        prev_p = si["p"]
+        surf_cont = alive_sh & bs["valid"] & jnp.any(thru > 0, axis=-1)
 
-        o_new = _offset_ray(si["p"], si["ng"], wi_w)
-        d_new = wi_w
+        new_alive = surf_cont
+        new_beta = jnp.where(surf_cont[:, None], beta * thru, beta)
+        new_d = jnp.where(surf_cont[:, None], wi_w, d)
+        new_o = jnp.where(surf_cont[:, None], _offset_ray(si["p"], si["ng"], wi_w), o)
+        new_spec = bs["specular"] & surf_cont
+        new_pdf = jnp.where(surf_cont, jnp.maximum(bs["pdf"], 1e-30), prev_pdf)
+        new_prev_p = jnp.where(surf_cont[:, None], si["p"], prev_p)
+        eta_scale = jnp.where(surf_cont, eta_scale * bs["eta_scale"], eta_scale)
+        new_bounces = bounces + (surf_cont | in_scatter)
+
+        # medium transition on transmission through a medium-interface surface
+        if handle_media or pass_null:
+            pm = sa.prim_medium[jnp.maximum(si["prim"], 0)]
+            transition = pm[:, 0] != pm[:, 1]
+            crossing_dir = _dot(new_d, si["ng"]) < 0
+            crossed_med = jnp.where(crossing_dir, pm[:, 0], pm[:, 1])
+            medium = jnp.where((surf_cont | is_null) & transition, crossed_med, medium)
+
+        # --- phase-function continuation for medium vertices ---
+        if handle_media:
+            u1m, u2m = sample_2d(kind_s, seed, pixel, sample_idx, dim_base + 6, spp)
+            # hg_sample measures cos from wo; g>0 peaks at wi ~ -wo = d
+            wi_ph, ph_pdf = hg_sample(med_vertex["wo"], med_vertex["g"], u1m, u2m)
+            new_alive = new_alive | in_scatter
+            new_d = jnp.where(in_scatter[:, None], wi_ph, new_d)
+            new_o = jnp.where(in_scatter[:, None], med_vertex["p"], new_o)
+            new_spec = jnp.where(in_scatter, False, new_spec)
+            new_pdf = jnp.where(in_scatter, jnp.maximum(ph_pdf, 1e-30), new_pdf)
+            new_prev_p = jnp.where(in_scatter[:, None], med_vertex["p"], new_prev_p)
+            # phase f/pdf = 1: beta unchanged
+
+        # --- null boundary pass-through (keeps prev MIS state, free depth) ---
+        if pass_null:
+            new_alive = new_alive | is_null
+            new_d = jnp.where(is_null[:, None], d, new_d)
+            new_o = jnp.where(is_null[:, None], _offset_ray(si["p"], si["ng"], d), new_o)
+            new_spec = jnp.where(is_null, prev_specular, new_spec)
+            new_pdf = jnp.where(is_null, prev_pdf, new_pdf)
+            new_prev_p = jnp.where(is_null[:, None], prev_p, new_prev_p)
 
         # --- russian roulette (path.rs:206-214) ---
-        if ikind == "path":
-            rr_beta = beta * eta_scale[:, None]
+        if ikind in ("path", "volpath"):
+            rr_beta = new_beta * eta_scale[:, None]
             max_c = jnp.max(rr_beta, axis=-1)
             q = jnp.maximum(0.05, 1.0 - max_c)
-            do_rr = (b > 3) & (max_c < icfg.get("rr_threshold", 1.0))
+            do_rr = (new_bounces > 3) & (max_c < icfg.get("rr_threshold", 1.0)) & ~is_null
             u_rr = sample_1d(kind_s, seed, pixel, sample_idx, dim_base + 4, spp)
             killed = do_rr & (u_rr < q)
-            alive = alive & ~killed
-            beta = jnp.where((do_rr & ~killed)[:, None], beta / jnp.maximum(1.0 - q, 1e-6)[:, None], beta)
+            new_alive = new_alive & ~killed
+            new_beta = jnp.where((do_rr & ~killed)[:, None], new_beta / jnp.maximum(1.0 - q, 1e-6)[:, None], new_beta)
 
-        return (o_new, d_new, L, beta, alive, prev_specular, prev_pdf, prev_p, eta_scale, n_vertices)
+        return (new_o, new_d, L, new_beta, new_alive, new_spec, new_pdf, new_prev_p,
+                eta_scale, n_vertices, medium, new_bounces)
 
+    medium0 = jnp.full(R, static.camera_medium, jnp.int32)
     state = (
         o,
         d,
@@ -234,10 +329,13 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         o,
         jnp.ones(R, F32),
         jnp.zeros(R, F32),  # n_vertices (stats.rs path-length counters)
+        medium0,
+        jnp.zeros(R, jnp.int32),
     )
-    if max_depth > 1:
-        state = jax.lax.fori_loop(0, max_depth - 1, bounce_body, state)
-    state, _si = pickup(state, max_depth - 1)
+    n_iters = max_depth - 1 + extra_iters
+    if n_iters > 0:
+        state = jax.lax.fori_loop(0, n_iters, bounce_body, state)
+    state = pickup(state, jnp.int32(n_iters))[0]
     L = state[2]
     n_vertices = state[9]
     return L, n_vertices

@@ -310,3 +310,126 @@ def pdf_li_area_hit(sa: SceneArrays, p_ref, hit_p, hit_ng, hit_light, prim_area_
     cos_l = jnp.abs(_dot(hit_ng, -wi))
     pdf = d2 / jnp.maximum(cos_l * prim_area_of_hit, 1e-12)
     return jnp.where(cos_l > 1e-7, pdf, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Photon emission sampling (light.rs sample_le; used by SPPM/BDPT)
+# ---------------------------------------------------------------------------
+
+
+def compute_power(sa: SceneArrays, static: SceneStatic):
+    """Approximate emitted power per light (Light::power), for the photon
+    light-selection distribution (integrator.rs:239-246)."""
+    if static.n_lights == 0:
+        return jnp.ones(1, F32)
+    kind = sa.light_kind
+    par = sa.light_param
+    wr = sa.world_radius
+    lum = par[:, 3:6].sum(axis=-1)  # point/spot/distant/infinite store I/L at 3:6
+    area_lum = par[:, 0:3].sum(axis=-1)
+    power = jnp.where(kind == LIGHT_POINT, 4.0 * jnp.pi * lum, 0.0)
+    power = jnp.where(kind == LIGHT_SPOT, 2.0 * jnp.pi * (1.0 - 0.5 * (par[:, 9] + par[:, 10])) * lum, power)
+    power = jnp.where(kind == LIGHT_DISTANT, jnp.pi * wr * wr * lum, power)
+    power = jnp.where(kind == LIGHT_INFINITE, jnp.pi * wr * wr * lum, power)
+    if static.has_area_lights:
+        area = sa.prim_area[jnp.maximum(sa.light_prim, 0)]
+        two = 1.0 + (par[:, 3] > 0)
+        power = jnp.where(kind == LIGHT_AREA, two * area * jnp.pi * area_lum, power)
+    return jnp.maximum(power, 0.0)
+
+
+def sample_le(sa: SceneArrays, static: SceneStatic, light_ids, u1a, u1b, u2a, u2b):
+    """Sample an emitted photon ray from each light.
+
+    Returns dict {o, d, le_over_pdf (R,3)} — radiance already divided by all
+    pdfs (position * direction * light-choice handled by caller).
+    """
+    R = light_ids.shape[0]
+    lid = jnp.maximum(light_ids, 0)
+    kind = sa.light_kind[lid] if static.n_lights else jnp.zeros(R, jnp.int32)
+    par = sa.light_param[lid] if static.n_lights else jnp.zeros((R, 12), F32)
+    wc = sa.world_center
+    wr = sa.world_radius
+
+    o = jnp.zeros((R, 3), F32)
+    d = jnp.zeros((R, 3), F32)
+    w = jnp.zeros((R, 3), F32)  # Le/pdf
+
+    # point: uniform sphere; pdf = 1/4pi -> w = I * 4pi
+    m = kind == LIGHT_POINT
+    d_pt = uniform_sample_sphere(u2a, u2b)
+    o = jnp.where(m[:, None], par[:, 0:3], o)
+    d = jnp.where(m[:, None], d_pt, d)
+    w = jnp.where(m[:, None], par[:, 3:6] * (4.0 * jnp.pi), w)
+
+    # spot: uniform cone around axis; pdf = 1/(2pi(1-cosTotal))
+    m = kind == LIGHT_SPOT
+    ctw = par[:, 9]
+    cos_t = (1.0 - u2a) + u2a * ctw
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    phi = 2.0 * jnp.pi * u2b
+    axis = par[:, 6:9]
+    from .shading import coordinate_system
+
+    t1, t2 = coordinate_system(axis)
+    d_sp = _norm(sin_t[:, None] * (jnp.cos(phi)[:, None] * t1 + jnp.sin(phi)[:, None] * t2) + cos_t[:, None] * axis)
+    cfs = par[:, 10]
+    dfall = jnp.clip((cos_t - ctw) / jnp.maximum(cfs - ctw, 1e-9), 0.0, 1.0)
+    fall = jnp.where(cos_t < ctw, 0.0, jnp.where(cos_t > cfs, 1.0, dfall ** 4))
+    pdf_cone = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - ctw), 1e-9)
+    o = jnp.where(m[:, None], par[:, 0:3], o)
+    d = jnp.where(m[:, None], d_sp, d)
+    w = jnp.where(m[:, None], par[:, 3:6] * (fall / pdf_cone)[:, None], w)
+
+    # distant: point on a world-radius disk, direction = -light dir
+    m = kind == LIGHT_DISTANT
+    wl = par[:, 0:3]  # direction TO the light
+    from .camera import concentric_sample_disk
+
+    dx, dy = concentric_sample_disk(u1a, u1b)
+    v1, v2 = coordinate_system(wl)
+    p_disk = wc + wr * (dx[:, None] * v1 + dy[:, None] * v2) + wl * wr
+    o = jnp.where(m[:, None], p_disk, o)
+    d = jnp.where(m[:, None], -wl, d)
+    # pdf_pos = 1/(pi wr^2); le/pdf = L * pi wr^2
+    w = jnp.where(m[:, None], par[:, 3:6] * (jnp.pi * wr * wr), w)
+
+    # infinite: direction from env (or uniform sphere), origin on far disk
+    if static.has_infinite:
+        m = kind == LIGHT_INFINITE
+        if static.has_env_map:
+            d_env, li_env, pdf_env = _env_sample(sa, u2a, u2b)
+            d_in = -d_env
+            le = li_env / jnp.maximum(pdf_env, 1e-12)[:, None]
+        else:
+            d_env = uniform_sample_sphere(u2a, u2b)
+            d_in = -d_env
+            le = par[:, 3:6] * (4.0 * jnp.pi)  # L / (1/4pi) direction pdf
+        v1, v2 = coordinate_system(d_in)
+        dx, dy = concentric_sample_disk(u1a, u1b)
+        p_disk = wc + wr * (dx[:, None] * v1 + dy[:, None] * v2) - d_in * wr
+        o = jnp.where(m[:, None], p_disk, o)
+        d = jnp.where(m[:, None], d_in, d)
+        w = jnp.where(m[:, None], le * (jnp.pi * wr * wr), w)
+
+    # area: uniform point on prim, cosine-weighted direction
+    if static.has_area_lights:
+        m = kind == LIGHT_AREA
+        lprim = sa.light_prim[lid]
+        ps, ns, area = _sample_prim_point(sa, lprim, u1a, u1b)
+        from .bsdf import cosine_sample_hemisphere
+
+        w_l = cosine_sample_hemisphere(u2a, u2b)
+        two_sided = par[:, 3] > 0
+        # two-sided: flip to the other side half the time is subsumed by
+        # uniform u; one-sided emits on the +n side only
+        t1a, t2a = coordinate_system(ns)
+        d_ar = _norm(w_l[:, 0:1] * t1a + w_l[:, 1:2] * t2a + w_l[:, 2:3] * ns)
+        cos_l = jnp.maximum(w_l[:, 2], 1e-6)
+        # pdf_pos = 1/area, pdf_dir = cos/pi -> Le/pdf = L * area * pi
+        w_area = par[:, 0:3] * (area * jnp.pi)[:, None]
+        o = jnp.where(m[:, None], ps + ns * 1e-3, o)
+        d = jnp.where(m[:, None], d_ar, d)
+        w = jnp.where(m[:, None], w_area, w)
+
+    return {"o": o, "d": d, "le_over_pdf": w}

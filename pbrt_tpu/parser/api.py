@@ -103,6 +103,7 @@ class RenderOptions:
     instances: dict = field(default_factory=dict)  # name -> list[HostPrimitive]
     current_instance: str | None = None
     have_scattering_media: bool = False
+    camera_medium: str = ""
 
 
 class API:
@@ -233,6 +234,7 @@ class API:
             self.render_options.camera_name = name
             self.render_options.camera_params = params
             self.render_options.camera_to_world = self.ctm[0].inverse()
+            self.render_options.camera_medium = self.graphics_state.current_outside_medium
             self.named_coordinate_systems["camera"] = [self.ctm[0].inverse(), self.ctm[1].inverse()]
 
     def sampler(self, name, params: ParamSet):
@@ -992,7 +994,80 @@ class API:
             integrator=integrator,
             accelerator=ro.accelerator_name,
             accelerator_params={"maxnodeprims": ro.accelerator_params.find_one_int("maxnodeprims", 4)},
+            media=_build_media(ro.named_media),
+            camera_medium=ro.camera_medium,
         )
+
+
+# Named scattering presets: sigma_prime_s / sigma_a in mm^-1 from the
+# measured-media table the reference exposes via
+# get_medium_scattering_properties (src/core/medium.rs:81; data from
+# Jensen et al. 2001 / Narasimhan et al. 2006, public pbrt constants).
+MEDIUM_PRESETS = {
+    "Apple": ([2.29, 2.39, 1.97], [0.0030, 0.0034, 0.046]),
+    "Chicken1": ([0.15, 0.21, 0.38], [0.015, 0.077, 0.19]),
+    "Chicken2": ([0.19, 0.25, 0.32], [0.018, 0.088, 0.20]),
+    "Cream": ([7.38, 5.47, 3.15], [0.0002, 0.0028, 0.0163]),
+    "Ketchup": ([0.18, 0.07, 0.03], [0.061, 0.97, 1.45]),
+    "Marble": ([2.19, 2.62, 3.00], [0.0021, 0.0041, 0.0071]),
+    "Potato": ([0.68, 0.70, 0.55], [0.0024, 0.0090, 0.12]),
+    "Skimmilk": ([0.70, 1.22, 1.90], [0.0014, 0.0025, 0.0142]),
+    "Skin1": ([0.74, 0.88, 1.01], [0.032, 0.17, 0.48]),
+    "Skin2": ([1.09, 1.59, 1.79], [0.013, 0.070, 0.145]),
+    "Spectralon": ([11.6, 20.4, 14.9], [0.00, 0.00, 0.00]),
+    "Wholemilk": ([2.55, 3.21, 3.77], [0.0011, 0.0024, 0.014]),
+    "Lowfat Milk": ([0.89187, 1.5136, 2.532], [0.002875, 0.00575, 0.0115]),
+    "Regular Milk": ([2.4858, 3.1669, 4.5214], [0.0001153, 0.0001964, 0.026]),
+}
+
+
+def _build_media(named_media: dict) -> dict:
+    """named_media (raw directive records) -> {name: HostMedium}."""
+    from ..scene.host import HostMedium
+
+    out = {}
+    for name, rec in named_media.items():
+        params: ParamSet = rec["params"]
+        mtype = rec["type"]
+        preset = params.find_one_string("preset", "")
+        sig_a = np.array([1.0, 1.0, 1.0])
+        sig_s = np.array([1.0, 1.0, 1.0])
+        if preset:
+            if preset in MEDIUM_PRESETS:
+                sp, sa = MEDIUM_PRESETS[preset]
+                # table stores sigma' in mm^-1; pbrt scales to m^-1 (x100... the
+                # reference uses the values as-is in scene units)
+                sig_s = np.asarray(sp, dtype=np.float64)
+                sig_a = np.asarray(sa, dtype=np.float64)
+            else:
+                log.warning("medium preset '%s' unknown; using defaults", preset)
+        sig_a = params.find_one_rgb("sigma_a", sig_a)
+        sig_s = params.find_one_rgb("sigma_s", sig_s)
+        scale = params.find_one_float("scale", 1.0)
+        g = params.find_one_float("g", 0.0)
+        m = HostMedium(
+            kind="heterogeneous" if mtype == "heterogeneous" else "homogeneous",
+            sigma_a=np.asarray(sig_a, dtype=np.float64) * scale,
+            sigma_s=np.asarray(sig_s, dtype=np.float64) * scale,
+            g=g,
+            scale=scale,
+            medium_to_world=rec["medium_to_world"],
+        )
+        if m.kind == "heterogeneous":
+            nx = params.find_one_int("nx", 1)
+            ny = params.find_one_int("ny", 1)
+            nz = params.find_one_int("nz", 1)
+            dens = params.find_floats("density")
+            if dens is None or len(dens) != nx * ny * nz:
+                log.error("heterogeneous medium '%s': need nx*ny*nz density values", name)
+                continue
+            m.nx, m.ny, m.nz = nx, ny, nz
+            m.density = np.asarray(dens, dtype=np.float64).reshape(nz, ny, nx)
+            m.p0 = np.asarray(params.find_one_point3("p0", [0.0, 0.0, 0.0]), dtype=np.float64)
+            m.p1 = np.asarray(params.find_one_point3("p1", [1.0, 1.0, 1.0]), dtype=np.float64)
+        out[name] = m
+        params.report_unused(f"MakeNamedMedium {name}")
+    return out
 
 
 def _normed(v):

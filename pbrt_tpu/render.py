@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 import time
 from functools import partial
 
@@ -33,6 +34,17 @@ log = logging.getLogger(__name__)
 F32 = jnp.float32
 
 MAX_RAYS_PER_PASS = 1 << 20
+
+# persistent compilation cache: render-graph compiles are expensive (single
+# host core traces; TPU compiles go through a remote service) and identical
+# across runs of the same scene config
+_CACHE_DIR = os.environ.get("PBRT_TPU_JAX_CACHE", "/root/repo/.jax_cache")
+try:
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # config name drift across jax versions
+    pass
 
 
 # ---------------------------------------------------------------------------

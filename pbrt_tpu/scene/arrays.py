@@ -104,11 +104,16 @@ class SceneArrays:
     light_kind: jax.Array  # (L,) i32
     light_param: jax.Array  # (L, 12) f32 (layout per kind, see builder)
     light_prim: jax.Array  # (L,) i32 prim id for area lights, -1 else
+    # --- media ---
+    prim_medium: jax.Array  # (P, 2) i32 inside/outside medium id (-1 vacuum)
+    med_param: jax.Array  # (Md, 8) f32: sigma_a(3), sigma_s(3), g, max_density
+    med_w2m: jax.Array  # (Md, 3, 4) f32 world -> medium grid space ([0,1]^3)
     # --- world ---
     world_center: jax.Array  # (3,) f32
     world_radius: jax.Array  # () f32
     # --- textures: per-texture image stack entries live in a dict of leaves ---
     tex_images: dict = field(default_factory=dict)  # name "img{i}" -> (H, W, 3) f32
+    med_grids: dict = field(default_factory=dict)  # name "med{i}" -> (nz, ny, nx) f32 density
     tex_param: jax.Array | None = None  # (X, 24) f32 per-texture params
     # --- infinite light env map machinery (None when constant) ---
     env_image: jax.Array | None = None  # (H, W, 3)
@@ -154,6 +159,10 @@ class SceneStatic:
     has_env_map: bool = False
     has_area_lights: bool = False
     use_brute_force: bool = False  # no-BVH path for tiny scenes
+    n_media: int = 0
+    media_kinds: tuple = ()  # 'homogeneous' | 'heterogeneous' per medium id
+    camera_medium: int = -1
+    has_null_material: bool = False  # scene contains medium-boundary prims
 
 
 def scene_byte_size(sa: SceneArrays) -> int:

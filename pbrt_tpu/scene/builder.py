@@ -160,6 +160,45 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     sph_o2w, sph_w2o, sph_param = [], [], []
     prim_kind, prim_geom, prim_mat, prim_light, prim_flags, prim_area = [], [], [], [], [], []
     prim_lo, prim_hi = [], []
+    prim_medium = []
+
+    # --- media table -----------------------------------------------------------
+    med_names = list(desc.media.keys())
+    med_ids = {n: i for i, n in enumerate(med_names)}
+    med_param_rows = []
+    med_w2m_rows = []
+    med_grids = {}
+    media_kinds = []
+    for i, n in enumerate(med_names):
+        hm = desc.media[n]
+        row = np.zeros(8)
+        row[0:3] = hm.sigma_a
+        row[3:6] = hm.sigma_s
+        row[6] = hm.g
+        media_kinds.append(hm.kind)
+        if hm.kind == "heterogeneous" and hm.density is not None:
+            row[7] = float(hm.density.max())
+            med_grids[f"med{i}"] = jnp.asarray(hm.density.astype(np.float32))
+            # world -> grid [0,1]^3: inverse(medium_to_world) then p0/p1 scale
+            w2m = hm.medium_to_world.inverse().m
+            span = np.maximum(hm.p1 - hm.p0, 1e-12)
+            norm = np.eye(4)
+            norm[:3, :3] = np.diag(1.0 / span)
+            norm[:3, 3] = -hm.p0 / span
+            med_w2m_rows.append((norm @ w2m)[:3, :])
+        else:
+            row[7] = 1.0
+            med_w2m_rows.append(hm.medium_to_world.inverse().m[:3, :])
+        med_param_rows.append(row)
+
+    def medium_id(name: str) -> int:
+        if not name:
+            return -1
+        mid = med_ids.get(name)
+        if mid is None:
+            log.error("medium '%s' not defined", name)
+            return -1
+        return mid
 
     tex_reg = _TextureRegistry()
     mat_index: dict[int, int] = {}
@@ -263,6 +302,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             prim_area.extend(areas.tolist())
             prim_lo.extend(pv.min(axis=1))
             prim_hi.extend(pv.max(axis=1))
+            prim_medium.extend([[medium_id(prim.inside_medium), medium_id(prim.outside_medium)]] * t)
         elif sh.sphere is not None:
             sph = sh.sphere
             o2w = sph.object_to_world
@@ -297,6 +337,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             lo, hi = o2w.xbounds([-sph.radius] * 3, [sph.radius] * 3)
             prim_lo.append(lo)
             prim_hi.append(hi)
+            prim_medium.append([medium_id(prim.inside_medium), medium_id(prim.outside_medium)])
 
     n_prims = len(prim_kind)
     if n_prims == 0:
@@ -314,6 +355,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         prim_area.append(0.0)
         prim_lo.append(np.full(3, 1e30))
         prim_hi.append(np.full(3, 1e30))
+        prim_medium.append([-1, -1])
         n_prims = 1
 
     # --- world bounds (exclude the never-hit padding row) ----------------------
@@ -419,6 +461,10 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         light_kind=jnp.asarray(light_kind),
         light_param=jnp.asarray(light_param),
         light_prim=jnp.asarray(light_prim),
+        prim_medium=jnp.asarray(np.asarray(prim_medium, dtype=np.int32).reshape(-1, 2)),
+        med_param=jnp.asarray(np.asarray(med_param_rows, dtype=np.float32).reshape(-1, 8)),
+        med_w2m=jnp.asarray(np.asarray(med_w2m_rows, dtype=np.float32).reshape(-1, 3, 4)),
+        med_grids=med_grids,
         world_center=jnp.asarray(wc.astype(np.float32)),
         world_radius=jnp.asarray(np.float32(wr)),
         tex_images=tex_reg.images,
@@ -444,6 +490,10 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         has_env_map=has_env,
         has_area_lights=any(l[0] == LIGHT_AREA for l in lights),
         use_brute_force=use_brute,
+        n_media=len(med_names),
+        media_kinds=tuple(media_kinds),
+        camera_medium=med_ids.get(desc.camera_medium, -1),
+        has_null_material=any(int(k) == 0 for k in mat_kind[np.asarray(prim_mat, dtype=np.int64)]) if n_prims else False,
     )
     return CompiledScene(arrays=arrays, static=static, description=desc)
 

@@ -245,6 +245,25 @@ class IntegratorConfig:
 
 
 @dataclass
+class HostMedium:
+    """Participating medium (reference src/media/{homogeneous,grid}.rs)."""
+
+    kind: str = "homogeneous"  # homogeneous | heterogeneous
+    sigma_a: np.ndarray | None = None  # (3,)
+    sigma_s: np.ndarray | None = None  # (3,)
+    g: float = 0.0
+    scale: float = 1.0
+    # heterogeneous (grid) media
+    nx: int = 1
+    ny: int = 1
+    nz: int = 1
+    density: np.ndarray | None = None  # (nz, ny, nx)
+    medium_to_world: Transform = field(default_factory=Transform)
+    p0: np.ndarray | None = None  # grid bounds in medium space
+    p1: np.ndarray | None = None
+
+
+@dataclass
 class SceneDescription:
     """Everything the renderer needs, as plain host data."""
 
@@ -256,6 +275,8 @@ class SceneDescription:
     integrator: IntegratorConfig = field(default_factory=IntegratorConfig)
     accelerator: str = "bvh"
     accelerator_params: dict = field(default_factory=dict)
+    media: dict = field(default_factory=dict)  # name -> HostMedium
+    camera_medium: str = ""  # medium the camera sits in
 
 
 # ---------------------------------------------------------------------------
