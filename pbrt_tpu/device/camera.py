@@ -66,6 +66,14 @@ def make_camera(cfg: CameraConfig, film: FilmConfig):
     raster_to_camera = np.linalg.inv(proj) @ raster_to_screen
 
     c2w = cfg.camera_to_world.m  # (4, 4)
+    # physical area of the screen window at z=1 (for light-transport We)
+    if kind == CAM_PERSPECTIVE:
+        import math as _m
+
+        tan_half = _m.tan(_m.radians(cfg.fov) / 2.0)
+        screen_area = (x1 - x0) * (y1 - y0) * tan_half * tan_half
+    else:
+        screen_area = (x1 - x0) * (y1 - y0)
     return {
         "kind": kind,
         "raster_to_camera": jnp.asarray(raster_to_camera.astype(np.float32)),
@@ -74,6 +82,7 @@ def make_camera(cfg: CameraConfig, film: FilmConfig):
         "focal_distance": jnp.float32(cfg.focal_distance),
         "resolution": (xres, yres),
         "shutter": (cfg.shutter_open, cfg.shutter_close),
+        "screen_area": float(screen_area),
     }
 
 
@@ -147,3 +156,76 @@ def generate_rays(cam, p_film_x, p_film_y, u_lens1, u_lens2):
     o_w = jnp.einsum("ij,...j->...i", c2w[:3, :3], o_cam) + c2w[:3, 3]
     d_w = _normalize(_apply44_vector(c2w, d_cam))
     return o_w, d_w
+
+
+def ray_differential_dirs(cam, p_film_x, p_film_y):
+    """World-space directions of the +1-pixel x/y offset rays (pinhole;
+    camera.rs generate_ray_differential finite-difference default :43-97)."""
+    zeros = jnp.zeros_like(p_film_x)
+    _, dx = generate_rays(cam, p_film_x + 1.0, p_film_y, zeros, zeros)
+    _, dy = generate_rays(cam, p_film_x, p_film_y + 1.0, zeros, zeros)
+    return dx, dy
+
+
+# ---------------------------------------------------------------------------
+# Light-transport endpoint interface (camera.rs we/pdf_we/sample_wi
+# :98-121; perspective.rs implementations) — used by BDPT t=1 strategies
+# and MLT. Pinhole perspective only (lens_radius ~ 0 treated as delta).
+# ---------------------------------------------------------------------------
+
+
+def camera_we(cam, p_from, w):
+    """Importance We carried by a ray leaving the camera at direction w,
+    plus the raster position it corresponds to. Returns (we (R,), px, py,
+    valid). (perspective.rs we())"""
+    c2w = cam["camera_to_world"]
+    # world -> camera rotation transpose
+    rot = c2w[:3, :3]
+    d_cam = jnp.einsum("ji,...j->...i", rot, w)
+    cos_theta = d_cam[..., 2]
+    valid = cos_theta > 1e-4
+    # project the point along the ray to the z=1 plane, then to raster
+    p_z1 = d_cam / jnp.maximum(cos_theta, 1e-6)[..., None]
+    r2c_inv = jnp.asarray(np.linalg.inv(np.asarray(cam["raster_to_camera"])), jnp.float32)
+    pr = jnp.einsum("ij,...j->...i", r2c_inv[:3, :3], p_z1) + r2c_inv[:3, 3]
+    wq = jnp.einsum("j,...j->...", r2c_inv[3, :3], p_z1) + r2c_inv[3, 3]
+    pr = pr / wq[..., None]
+    W, H = cam["resolution"]
+    inside = valid & (pr[..., 0] >= 0) & (pr[..., 0] < W) & (pr[..., 1] >= 0) & (pr[..., 1] < H)
+    a = cam["screen_area"]
+    cos2 = cos_theta * cos_theta
+    we = jnp.where(inside, 1.0 / jnp.maximum(a * cos2 * cos2, 1e-12), 0.0)
+    return we, pr[..., 0], pr[..., 1], inside
+
+
+def camera_pdf_we(cam, w):
+    """(pdf_pos, pdf_dir) for a camera ray with direction w
+    (perspective.rs pdf_we): pinhole -> pdf_pos delta (1), pdf_dir =
+    1/(A cos^3 theta)."""
+    c2w = cam["camera_to_world"]
+    rot = c2w[:3, :3]
+    d_cam = jnp.einsum("ji,...j->...i", rot, w)
+    cos_theta = jnp.maximum(d_cam[..., 2], 1e-6)
+    a = cam["screen_area"]
+    pdf_dir = 1.0 / (a * cos_theta ** 3)
+    return jnp.ones_like(pdf_dir), pdf_dir
+
+
+def camera_sample_wi(cam, p_ref):
+    """Sample direction from p_ref toward the (pinhole) camera
+    (perspective.rs sample_wi): returns (wi, dist, we, px, py, valid);
+    pdf is a delta (=1 after the dist^2/cos conversion is folded in)."""
+    cam_p = cam["camera_to_world"][:3, 3]
+    to_cam = cam_p - p_ref
+    d2 = jnp.sum(to_cam * to_cam, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
+    wi = to_cam / dist[..., None]
+    we, px, py, valid = camera_we(cam, cam_p, -wi)
+    # pdf of the delta position over the solid angle: dist^2 / cos (lens
+    # area -> delta); fold into the returned importance weight
+    c2w = cam["camera_to_world"]
+    rot = c2w[:3, :3]
+    d_cam = jnp.einsum("ji,...j->...i", rot, -wi)
+    cos_theta = jnp.maximum(d_cam[..., 2], 1e-6)
+    pdf = d2 / cos_theta
+    return {"wi": wi, "dist": dist, "we": we, "px": px, "py": py, "valid": valid, "pdf": pdf}

@@ -56,7 +56,38 @@ def _light_select_pdf(static: SceneStatic):
     return 1.0 / max(static.n_lights, 1)
 
 
-def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, seed, o, d, pixel, sample_idx):
+
+def _compute_duv(si, o, d, dd):
+    """uv-footprint derivative for the +1px offset ray with direction dd and
+    shared origin o (interaction.rs compute_differentials :269)."""
+    ng = si["ng"]
+    denom = _dot(ng, dd)
+    t_off = _dot(ng, si["p"] - o) / jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
+    p_off = o + dd * t_off[:, None]
+    dp = p_off - si["p"]
+    # solve [dpdu dpdv] [du dv]^T = dp over the 2 axes where |ng| is smallest
+    an = jnp.abs(ng)
+    # drop the dominant axis of ng
+    drop = jnp.argmax(an, axis=-1)
+    ax0 = jnp.where(drop == 0, 1, 0)
+    ax1 = jnp.where(drop == 2, 1, 2)
+    r = jnp.arange(dp.shape[0])
+    a00 = si["dpdu"][r, ax0]
+    a01 = si["dpdv"][r, ax0]
+    a10 = si["dpdu"][r, ax1]
+    a11 = si["dpdv"][r, ax1]
+    b0 = dp[r, ax0]
+    b1 = dp[r, ax1]
+    det = a00 * a11 - a01 * a10
+    ok = jnp.abs(det) > 1e-12
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+    du = jnp.where(ok, (a11 * b0 - a01 * b1) * inv, 0.0)
+    dv = jnp.where(ok, (a00 * b1 - a10 * b0) * inv, 0.0)
+    valid = jnp.abs(denom) > 1e-9
+    return jnp.where(valid[:, None], jnp.stack([du, dv], axis=-1), 0.0)
+
+
+def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, seed, o, d, pixel, sample_idx, diff_dirs=None):
     """Trace one wave of camera rays to completion. Returns (L, n_vertices).
 
     icfg: {"kind": path|volpath|directlighting|whitted|ao, "max_depth": int,
@@ -96,7 +127,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         emission is collected), then escaped-ray env radiance + area-light
         emission with deferred MIS for rays that reached the surface."""
         (o, d, L, beta, alive, prev_specular, prev_pdf, prev_p, eta_scale,
-         n_vertices, medium, bounces) = state
+         n_vertices, medium, bounces, dd_x, dd_y) = state
         hit = intersect(sa, static, o, d, jnp.full(R, jnp.inf, F32))
         si = surface_interaction(sa, hit, o, d)
         valid = si["valid"]
@@ -140,8 +171,10 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
                 w = jnp.ones(R, F32)
             L = L + jnp.where(emitting[:, None], beta * le * w[:, None], 0.0)
 
+        si["duvdx"] = _compute_duv(si, o, d, dd_x)
+        si["duvdy"] = _compute_duv(si, o, d, dd_y)
         state = (o, d, L, beta, alive, prev_specular, prev_pdf, prev_p, eta_scale,
-                 n_vertices, medium, bounces)
+                 n_vertices, medium, bounces, dd_x, dd_y)
         return state, si, hit, in_scatter, med_vertex
 
     def _shadow_visible_tr(p_v, ng_v, wi, dist, medium_v, b):
@@ -212,7 +245,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
     def bounce_body(b, state):
         state, si, hit, in_scatter, med_vertex = pickup(state, b)
         (o, d, L, beta, alive, prev_specular, prev_pdf, prev_p, eta_scale,
-         n_vertices, medium, bounces) = state
+         n_vertices, medium, bounces, dd_x, dd_y) = state
         dim_base = 2 + b * DPB
         can_scatter = alive & (bounces < max_depth - 1)
         in_scatter = in_scatter & can_scatter
@@ -226,7 +259,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         else:
             is_null = jnp.zeros(R, bool)
 
-        lobes = make_bsdf(sa, static, si["mat"], si["uv"], si["p"])
+        lobes = make_bsdf(sa, static, si["mat"], si["uv"], si["p"], si["duvdx"], si["duvdy"])
         has_lobes = num_lobes(lobes) > 0
         alive_sh = on_surface & has_lobes
         alive_nee = alive_sh | in_scatter
@@ -314,10 +347,18 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
             new_alive = new_alive & ~killed
             new_beta = jnp.where((do_rr & ~killed)[:, None], new_beta / jnp.maximum(1.0 - q, 1e-6)[:, None], new_beta)
 
+        keep_dd = is_null if pass_null else jnp.zeros(R, bool)
+        dd_x = jnp.where(keep_dd[:, None], dd_x, 0.0)
+        dd_y = jnp.where(keep_dd[:, None], dd_y, 0.0)
         return (new_o, new_d, L, new_beta, new_alive, new_spec, new_pdf, new_prev_p,
-                eta_scale, n_vertices, medium, new_bounces)
+                eta_scale, n_vertices, medium, new_bounces, dd_x, dd_y)
 
     medium0 = jnp.full(R, static.camera_medium, jnp.int32)
+    if diff_dirs is not None:
+        dd_x0, dd_y0 = diff_dirs
+    else:
+        dd_x0 = jnp.zeros((R, 3), F32)
+        dd_y0 = jnp.zeros((R, 3), F32)
     state = (
         o,
         d,
@@ -331,6 +372,8 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         jnp.zeros(R, F32),  # n_vertices (stats.rs path-length counters)
         medium0,
         jnp.zeros(R, jnp.int32),
+        dd_x0,
+        dd_y0,
     )
     n_iters = max_depth - 1 + extra_iters
     if n_iters > 0:

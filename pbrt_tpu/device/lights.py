@@ -15,8 +15,10 @@ from ..scene.arrays import (
     GEOM_TRI,
     LIGHT_AREA,
     LIGHT_DISTANT,
+    LIGHT_GONIO,
     LIGHT_INFINITE,
     LIGHT_POINT,
+    LIGHT_PROJECTION,
     LIGHT_SPOT,
     SceneArrays,
     SceneStatic,
@@ -154,6 +156,38 @@ def env_pdf_li(sa: SceneArrays, static: SceneStatic, d):
     return jnp.where(sin_t > 1e-7, pdf_u * pdf_v / (2.0 * jnp.pi * jnp.pi * jnp.maximum(sin_t, 1e-7)), 0.0)
 
 
+def _image_light_scale(sa: SceneArrays, static: SceneStatic, lid, kind, w_from_light, par, fall):
+    """Direction-dependent intensity scale for goniometric / projection
+    lights (src/lights/goniometric.rs spherical map lookup; projection.rs
+    perspective screen lookup within the fov cone)."""
+    from .texture import image_bilinear
+
+    for i, key in enumerate(static.light_image_keys):
+        if key is None:
+            continue
+        img = sa.light_images[key]
+        w2l = sa.light_w2l[i]
+        wl = _norm(jnp.einsum("ij,rj->ri", w2l[:, :3], w_from_light))
+        is_this = lid == i
+        if static.light_kinds[i] == LIGHT_GONIO:
+            # spherical (theta, phi) -> (u, v) (goniometric.rs scale())
+            theta = jnp.arccos(jnp.clip(wl[:, 2], -1.0, 1.0))
+            phi = jnp.arctan2(wl[:, 1], wl[:, 0])
+            phi = jnp.where(phi < 0, phi + TWO_PI, phi)
+            val = image_bilinear(img, phi / TWO_PI, 1.0 - theta / jnp.pi)
+            fall = jnp.where(is_this[:, None], val, fall)
+        else:  # projection
+            tan_half = par[:, 9]
+            aspect = par[:, 10]
+            behind = wl[:, 2] < 1e-3
+            sx = wl[:, 0] / jnp.maximum(wl[:, 2], 1e-6) / jnp.maximum(tan_half * jnp.maximum(aspect, 1.0), 1e-6)
+            sy = wl[:, 1] / jnp.maximum(wl[:, 2], 1e-6) / jnp.maximum(tan_half / jnp.minimum(jnp.maximum(aspect, 1e-6), 1.0), 1e-6)
+            inside = ~behind & (jnp.abs(sx) <= 1.0) & (jnp.abs(sy) <= 1.0)
+            val = image_bilinear(img, 0.5 * (sx + 1.0), 0.5 * (sy + 1.0))
+            fall = jnp.where(is_this[:, None], jnp.where(inside[:, None], val, 0.0), fall)
+    return fall
+
+
 # ---------------------------------------------------------------------------
 # Area-light geometry sampling
 # ---------------------------------------------------------------------------
@@ -237,21 +271,24 @@ def sample_li(sa: SceneArrays, static: SceneStatic, light_ids, p_ref, u1, u2):
 
     world_d = 2.0 * sa.world_radius
 
-    # point + spot
-    m_pt = (kind == LIGHT_POINT) | (kind == LIGHT_SPOT)
+    # point-family delta lights (point/spot/goniometric/projection)
+    m_pt = (kind == LIGHT_POINT) | (kind == LIGHT_SPOT) | (kind == LIGHT_GONIO) | (kind == LIGHT_PROJECTION)
     to_l = par[:, 0:3] - p_ref
     d2 = jnp.maximum(_dot(to_l, to_l), 1e-12)
     dl = jnp.sqrt(d2)
     wi_pt = to_l / dl[:, None]
-    fall = jnp.ones(R, F32)
+    fall = jnp.ones((R, 3), F32)
     m_spot = kind == LIGHT_SPOT
     cos_t = _dot(par[:, 6:9], -wi_pt)
     ctw = par[:, 9]
     cfs = par[:, 10]
     dfall = jnp.clip((cos_t - ctw) / jnp.maximum(cfs - ctw, 1e-9), 0.0, 1.0)
-    fall = jnp.where(m_spot, jnp.where(cos_t < ctw, 0.0, jnp.where(cos_t > cfs, 1.0, dfall ** 4)), fall)
+    fall_spot = jnp.where(cos_t < ctw, 0.0, jnp.where(cos_t > cfs, 1.0, dfall ** 4))
+    fall = jnp.where(m_spot[:, None], fall_spot[:, None], fall)
+    if any(k is not None for k in static.light_image_keys):
+        fall = _image_light_scale(sa, static, lid, kind, -wi_pt, par, fall)
     wi = jnp.where(m_pt[:, None], wi_pt, wi)
-    li = jnp.where(m_pt[:, None], par[:, 3:6] * (fall / d2)[:, None], li)
+    li = jnp.where(m_pt[:, None], par[:, 3:6] * fall / d2[:, None], li)
     pdf = jnp.where(m_pt, 1.0, pdf)
     dist = jnp.where(m_pt, dl, dist)
     delta = delta | m_pt

@@ -94,14 +94,15 @@ class _LobeWriter:
         self.data = self.data.at[:, slot].set(d)
 
 
-def make_bsdf(sa: SceneArrays, static: SceneStatic, mat_ids, uv, p):
+def make_bsdf(sa: SceneArrays, static: SceneStatic, mat_ids, uv, p, duvdx=None, duvdy=None):
     """Build lobe sets for a wave of shading points.
 
-    mat_ids: (R,) material row ids; uv: (R, 2); p: (R, 3) world hit points.
+    mat_ids: (R,) material row ids; uv: (R, 2); p: (R, 3) world hit points;
+    duvdx/duvdy: optional texture footprint derivatives (MIPMap filtering).
     Returns the lobes dict for bsdf.py.
     """
     R = mat_ids.shape[0]
-    tex_values = eval_textures(sa, static.tex_programs, uv, p)
+    tex_values = eval_textures(sa, static.tex_programs, uv, p, duvdx, duvdy)
 
     def param(slot):
         return material_param(sa, tex_values, mat_ids, slot)

@@ -55,6 +55,8 @@ def surface_interaction(sa: SceneArrays, hit, o, d):
     ng = jnp.zeros((R, 3), F32)
     ns = jnp.zeros((R, 3), F32)
     uv = jnp.zeros((R, 2), F32)
+    dpdu = jnp.zeros((R, 3), F32)
+    dpdv = jnp.zeros((R, 3), F32)
 
     if sa.tri_p.shape[0] > 0:
         ti = jnp.where(is_tri, geom, 0)
@@ -76,9 +78,21 @@ def surface_interaction(sa: SceneArrays, hit, o, d):
         ng_t = jnp.where((has_sn & align)[:, None], -ng_t, ng_t)
         ns_t = jnp.where(has_sn[:, None], ns_t, ng_t)
         uv_t = b0[:, None] * tuv[:, 0] + b1[:, None] * tuv[:, 1] + b2[:, None] * tuv[:, 2]
+        # dpdu/dpdv from the uv parameterization (triangle.rs:300-340)
+        duv1 = tuv[:, 1] - tuv[:, 0]  # (R, 2)
+        duv2 = tuv[:, 2] - tuv[:, 0]
+        det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0), 0.0)
+        dpdu_t = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv_det[:, None]
+        dpdv_t = (-duv2[:, 0:1] * e1 + duv1[:, 0:1] * e2) * inv_det[:, None]
+        degen = jnp.abs(det) <= 1e-12
+        dpdu_t = jnp.where(degen[:, None], e1, dpdu_t)
+        dpdv_t = jnp.where(degen[:, None], e2, dpdv_t)
         ng = jnp.where(is_tri[:, None], ng_t, ng)
         ns = jnp.where(is_tri[:, None], ns_t, ns)
         uv = jnp.where(is_tri[:, None], uv_t, uv)
+        dpdu = jnp.where(is_tri[:, None], dpdu_t, dpdu)
+        dpdv = jnp.where(is_tri[:, None], dpdv_t, dpdv)
 
     if sa.sph_param.shape[0] > 0:
         si = jnp.where(~is_tri, geom, 0)
@@ -104,11 +118,30 @@ def surface_interaction(sa: SceneArrays, hit, o, d):
         u_s = phi / jnp.maximum(phimax, 1e-9)
         v_s = (theta - tmin) / jnp.maximum(tmax - tmin, 1e-9)
         uv_s = jnp.stack([u_s, v_s], axis=-1)
+        # analytic dpdu/dpdv in object space -> world (sphere.rs:150-175)
+        zr = jnp.sqrt(jnp.maximum(p_obj[:, 0] ** 2 + p_obj[:, 1] ** 2, 1e-20))
+        dpdu_o = jnp.stack([-phimax * p_obj[:, 1], phimax * p_obj[:, 0], jnp.zeros_like(zr)], axis=-1)
+        dtheta = tmax - tmin
+        dpdv_o = jnp.stack(
+            [p_obj[:, 2] * p_obj[:, 0] / zr, p_obj[:, 2] * p_obj[:, 1] / zr, -radius * jnp.sin(theta)], axis=-1
+        ) * dtheta[:, None]
+        dpdu_s = jnp.einsum("rij,rj->ri", o2w[:, :, :3], dpdu_o)
+        dpdv_s = jnp.einsum("rij,rj->ri", o2w[:, :, :3], dpdv_o)
         ng = jnp.where(is_tri[:, None], ng, ng_s)
         ns = jnp.where(is_tri[:, None], ns, ng_s)
         uv = jnp.where(is_tri[:, None], uv, uv_s)
+        dpdu = jnp.where(is_tri[:, None], dpdu, dpdu_s)
+        dpdv = jnp.where(is_tri[:, None], dpdv, dpdv_s)
 
-    ss, ts = coordinate_system(ns)
+    # shading frame: tangent from dpdu (reflection.rs BSDF ctor ss =
+    # normalize(dpdu)), orthogonalized against the shading normal; falls
+    # back to an arbitrary frame for degenerate parameterizations
+    ss_fb, ts_fb = coordinate_system(ns)
+    ss_p = dpdu - ns * jnp.sum(ns * dpdu, axis=-1, keepdims=True)
+    ss_len = jnp.linalg.norm(ss_p, axis=-1)
+    ok_t = ss_len > 1e-9
+    ss = jnp.where(ok_t[:, None], ss_p / jnp.maximum(ss_len, 1e-20)[:, None], ss_fb)
+    ts = jnp.where(ok_t[:, None], jnp.cross(ns, ss), ts_fb)
     return {
         "valid": valid,
         "p": p,
@@ -117,6 +150,8 @@ def surface_interaction(sa: SceneArrays, hit, o, d):
         "uv": uv,
         "ss": ss,
         "ts": ts,
+        "dpdu": dpdu,
+        "dpdv": dpdv,
         "mat": jnp.where(valid, sa.prim_mat[prim], 0),
         "light": jnp.where(valid, sa.prim_light[prim], -1),
         "prim": hit["prim"],

@@ -164,8 +164,13 @@ def _mapping_uv(prog: TexProgram, par, uv, p):
     return par[0] * uv[:, 0] + par[2], par[1] * uv[:, 1] + par[3]
 
 
-def eval_textures(sa: SceneArrays, programs, uv, p):
-    """Evaluate all texture programs. Returns (X, R, 3) stacked values."""
+def eval_textures(sa: SceneArrays, programs, uv, p, duvdx=None, duvdy=None):
+    """Evaluate all texture programs. Returns (X, R, 3) stacked values.
+
+    duvdx/duvdy: optional (R, 2) texture-footprint derivatives driving the
+    MIPMap level selection (None -> finest level, matching the reference's
+    width-0 behavior for rays without differentials).
+    """
     results = []
     for xi, prog in enumerate(programs):
         par = sa.tex_param[xi]
@@ -184,8 +189,24 @@ def eval_textures(sa: SceneArrays, programs, uv, p):
             val = (1.0 - amt) * child(prog.tex1, par[10:13]) + amt * child(prog.tex2, par[13:16])
         elif prog.kind == "imagemap":
             s, t = _mapping_uv(prog, par, uv, p)
-            img = sa.tex_images[prog.image_key]
-            val = image_bilinear(img, s, t, prog.wrap) * par[10]
+            levels = [sa.tex_images[f"{prog.image_key}_l{k}"] for k in range(prog.n_levels)]
+            if duvdx is None or prog.n_levels == 1:
+                val = image_bilinear(levels[0], s, t, prog.wrap) * par[10]
+            else:
+                from .mipmap import lookup_ewa, lookup_trilinear
+
+                # mapping scales the footprint (uv mapping only; other
+                # mappings fall back to the raw uv derivative scale)
+                sc = jnp.asarray([par[0], par[1]]) if prog.mapping == "uv" else jnp.ones(2, F32)
+                dx = duvdx * sc
+                dy = duvdy * sc
+                if prog.trilinear:
+                    width = 2.0 * jnp.maximum(
+                        jnp.max(jnp.abs(dx), axis=-1), jnp.max(jnp.abs(dy), axis=-1)
+                    )
+                    val = lookup_trilinear(levels, s, t, width, prog.wrap) * par[10]
+                else:
+                    val = lookup_ewa(levels, s, t, dx, dy, prog.wrap) * par[10]
         elif prog.kind == "uv":
             s, t = _mapping_uv(prog, par, uv, p)
             val = jnp.stack([s - jnp.floor(s), t - jnp.floor(t), jnp.zeros_like(s)], axis=-1)

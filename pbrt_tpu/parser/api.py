@@ -593,8 +593,21 @@ class API:
             )
         if name in ("goniometric", "projection"):
             i = params.find_one_rgb("I", [1.0, 1.0, 1.0]) * params.find_one_rgb("scale", [1.0, 1.0, 1.0])
-            log.warning("light '%s' approximated as point light this round", name)
-            return HostLight(kind="point", light_to_world=l2w, intensity=i, from_point=l2w.xpoint([0.0, 0.0, 0.0]))
+            map_name = params.find_one_filename("mapname", "")
+            image = None
+            if map_name:
+                try:
+                    image = imageio.read_image(map_name)
+                except (OSError, ValueError) as e:
+                    log.warning("%s light map '%s' unreadable (%s)", name, map_name, e)
+            return HostLight(
+                kind=name,
+                light_to_world=l2w,
+                intensity=i,
+                map_name=map_name,
+                image=image,
+                cone_angle=params.find_one_float("fov", 45.0),
+            )
         log.error("light '%s' unknown", name)
         return None
 

@@ -132,7 +132,13 @@ def _one_sample_wave(sa, static, icfg, scfg, fcfg, cam, px_base, py_base, pixel_
     py = py_base.astype(F32) + 0.5 + dy
     ul1, ul2 = sample_2d(kind, seed, pixel_ids, sample_idx, 1, spp)
     o, d = generate_rays(cam, px, py, ul1, ul2)
-    L, n_vertices = trace_wave(sa, static, icfg, scfg, seed, o, d, pixel_ids, sample_idx)
+    if static.tex_programs and any(p.kind == "imagemap" for p in static.tex_programs):
+        from .device.camera import ray_differential_dirs
+
+        diff_dirs = ray_differential_dirs(cam, px, py)
+    else:
+        diff_dirs = None
+    L, n_vertices = trace_wave(sa, static, icfg, scfg, seed, o, d, pixel_ids, sample_idx, diff_dirs)
     # sanity clamps (integrator.rs:350-368 NaN/negative checks)
     L = jnp.where(jnp.isfinite(L), L, 0.0)
     L = jnp.maximum(L, 0.0)
@@ -194,6 +200,10 @@ def _cached_wave_fn(cs: CompiledScene):
 
 def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, progress=None):
     desc = cs.description
+    if desc.integrator.kind == "sppm":
+        from .device.sppm import render_sppm
+
+        return render_sppm(cs, seed=seed, progress=progress)
     W = desc.film.x_resolution
     H = desc.film.y_resolution
     spp = int(spp if spp is not None else desc.sampler.pixel_samples)

@@ -66,8 +66,10 @@ LIGHT_SPOT = 1
 LIGHT_DISTANT = 2
 LIGHT_INFINITE = 3
 LIGHT_AREA = 4
+LIGHT_GONIO = 5
+LIGHT_PROJECTION = 6
 
-_DELTA_LIGHTS = (LIGHT_POINT, LIGHT_SPOT, LIGHT_DISTANT)
+_DELTA_LIGHTS = (LIGHT_POINT, LIGHT_SPOT, LIGHT_DISTANT, LIGHT_GONIO, LIGHT_PROJECTION)
 
 
 @jax.tree_util.register_dataclass
@@ -104,6 +106,7 @@ class SceneArrays:
     light_kind: jax.Array  # (L,) i32
     light_param: jax.Array  # (L, 12) f32 (layout per kind, see builder)
     light_prim: jax.Array  # (L,) i32 prim id for area lights, -1 else
+    light_w2l: jax.Array  # (L, 3, 4) f32 world->light (gonio/projection frames)
     # --- media ---
     prim_medium: jax.Array  # (P, 2) i32 inside/outside medium id (-1 vacuum)
     med_param: jax.Array  # (Md, 8) f32: sigma_a(3), sigma_s(3), g, max_density
@@ -114,6 +117,7 @@ class SceneArrays:
     # --- textures: per-texture image stack entries live in a dict of leaves ---
     tex_images: dict = field(default_factory=dict)  # name "img{i}" -> (H, W, 3) f32
     med_grids: dict = field(default_factory=dict)  # name "med{i}" -> (nz, ny, nx) f32 density
+    light_images: dict = field(default_factory=dict)  # "lim{i}" -> (H, W, 3) f32 (gonio/projection maps)
     tex_param: jax.Array | None = None  # (X, 24) f32 per-texture params
     # --- infinite light env map machinery (None when constant) ---
     env_image: jax.Array | None = None  # (H, W, 3)
@@ -130,6 +134,8 @@ class TexProgram:
     is_float: bool
     mapping: str = "uv"
     image_key: str = ""  # key into SceneArrays.tex_images
+    n_levels: int = 1  # MIPMap pyramid levels ("{image_key}_l{k}")
+    trilinear: bool = False  # else EWA
     wrap: str = "repeat"
     tex1: int = -1  # child index or -1 (then const in tex_param)
     tex2: int = -1
@@ -163,6 +169,8 @@ class SceneStatic:
     media_kinds: tuple = ()  # 'homogeneous' | 'heterogeneous' per medium id
     camera_medium: int = -1
     has_null_material: bool = False  # scene contains medium-boundary prims
+    light_image_keys: tuple = ()  # per light: "lim{i}" key or None
+    light_kinds: tuple = ()  # static LIGHT_* per light row
 
 
 def scene_byte_size(sa: SceneArrays) -> int:

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from ..core.spectrum import y_of_rgb
 from .arrays import (
     GEOM_SPHERE,
+    LIGHT_GONIO,
+    LIGHT_PROJECTION,
     GEOM_TRI,
     LIGHT_AREA,
     LIGHT_DISTANT,
@@ -124,9 +126,15 @@ class _TextureRegistry:
                 par[16:19] = c01
                 par[19:22] = c10
         elif tex.kind == "imagemap":
-            key_name = f"img{len(self.images)}"
-            self.images[key_name] = jnp.asarray(np.asarray(tex.image, dtype=np.float32))
+            from ..device.mipmap import build_pyramid
+
+            key_name = f"img{len([k for k in self.images if k.endswith('_l0')])}"
+            pyr = build_pyramid(np.asarray(tex.image, dtype=np.float32))
+            for li, level in enumerate(pyr):
+                self.images[f"{key_name}_l{li}"] = jnp.asarray(level)
             prog.image_key = key_name
+            prog.n_levels = len(pyr)
+            prog.trilinear = tex.trilinear
             par[10] = tex.scale
         elif tex.kind == "uv":
             pass
@@ -217,12 +225,44 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
 
     # --- non-area lights first -------------------------------------------------
     infinite_host: HostLight | None = None
+    light_w2l_rows: list = []
+    light_images: dict = {}
+    light_image_keys: list = []
+
+    def _push_light_frame(hl, has_image):
+        light_w2l_rows.append(hl.light_to_world.inverse().m[:3, :])
+        if has_image and hl.image is not None:
+            key = f"lim{len(light_images)}"
+            light_images[key] = jnp.asarray(np.asarray(hl.image, dtype=np.float32))
+            light_image_keys.append(key)
+        else:
+            light_image_keys.append(None)
+
     for hl in desc.lights:
         if hl.kind == "point":
             p = np.zeros(12)
             p[0:3] = hl.from_point
             p[3:6] = hl.intensity
             lights.append((LIGHT_POINT, p, -1))
+            _push_light_frame(hl, False)
+        elif hl.kind == "goniometric":
+            p = np.zeros(12)
+            p[0:3] = hl.light_to_world.xpoint(np.zeros(3))
+            p[3:6] = hl.intensity
+            lights.append((LIGHT_GONIO, p, -1))
+            _push_light_frame(hl, True)
+        elif hl.kind == "projection":
+            p = np.zeros(12)
+            p[0:3] = hl.light_to_world.xpoint(np.zeros(3))
+            p[3:6] = hl.intensity
+            # projection.rs: screen from fov; store tan(fov/2) and aspect
+            p[9] = np.tan(np.radians(hl.cone_angle) / 2.0)
+            aspect = 1.0
+            if hl.image is not None and hl.image.shape[0] > 0:
+                aspect = hl.image.shape[1] / hl.image.shape[0]
+            p[10] = aspect
+            lights.append((LIGHT_PROJECTION, p, -1))
+            _push_light_frame(hl, True)
         elif hl.kind == "spot":
             p = np.zeros(12)
             p[0:3] = hl.from_point
@@ -233,6 +273,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             p[9] = np.cos(np.radians(hl.cone_angle))  # cosTotalWidth
             p[10] = np.cos(np.radians(hl.cone_angle - hl.cone_delta))  # cosFalloffStart
             lights.append((LIGHT_SPOT, p, -1))
+            _push_light_frame(hl, False)
         elif hl.kind == "distant":
             p = np.zeros(12)
             d = np.asarray(hl.from_point) - np.asarray(hl.to_point)  # direction TO light
@@ -240,10 +281,12 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             p[0:3] = d
             p[3:6] = hl.intensity
             lights.append((LIGHT_DISTANT, p, -1))
+            _push_light_frame(hl, False)
         elif hl.kind == "infinite":
             p = np.zeros(12)
             p[3:6] = hl.intensity
             lights.append((LIGHT_INFINITE, p, -1))
+            _push_light_frame(hl, False)
             infinite_host = hl
         else:
             log.warning("light kind '%s' dropped", hl.kind)
@@ -294,6 +337,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
                 lp[3] = 1.0 if prim.area_light.two_sided else 0.0
                 for ti in range(t):
                     lights.append((LIGHT_AREA, lp, base_prim + ti))
+                    light_w2l_rows.append(np.eye(4)[:3, :])
+                    light_image_keys.append(None)
             prim_kind.extend([GEOM_TRI] * t)
             prim_geom.extend(range(t0, t0 + t))
             prim_mat.extend([mid] * t)
@@ -328,6 +373,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
                 lp[0:3] = prim.area_light.intensity
                 lp[3] = 1.0 if prim.area_light.two_sided else 0.0
                 lights.append((LIGHT_AREA, lp, pid))
+                light_w2l_rows.append(np.eye(4)[:3, :])
+                light_image_keys.append(None)
             prim_kind.append(GEOM_SPHERE)
             prim_geom.append(si)
             prim_mat.append(mid)
@@ -461,6 +508,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         light_kind=jnp.asarray(light_kind),
         light_param=jnp.asarray(light_param),
         light_prim=jnp.asarray(light_prim),
+        light_w2l=jnp.asarray(np.asarray(light_w2l_rows, dtype=np.float32).reshape(-1, 3, 4)),
+        light_images=light_images,
         prim_medium=jnp.asarray(np.asarray(prim_medium, dtype=np.int32).reshape(-1, 2)),
         med_param=jnp.asarray(np.asarray(med_param_rows, dtype=np.float32).reshape(-1, 8)),
         med_w2m=jnp.asarray(np.asarray(med_w2m_rows, dtype=np.float32).reshape(-1, 3, 4)),
@@ -494,6 +543,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         media_kinds=tuple(media_kinds),
         camera_medium=med_ids.get(desc.camera_medium, -1),
         has_null_material=any(int(k) == 0 for k in mat_kind[np.asarray(prim_mat, dtype=np.int64)]) if n_prims else False,
+        light_image_keys=tuple(light_image_keys),
+        light_kinds=tuple(int(l[0]) for l in lights),
     )
     return CompiledScene(arrays=arrays, static=static, description=desc)
 
