@@ -208,14 +208,14 @@ def _random_walk(sa, static, possible, prov, dim0, v, start, n_steps, o, d, beta
     return v, n_valid
 
 
-def generate_camera_subpath(sa, static, possible, prov, cam, px, py, max_t):
-    """(bdpt.rs generate_camera_subpath :861): camera vertex + walk."""
-    R = px.shape[0]
+def generate_camera_subpath(sa, static, possible, prov, cam, pxf, pyf, max_t):
+    """(bdpt.rs generate_camera_subpath :861): camera vertex + walk.
+
+    pxf/pyf: float raster positions (the caller owns pixel jitter so MLT's
+    primary-sample mapping stays measure-preserving)."""
+    R = pxf.shape[0]
     NV = max_t
     v = _empty_vertices(R, NV)
-    u1, u2 = prov_2d(prov, 0)
-    pxf = px.astype(F32) + u1
-    pyf = py.astype(F32) + u2
     ul1, ul2 = prov_2d(prov, 1)
     o, d = generate_rays(cam, pxf, pyf, ul1, ul2)
 
@@ -264,6 +264,12 @@ def generate_light_subpath(sa, static, possible, prov, dim0, power_cdf, max_s):
     if static.has_area_lights:
         # emission normal approximated from the sampled direction's hemisphere
         n_l = jnp.where(is_area[:, None], _norm(em["d"]), n_l)
+    # origin pdf in area measure (vertex.rs pdf_light_origin): delta lights
+    # have a delta position (=sel only); area lights are uniform over area
+    pdf_origin = sel_pdf
+    if static.has_area_lights:
+        area_l = sa.prim_area[jnp.maximum(sa.light_prim[lid], 0)]
+        pdf_origin = jnp.where(is_area, sel_pdf / jnp.maximum(area_l, 1e-12), sel_pdf)
     v = _set_v(
         v,
         0,
@@ -272,9 +278,17 @@ def generate_light_subpath(sa, static, possible, prov, dim0, power_cdf, max_s):
         ng=n_l,
         ns=n_l,
         beta=jnp.where(alive[:, None], beta, 0.0),
-        pdf_fwd=sel_pdf,  # pdf_pos folded into beta; selection kept for MIS
+        pdf_fwd=pdf_origin,
         light=lid,
     )
+    # delta-position lights exclude the s=0 alternative in the MIS walk
+    # (vertex.rs is_delta_light)
+    from ..scene.arrays import _DELTA_LIGHTS
+
+    is_delta_l = jnp.zeros(R, bool)
+    for dk in _DELTA_LIGHTS:
+        is_delta_l = is_delta_l | (kindl == dk)
+    v["delta"] = v["delta"].at[:, 0].set(is_delta_l)
     # directional pdf approximations per kind (consistent across strategies)
     pdf_dir = jnp.full(R, 1.0 / (4.0 * jnp.pi), F32)
     cos_l = jnp.abs(_dot(n_l, em["d"]))
@@ -376,24 +390,29 @@ def connect_bdpt(sa, static, possible, cam, prov, cam_v, n_cam, light_v, n_light
         o_sh = _offset_ray(pt["p"], pt["ng"], ls["wi"])
         occ = intersect_p(sa, static, o_sh, ls["wi"], ls["dist"] * 0.998)
         ok = ok & ~occ
-        # overrides for MIS: the sampled light vertex acts as light_v[0]
-        # pdf_rev of pt <- light directional pdf converted to pt
-        # pdf_rev of pt-1 <- pt's bsdf pdf toward prev
+        # overrides for MIS (bdpt.rs s==1: sampled vertex replaces light_v[0])
         p_light = pt["p"] + ls["wi"] * ls["dist"][:, None]
-        cos_l = jnp.ones(R, F32)  # delta lights have no geometric normal
-        pdf_dir_l = jnp.full(R, 1.0 / (4.0 * jnp.pi), F32)
+        n_light = ls["n"]
+        # pt.rev <- light's emission-direction pdf converted to area at pt
+        cos_le = jnp.abs(_dot(n_light, -ls["wi"]))
+        pdf_dir_l = jnp.where(
+            jnp.any(n_light != 0, axis=-1), jnp.maximum(cos_le, 1e-6) / jnp.pi, 1.0 / (4.0 * jnp.pi)
+        )
         pdf_rev_pt = _convert_pdf(pdf_dir_l, p_light, pt["p"], pt["ng"])
         prev = _gather(cam_v, t - 2)
+        # pt-1.rev <- pt's bsdf pdf toward prev (given light direction)
         pdf_dir_pt = _vertex_pdf_dir(pt, possible, ls["wi"], _norm(prev["p"] - pt["p"]))
         pdf_rev_prev = _convert_pdf(pdf_dir_pt, pt["p"], prev["p"], prev["ng"])
-        # synthetic light vertex pdf_fwd for the ratio walk: p_l in area terms
-        lv = {k: a.copy() if hasattr(a, "copy") else a for k, a in light_v.items()}
-        d2 = jnp.maximum(ls["dist"] * ls["dist"], 1e-12)
-        pdf_pos_area = jnp.where(ls["delta"], p_l, p_l * jnp.abs(_dot(pt["ng"], ls["wi"])) / d2)
-        lv["pdf_fwd"] = lv["pdf_fwd"].at[:, 0].set(jnp.maximum(p_l, 1e-20))
+        # sampled light vertex: fwd = light-origin pdf (area measure);
+        # rev <- pt's bsdf pdf toward the light, converted to area
+        lv = dict(light_v)
+        pdf_origin = jnp.where(ls["delta"], sel_pdf_uniform, sel_pdf_uniform / jnp.maximum(ls["area"], 1e-12))
+        pdf_dir_to_l = _vertex_pdf_dir(pt, possible, _norm(prev["p"] - pt["p"]), ls["wi"])
+        pdf_rev_light = _convert_pdf(pdf_dir_to_l, pt["p"], p_light, n_light)
+        lv["pdf_fwd"] = lv["pdf_fwd"].at[:, 0].set(jnp.maximum(pdf_origin, 1e-20))
         lv["delta"] = lv["delta"].at[:, 0].set(ls["delta"])
         lv["type"] = lv["type"].at[:, 0].set(VT_LIGHT)
-        w = _mis_weight(cam_v, lv, s, t, {("cam", t - 1): pdf_rev_pt, ("cam", t - 2): pdf_rev_prev, ("light", 0): pdf_pos_area})
+        w = _mis_weight(cam_v, lv, s, t, {("cam", t - 1): pdf_rev_pt, ("cam", t - 2): pdf_rev_prev, ("light", 0): pdf_rev_light})
         return jnp.where(ok[:, None], L * w[:, None], 0.0), None
 
     # general s >= 2, t >= 2 (bdpt.rs :1380)
@@ -481,7 +500,8 @@ def bdpt_wave(sa, static, possible, cam, power_cdf, seed, px, py, pids, sample_i
     prov_l = ("hash", jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0xABCD137), pids, sample_idx)
     max_t = max_depth + 2
     max_s = max_depth + 1
-    cam_v, n_cam = generate_camera_subpath(sa, static, possible, prov_c, cam, px, py, max_t)
+    uj1, uj2 = prov_2d(prov_c, 0)
+    cam_v, n_cam = generate_camera_subpath(sa, static, possible, prov_c, cam, px.astype(F32) + uj1, py.astype(F32) + uj2, max_t)
     light_v, n_light = generate_light_subpath(sa, static, possible, prov_l, 0, power_cdf, max_s)
 
     R = px.shape[0]

@@ -316,10 +316,14 @@ def sample_li(sa: SceneArrays, static: SceneStatic, light_ids, p_ref, u1, u2):
         dist = jnp.where(m_inf, world_d, dist)
 
     # area
+    n_lp = jnp.zeros((R, 3), F32)
+    area_out = jnp.ones(R, F32)
     if static.has_area_lights:
         m_area = kind == LIGHT_AREA
         lprim = sa.light_prim[lid]
         ps, ns, area = _sample_prim_point(sa, lprim, u1, u2)
+        n_lp = jnp.where(m_area[:, None], ns, n_lp)
+        area_out = jnp.where(m_area, area, area_out)
         to_s = ps - p_ref
         d2a = jnp.maximum(_dot(to_s, to_s), 1e-12)
         da = jnp.sqrt(d2a)
@@ -335,7 +339,7 @@ def sample_li(sa: SceneArrays, static: SceneStatic, light_ids, p_ref, u1, u2):
         pdf = jnp.where(m_area, jnp.where(jnp.abs(cos_l) > 1e-7, pdf_a, 0.0), pdf)
         dist = jnp.where(m_area, da, dist)
 
-    return {"wi": wi, "li": li, "pdf": pdf, "dist": dist, "delta": delta}
+    return {"wi": wi, "li": li, "pdf": pdf, "dist": dist, "delta": delta, "n": n_lp, "area": area_out}
 
 
 def pdf_li_area_hit(sa: SceneArrays, p_ref, hit_p, hit_ng, hit_light, prim_area_of_hit):

@@ -40,7 +40,9 @@ MAX_RAYS_PER_PASS = 1 << 20
 # across runs of the same scene config
 _CACHE_DIR = os.environ.get("PBRT_TPU_JAX_CACHE", "/root/repo/.jax_cache")
 try:
-    if jax.config.jax_compilation_cache_dir is None:
+    # only for the TPU platform: CPU AOT artifacts are machine-feature
+    # specific (the remote compile service targets different hosts)
+    if jax.config.jax_compilation_cache_dir is None and jax.config.jax_platforms in (None, "", "axon", "tpu"):
         jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:  # config name drift across jax versions
@@ -204,6 +206,14 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
         from .device.sppm import render_sppm
 
         return render_sppm(cs, seed=seed, progress=progress)
+    if desc.integrator.kind == "bdpt":
+        from .device.bdpt import render_bdpt
+
+        return render_bdpt(cs, seed=seed, spp=spp, progress=progress)
+    if desc.integrator.kind == "mlt":
+        from .device.mlt import render_mlt
+
+        return render_mlt(cs, seed=seed, progress=progress)
     W = desc.film.x_resolution
     H = desc.film.y_resolution
     spp = int(spp if spp is not None else desc.sampler.pixel_samples)

@@ -1,0 +1,63 @@
+"""BDPT consistency with path tracing (all strategies must sum to the same
+transport solution; the reference validates bdpt by scene comparisons)."""
+import numpy as np
+
+from pbrt_tpu.core.transform import Transform
+from pbrt_tpu.render import render
+from pbrt_tpu.scene.host import (
+    CameraConfig,
+    FilmConfig,
+    HostLight,
+    HostMaterial,
+    HostPrimitive,
+    IntegratorConfig,
+    SamplerConfig,
+    SceneDescription,
+    ShapeRecord,
+    Sphere,
+    TriangleMesh,
+)
+
+
+def _scene(integrator):
+    mesh = TriangleMesh(
+        p=np.array([[-3, 0, -3], [3, 0, -3], [3, 0, 3], [-3, 0, 3]], np.float64),
+        indices=np.array([[0, 2, 1], [0, 3, 2]], np.int32),
+    )
+    floor = HostPrimitive(
+        shape=ShapeRecord(mesh=mesh),
+        material=HostMaterial(kind="matte", params={"Kd": ("const", np.array([0.65, 0.5, 0.4]))}),
+    )
+    emit = HostLight(kind="area", intensity=np.array([8.0, 8.0, 8.0]), two_sided=False)
+    lamp = HostPrimitive(
+        shape=ShapeRecord(sphere=Sphere(object_to_world=Transform.translate([0.8, 1.5, 0.0]), radius=0.2)),
+        material=HostMaterial(kind="matte", params={"Kd": ("const", np.zeros(3))}),
+        area_light=emit,
+    )
+    return SceneDescription(
+        primitives=[floor, lamp],
+        lights=[],
+        camera=CameraConfig(kind="perspective", camera_to_world=Transform.look_at([0, 2, 4], [0, 0.5, 0], [0, 1, 0]), fov=45.0),
+        film=FilmConfig(x_resolution=12, y_resolution=9),
+        sampler=SamplerConfig(kind="zerotwosequence", pixel_samples=96),
+        integrator=integrator,
+    )
+
+
+def test_bdpt_matches_path():
+    img_path = render(_scene(IntegratorConfig(kind="path", max_depth=3)), spp=96)
+    img_bdpt = render(_scene(IntegratorConfig(kind="bdpt", max_depth=3)), spp=96)
+    lit = img_path.mean(axis=-1) > 0.02
+    assert lit.sum() > 20
+    r = img_bdpt.mean(axis=-1)[lit] / img_path.mean(axis=-1)[lit]
+    assert abs(np.median(r) - 1.0) < 0.2, f"median ratio {np.median(r)}; mean path {img_path[lit].mean()} bdpt {img_bdpt[lit].mean()}"
+
+
+def test_mlt_matches_path_brightness():
+    """MLT is unbiased: total image energy must match path tracing."""
+    img_path = render(_scene(IntegratorConfig(kind="path", max_depth=2)), spp=128)
+    desc = _scene(IntegratorConfig(kind="mlt", max_depth=2, mutations_per_pixel=200, n_bootstrap=2048, n_chains=64))
+    img_mlt = render(desc)
+    assert np.isfinite(img_mlt).all()
+    r = img_mlt.mean() / img_path.mean()
+    assert 0.75 < r < 1.25, f"brightness ratio {r}: path {img_path.mean()} mlt {img_mlt.mean()}"
