@@ -39,6 +39,8 @@ LOBE_SPEC_R = 6
 LOBE_SPEC_T = 7
 LOBE_FRESNEL_SPEC = 8
 LOBE_FRESNEL_BLEND = 9
+LOBE_DISNEY_DIFF = 10  # Burley diffuse + sheen (disney.rs DisneyDiffuse/Sheen)
+LOBE_CLEARCOAT = 11  # GTR1 clearcoat (disney.rs DisneyClearcoat)
 
 SPECULAR_KINDS = frozenset({LOBE_SPEC_R, LOBE_SPEC_T, LOBE_FRESNEL_SPEC})
 TRANS_KINDS = frozenset({LOBE_LAMBERT_T, LOBE_MICRO_T, LOBE_SPEC_T})
@@ -116,7 +118,14 @@ def fresnel_conductor(cos_i, eta, k):
     return 0.5 * (rp + rs)
 
 
-def lobe_fresnel(data, cos_i, possible_fresnels=(0, 1, 2)):
+def fresnel_schlick(cos_i, f0):
+    """Schlick approximation with rgb F0 (disney.rs specular fresnel)."""
+    c = jnp.clip(jnp.abs(cos_i), 0.0, 1.0)
+    m = (1.0 - c) ** 5
+    return f0 + m[..., None] * (1.0 - f0)
+
+
+def lobe_fresnel(data, cos_i, possible_fresnels=(0, 1, 2, 3)):
     """Per-lobe Fresnel dispatch by data[..., 11]."""
     fk = data[..., 11]
     out = jnp.ones(cos_i.shape + (3,), F32)
@@ -127,6 +136,9 @@ def lobe_fresnel(data, cos_i, possible_fresnels=(0, 1, 2)):
     if 2 in possible_fresnels:
         f_c = fresnel_conductor(cos_i, data[..., 3:6], data[..., 6:9])
         out = jnp.where((fk == 2)[..., None], f_c, out)
+    if 3 in possible_fresnels:
+        f_s = fresnel_schlick(cos_i, data[..., 3:6])
+        out = jnp.where((fk == 3)[..., None], f_s, out)
     return out
 
 
@@ -287,6 +299,38 @@ def _lobe_f(kind, data, wo, wi, possible: frozenset):
         ok_mt = (~refl_hemi) & ~same_side & (abs_ci > 0) & (abs_co > 0)
         out = jnp.where(((kind == LOBE_MICRO_T) & ok_mt)[:, None], color * f_mt_val[..., None], out)
 
+    if LOBE_DISNEY_DIFF in possible:
+        # Burley diffuse + sheen (disney.rs DisneyDiffuse :60-90, Sheen)
+        # data: color = baseColor*(1-metallic); 12 = roughness; 6:9 sheen color
+        rough = data[..., 12]
+        pow5 = lambda x: x * x * x * x * x
+        fo = pow5(1.0 - abs_co)
+        fi = pow5(1.0 - abs_ci)
+        wh_d = _norm(wi + wo)
+        cos_d = jnp.sum(wi * wh_d, axis=-1)
+        fd90 = 0.5 + 2.0 * rough * cos_d * cos_d
+        fd = (1.0 + (fd90 - 1.0) * fo) * (1.0 + (fd90 - 1.0) * fi)
+        sheen = data[..., 6:9] * pow5(1.0 - jnp.abs(cos_d))[..., None]
+        f_dd = color * INV_PI * fd[..., None] + sheen
+        out = jnp.where(((kind == LOBE_DISNEY_DIFF) & refl_hemi)[:, None], f_dd, out)
+
+    if LOBE_CLEARCOAT in possible:
+        # GTR1 distribution, fixed Fresnel 0.04, smith G alpha 0.25
+        # (disney.rs DisneyClearcoat); data[9] = gloss alpha, color = weight
+        alpha_c = data[..., 9]
+        wh_c = wi + wo
+        whl = jnp.linalg.norm(wh_c, axis=-1)
+        wh_c = wh_c / jnp.maximum(whl, 1e-30)[..., None]
+        a2 = jnp.clip(alpha_c * alpha_c, 1e-6, 1.0 - 1e-4)
+        c2h = jnp.clip(wh_c[..., 2] * wh_c[..., 2], 0.0, 1.0)
+        d_c = (a2 - 1.0) / (jnp.pi * jnp.log(a2) * (1.0 + (a2 - 1.0) * c2h))
+        d_c = jnp.clip(d_c, 0.0, 1e6)
+        fr_c = 0.04 + 0.96 * (1.0 - jnp.abs(jnp.sum(wi * wh_c, axis=-1))) ** 5
+        g_c = ggx_g(wo, wi, jnp.full_like(alpha_c, 0.25), jnp.full_like(alpha_c, 0.25))
+        f_cc = color * (d_c * fr_c * g_c / jnp.maximum(4.0 * abs_co * abs_ci, 1e-12))[..., None]
+        ok_cc = refl_hemi & (whl > 1e-12)
+        out = jnp.where(((kind == LOBE_CLEARCOAT) & ok_cc)[:, None], f_cc, out)
+
     if LOBE_FRESNEL_BLEND in possible:
         rd = color
         rs = data[..., 6:9]
@@ -322,10 +366,20 @@ def _lobe_pdf(kind, data, wo, wi, possible: frozenset):
     pdf = jnp.zeros(wo.shape[0], F32)
     cos_pdf = abs_ci * INV_PI
 
-    if possible & _DIFFUSE_LIKE:
-        diff_like = (kind == LOBE_LAMBERT_R) | (kind == LOBE_OREN_NAYAR)
+    if possible & (_DIFFUSE_LIKE | {LOBE_DISNEY_DIFF}):
+        diff_like = (kind == LOBE_LAMBERT_R) | (kind == LOBE_OREN_NAYAR) | (kind == LOBE_DISNEY_DIFF)
         pdf = jnp.where(diff_like & refl_hemi, cos_pdf, pdf)
         pdf = jnp.where((kind == LOBE_LAMBERT_T) & ~refl_hemi, cos_pdf, pdf)
+
+    if LOBE_CLEARCOAT in possible:
+        alpha_c = data[..., 9]
+        wh_c = _norm(wo + wi)
+        a2 = jnp.clip(alpha_c * alpha_c, 1e-6, 1.0 - 1e-4)
+        c2h = jnp.clip(wh_c[..., 2] * wh_c[..., 2], 0.0, 1.0)
+        d_c = (a2 - 1.0) / (jnp.pi * jnp.log(a2) * (1.0 + (a2 - 1.0) * c2h))
+        d_c = jnp.clip(d_c, 0.0, 1e6)
+        p_cc = d_c * jnp.abs(wh_c[..., 2]) / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * wh_c, axis=-1)), 1e-12)
+        pdf = jnp.where((kind == LOBE_CLEARCOAT) & refl_hemi, p_cc, pdf)
 
     if possible & {LOBE_MICRO_R, LOBE_FRESNEL_BLEND}:
         ax = data[..., 9]
@@ -424,11 +478,10 @@ def bsdf_sample(lobes, wo, u_lobe, u1, u2):
     n_act = jnp.sum(active, axis=1)
     pick = jnp.minimum((u_lobe * n_act).astype(jnp.int32), jnp.maximum(n_act - 1, 0))
     cum = jnp.cumsum(active, axis=1) - 1
-    slot_matches = active & (cum == pick[:, None])
-    slot = jnp.argmax(slot_matches, axis=1)
-    r = jnp.arange(R)
-    k = kinds[r, slot]
-    dat = data[r, slot]
+    # one-hot slot selection (row gathers run on the TPU scalar core)
+    sel = active & (cum == pick[:, None])
+    k = jnp.sum(jnp.where(sel, kinds, 0), axis=1)
+    dat = jnp.sum(jnp.where(sel[:, :, None], data, 0.0), axis=1)
 
     color = dat[:, 0:3]
     eta = jnp.maximum(dat[:, 3], 1.0 + 1e-6)
@@ -441,11 +494,11 @@ def bsdf_sample(lobes, wo, u_lobe, u1, u2):
     valid = n_act > 0
     specular = _is_specular(k)
 
-    needs_cos = union & {LOBE_LAMBERT_R, LOBE_OREN_NAYAR, LOBE_LAMBERT_T}
+    needs_cos = union & {LOBE_LAMBERT_R, LOBE_OREN_NAYAR, LOBE_LAMBERT_T, LOBE_DISNEY_DIFF}
     if needs_cos:
         wi_cos = cosine_sample_hemisphere(u1, u2)
         wi_diff_r = jnp.where(entering[:, None], wi_cos, wi_cos * flip_z)
-        m = (k == LOBE_LAMBERT_R) | (k == LOBE_OREN_NAYAR)
+        m = (k == LOBE_LAMBERT_R) | (k == LOBE_OREN_NAYAR) | (k == LOBE_DISNEY_DIFF)
         wi = jnp.where(m[:, None], wi_diff_r, wi)
         if LOBE_LAMBERT_T in union:
             wi_diff_t = jnp.where(entering[:, None], wi_cos * flip_z, wi_cos)
@@ -487,6 +540,21 @@ def bsdf_sample(lobes, wo, u_lobe, u1, u2):
     else:
         fr_s = jnp.zeros(R, F32)
         choose_r = jnp.zeros(R, bool)
+
+    if LOBE_CLEARCOAT in union:
+        # GTR1 wh sampling (disney.rs sample_wh for clearcoat)
+        alpha_c = jnp.maximum(ax, 1e-3)
+        a2c = alpha_c * alpha_c
+        c2 = jnp.where(jnp.abs(a2c - 1.0) > 1e-6, (1.0 - jnp.power(a2c, 1.0 - u1)) / (1.0 - a2c), u1)
+        cos_h = jnp.sqrt(jnp.clip(c2, 0.0, 1.0))
+        sin_h = jnp.sqrt(jnp.maximum(1.0 - c2, 0.0))
+        phi_h = 2.0 * jnp.pi * u2
+        wh_cc = jnp.stack([sin_h * jnp.cos(phi_h), sin_h * jnp.sin(phi_h), cos_h], axis=-1)
+        wh_cc = jnp.where((wo[:, 2] < 0)[:, None], -wh_cc, wh_cc)
+        wi_cc = reflect_dir(wo, wh_cc)
+        m = k == LOBE_CLEARCOAT
+        wi = jnp.where(m[:, None], wi_cc, wi)
+        valid = valid & jnp.where(m, same_hemisphere(wo, wi_cc), True)
 
     if LOBE_FRESNEL_BLEND in union:
         fb_diffuse = u1 < 0.5

@@ -22,6 +22,7 @@ from .intersect import intersect, intersect_p
 from .lights import area_light_emission, env_le, env_pdf_li, pdf_li_area_hit, sample_li
 from .materials import make_bsdf
 from .sampler import sample_1d, sample_2d
+from .gather import gather_rows
 from .shading import surface_interaction
 
 F32 = jnp.float32
@@ -142,7 +143,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
             in_scatter = alive & ms["hit_medium"]
             beta = jnp.where((alive & (medium >= 0))[:, None], beta * ms["weight"], beta)
             p_med = o + d * ms["t"][:, None]
-            g_par = sa.med_param[jnp.maximum(medium, 0), 6]
+            g_par = gather_rows(sa.med_param, jnp.maximum(medium, 0))[:, 6]
             med_vertex = {"p": p_med, "wo": -d, "g": g_par, "active": in_scatter}
         else:
             in_scatter = jnp.zeros(R, bool)
@@ -164,7 +165,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
             emitting = alive & ~in_scatter & (lid >= 0)
             le = area_light_emission(sa, lid, si["ng"], si["wo"])
             if nee_on:
-                area = sa.prim_area[jnp.maximum(si["prim"], 0)]
+                area = gather_rows(sa.prim_area, jnp.maximum(si["prim"], 0))
                 p_l = pdf_li_area_hit(sa, prev_p, si["p"], si["ng"], lid, area) * sel_pdf
                 w = jnp.where(prev_specular, 1.0, power_heuristic(1.0, prev_pdf, 1.0, p_l))
             else:
@@ -253,7 +254,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         on_surface = can_scatter & si["valid"] & ~in_scatter
         # null-material boundary: pass through, swap medium, free of depth
         if pass_null:
-            mat_kind_hit = sa.mat_kind[si["mat"]]
+            mat_kind_hit = gather_rows(sa.mat_kind, si["mat"])
             is_null = on_surface & (mat_kind_hit == 0) & (si["light"] < 0)
             on_surface = on_surface & ~is_null
         else:
@@ -308,7 +309,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
 
         # medium transition on transmission through a medium-interface surface
         if handle_media or pass_null:
-            pm = sa.prim_medium[jnp.maximum(si["prim"], 0)]
+            pm = gather_rows(sa.prim_medium, jnp.maximum(si["prim"], 0))
             transition = pm[:, 0] != pm[:, 1]
             crossing_dir = _dot(new_d, si["ng"]) < 0
             crossed_med = jnp.where(crossing_dir, pm[:, 0], pm[:, 1])

@@ -53,21 +53,21 @@ def ray_triangle(o, d, p0, p1, p2, t_max):
     p1t = p1 - o
     p2t = p2 - o
 
-    # permute so |dz| is max (triangle.rs max_dimension + permute)
+    # permute so |dz| is max (triangle.rs max_dimension + permute).
+    # NOTE: expressed as where-chains, not take_along_axis — gathers run on
+    # the TPU scalar core and dominated this kernel.
     ad = jnp.abs(d)
     kz = jnp.argmax(ad, axis=-1)
-    kx = (kz + 1) % 3
-    ky = (kx + 1) % 3
+    k0 = kz == 0
+    k1 = kz == 1
+
+    def _sel(v, i0, i1, i2):
+        # component i of v where i = i0/i1/i2 depending on kz = 0/1/2
+        return jnp.where(k0, v[..., i0], jnp.where(k1, v[..., i1], v[..., i2]))
 
     def permute(v):
-        return jnp.stack(
-            [
-                jnp.take_along_axis(v, kx[..., None], axis=-1)[..., 0],
-                jnp.take_along_axis(v, ky[..., None], axis=-1)[..., 0],
-                jnp.take_along_axis(v, kz[..., None], axis=-1)[..., 0],
-            ],
-            axis=-1,
-        )
+        # kx = kz+1 mod 3, ky = kz+2 mod 3
+        return jnp.stack([_sel(v, 1, 2, 0), _sel(v, 2, 0, 1), _sel(v, 0, 1, 2)], axis=-1)
 
     dp = permute(d)
     p0t = permute(p0t)
@@ -268,21 +268,73 @@ def _reduce_best(t, b1, b2, prim_ids):
 # ---------------------------------------------------------------------------
 
 
-def intersect_brute(sa: SceneArrays, static: SceneStatic, o, d, t_max):
-    n = static.n_prims
+def _brute_all(sa: SceneArrays, static: SceneStatic, o, d, t_max):
+    """All-pairs tests with pure broadcasting — zero gathers.
+
+    TPU note: gathers execute on the scalar core and dominated the original
+    formulation (~25x slower); testing every ray against every primitive
+    row by broadcast keeps the whole kernel on the VPU.
+    Returns (t (R, P), b1, b2) in PRIMITIVE-ROW order (tris then spheres by
+    their table positions mapped through tri->prim / sph->prim maps built on
+    host in SceneStatic... here we reconstruct by concatenation order).
+    """
     R = o.shape[0]
-    prim_ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (R, n))
-    valid = jnp.ones((R, n), bool)
-    t, b1, b2 = _test_prims(sa, o, d, t_max, prim_ids, valid)
-    return _reduce_best(t, b1, b2, prim_ids)
+    o_b = o[:, None, :]
+    d_b = d[:, None, :]
+    parts_t, parts_b1, parts_b2, parts_pid = [], [], [], []
+
+    if sa.tri_p.shape[0] > 0:
+        tv = sa.tri_p[None, :, :, :]  # (1, T, 3, 3) broadcast
+        tm = jnp.asarray(t_max, F32)[:, None]
+        h, t_t, _b0, b1, b2 = ray_triangle(o_b, d_b, tv[..., 0, :], tv[..., 1, :], tv[..., 2, :], tm)
+        parts_t.append(jnp.where(h, t_t, INF))
+        parts_b1.append(b1)
+        parts_b2.append(b2)
+        parts_pid.append(sa.tri_prim_ids)
+    if sa.sph_param.shape[0] > 0:
+        w2o = sa.sph_w2o[None, :, :, :]
+        par = sa.sph_param[None, :, :]
+        tm = jnp.asarray(t_max, F32)[:, None]
+        h, t_s, p_obj = ray_sphere(o_b, d_b, w2o, par, tm)
+        parts_t.append(jnp.where(h, t_s, INF))
+        parts_b1.append(p_obj[..., 0])
+        parts_b2.append(p_obj[..., 1])
+        parts_pid.append(sa.sph_prim_ids)
+
+    t = jnp.concatenate(parts_t, axis=1)
+    b1 = jnp.concatenate(parts_b1, axis=1)
+    b2 = jnp.concatenate(parts_b2, axis=1)
+    pid = jnp.concatenate(parts_pid)
+    return t, b1, b2, pid
+
+
+def _select_min(t, cols):
+    """Row-wise argmin selection of several (R, K) arrays without gathers:
+    builds the argmin one-hot by equality and reduces (VPU-only)."""
+    tbest = jnp.min(t, axis=1)
+    is_min = t == tbest[:, None]
+    # break ties toward the lowest column index
+    first = jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1
+    sel = is_min & first
+    outs = [jnp.sum(jnp.where(sel, c, 0), axis=1) for c in cols]
+    return tbest, sel, outs
+
+
+def intersect_brute(sa: SceneArrays, static: SceneStatic, o, d, t_max):
+    t, b1, b2, pid = _brute_all(sa, static, o, d, t_max)
+    R = t.shape[0]
+    pid_b = jnp.broadcast_to(pid[None, :].astype(F32), t.shape)
+    tbest, _sel, (b1_s, b2_s, pid_s) = _select_min(t, [b1, b2, pid_b])
+    return {
+        "t": tbest,
+        "prim": jnp.where(jnp.isfinite(tbest), pid_s.astype(jnp.int32), -1),
+        "b1": b1_s,
+        "b2": b2_s,
+    }
 
 
 def intersect_p_brute(sa: SceneArrays, static: SceneStatic, o, d, t_max):
-    n = static.n_prims
-    R = o.shape[0]
-    prim_ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (R, n))
-    valid = jnp.ones((R, n), bool)
-    t, _, _ = _test_prims(sa, o, d, t_max, prim_ids, valid)
+    t, _, _, _pid = _brute_all(sa, static, o, d, t_max)
     return jnp.any(jnp.isfinite(t), axis=1)
 
 

@@ -23,6 +23,7 @@ from ..scene.arrays import (
     SceneArrays,
     SceneStatic,
 )
+from .gather import gather_rows
 from .intersect import _xform_point
 
 F32 = jnp.float32
@@ -200,10 +201,10 @@ def _sample_prim_point(sa: SceneArrays, prim_ids, u1, u2):
     spheres: uniform area sampling (sphere.rs sample).
     """
     prim = jnp.maximum(prim_ids, 0)
-    kind = sa.prim_kind[prim]
-    geom = sa.prim_geom[prim]
-    flags = sa.prim_flags[prim]
-    area = sa.prim_area[prim]
+    kind = gather_rows(sa.prim_kind, prim)
+    geom = gather_rows(sa.prim_geom, prim)
+    flags = gather_rows(sa.prim_flags, prim)
+    area = gather_rows(sa.prim_area, prim)
     R = prim.shape[0]
     p = jnp.zeros((R, 3), F32)
     n = jnp.zeros((R, 3), F32)
@@ -211,7 +212,7 @@ def _sample_prim_point(sa: SceneArrays, prim_ids, u1, u2):
 
     if sa.tri_p.shape[0] > 0:
         ti = jnp.where(is_tri, geom, 0)
-        tv = sa.tri_p[ti]
+        tv = gather_rows(sa.tri_p, ti)
         b0, b1 = uniform_sample_triangle(u1, u2)
         pt = b0[:, None] * tv[:, 0] + b1[:, None] * tv[:, 1] + (1.0 - b0 - b1)[:, None] * tv[:, 2]
         e1 = tv[:, 1] - tv[:, 0]
@@ -223,9 +224,9 @@ def _sample_prim_point(sa: SceneArrays, prim_ids, u1, u2):
 
     if sa.sph_param.shape[0] > 0:
         si = jnp.where(~is_tri, geom, 0)
-        o2w = sa.sph_o2w[si]
-        w2o = sa.sph_w2o[si]
-        radius = sa.sph_param[si, 0]
+        o2w = gather_rows(sa.sph_o2w, si)
+        w2o = gather_rows(sa.sph_w2o, si)
+        radius = gather_rows(sa.sph_param, si)[:, 0]
         d = uniform_sample_sphere(u1, u2)
         p_obj = d * radius[:, None]
         ps = _xform_point(o2w, p_obj)
@@ -240,7 +241,7 @@ def _sample_prim_point(sa: SceneArrays, prim_ids, u1, u2):
 def area_light_emission(sa: SceneArrays, light_ids, n_light, w):
     """L emitted from an area light toward direction w (diffuse.rs l())."""
     li = jnp.maximum(light_ids, 0)
-    par = sa.light_param[li]
+    par = gather_rows(sa.light_param, li)
     lemit = par[:, 0:3]
     two_sided = par[:, 3] > 0
     emits = two_sided | (_dot(n_light, w) > 0)
@@ -260,8 +261,8 @@ def sample_li(sa: SceneArrays, static: SceneStatic, light_ids, p_ref, u1, u2):
     """
     R = p_ref.shape[0]
     lid = jnp.maximum(light_ids, 0)
-    kind = sa.light_kind[lid] if static.n_lights else jnp.zeros(R, jnp.int32)
-    par = sa.light_param[lid] if static.n_lights else jnp.zeros((R, 12), F32)
+    kind = gather_rows(sa.light_kind, lid) if static.n_lights else jnp.zeros(R, jnp.int32)
+    par = gather_rows(sa.light_param, lid) if static.n_lights else jnp.zeros((R, 12), F32)
 
     wi = jnp.zeros((R, 3), F32)
     li = jnp.zeros((R, 3), F32)
@@ -320,7 +321,7 @@ def sample_li(sa: SceneArrays, static: SceneStatic, light_ids, p_ref, u1, u2):
     area_out = jnp.ones(R, F32)
     if static.has_area_lights:
         m_area = kind == LIGHT_AREA
-        lprim = sa.light_prim[lid]
+        lprim = gather_rows(sa.light_prim, lid)
         ps, ns, area = _sample_prim_point(sa, lprim, u1, u2)
         n_lp = jnp.where(m_area[:, None], ns, n_lp)
         area_out = jnp.where(m_area, area, area_out)

@@ -11,7 +11,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..scene.arrays import (
+    MAT_DISNEY,
+    MAT_FOURIER,
     MAT_GLASS,
+    MAT_HAIR,
+    MAT_KDSUBSURFACE,
+    MAT_MIX,
+    MAT_SUBSURFACE,
     MAT_MATTE,
     MAT_METAL,
     MAT_MIRROR,
@@ -29,6 +35,8 @@ from ..scene.arrays import (
     P_OPACITY,
     P_REFLECT,
     P_SIGMA,
+    P_EXTRA,
+    P_EXTRA2,
     P_TRANSMIT,
     P_UROUGH,
     P_VROUGH,
@@ -36,6 +44,8 @@ from ..scene.arrays import (
     SceneStatic,
 )
 from .bsdf import (
+    LOBE_CLEARCOAT,
+    LOBE_DISNEY_DIFF,
     LOBE_FRESNEL_BLEND,
     LOBE_FRESNEL_SPEC,
     LOBE_LAMBERT_R,
@@ -56,6 +66,7 @@ F32 = jnp.float32
 FR_NONE = 0.0
 FR_DIELECTRIC = 1.0
 FR_CONDUCTOR = 2.0
+FR_SCHLICK = 3.0
 
 
 def _nonblack(c):
@@ -107,8 +118,35 @@ def make_bsdf(sa: SceneArrays, static: SceneStatic, mat_ids, uv, p, duvdx=None, 
     def param(slot):
         return material_param(sa, tex_values, mat_ids, slot)
 
-    kind = sa.mat_kind[mat_ids]
-    remap = sa.mat_remap[mat_ids] != 0
+    from .gather import gather_rows
+
+    kind = gather_rows(sa.mat_kind, mat_ids)
+
+    if MAT_MIX in set(static.mat_kinds_present):
+        # stochastic one-sample mixture (mix.rs evaluates both; the
+        # single-sample estimator keeps the fixed slot count — unbiased in f)
+        from . import rng as _rng
+
+        is_mix = kind == MAT_MIX
+        amt = jnp.clip(material_param(sa, tex_values, mat_ids, P_KD), 0.0, 1.0)
+        q = jnp.clip(jnp.mean(amt, axis=-1), 0.02, 0.98)
+        import jax as _jax
+
+        bx = _jax.lax.bitcast_convert_type(p[:, 0], jnp.uint32)
+        by = _jax.lax.bitcast_convert_type(p[:, 1], jnp.uint32)
+        bz = _jax.lax.bitcast_convert_type(p[:, 2], jnp.uint32)
+        bits = _rng.hash_combine(bx, by, bz, mat_ids.astype(jnp.uint32))
+        u_mix = _rng.u32_to_float(bits)
+        use1 = u_mix < q
+        sub1 = gather_rows(sa.mat_const[:, P_EXTRA, 0], mat_ids).astype(jnp.int32)
+        sub2 = gather_rows(sa.mat_const[:, P_EXTRA, 1], mat_ids).astype(jnp.int32)
+        mix_scale = jnp.where(use1[:, None], amt / q[:, None], (1.0 - amt) / (1.0 - q)[:, None])
+        mat_ids = jnp.where(is_mix, jnp.where(use1, sub1, sub2), mat_ids)
+        kind = gather_rows(sa.mat_kind, mat_ids)
+    else:
+        is_mix = None
+
+    remap = gather_rows(sa.mat_remap, mat_ids) != 0
 
     kd = jnp.clip(param(P_KD), 0.0, 1.0)
     sigma = param(P_SIGMA)[:, 0]
@@ -193,5 +231,51 @@ def make_bsdf(sa: SceneArrays, static: SceneStatic, mat_ids, uv, p, duvdx=None, 
         w.put(1, m & _nonblack(trans_c * kd), LOBE_LAMBERT_T, trans_c * kd)
         w.put(2, m & _nonblack(refl_c * ks), LOBE_MICRO_R, refl_c * ks, eta=1.5, ax=ax, ay=ay, fresnel=FR_DIELECTRIC)
         w.put(3, m & _nonblack(trans_c * ks), LOBE_MICRO_T, trans_c * ks, eta=1.5, ax=ax, ay=ay)
+
+    if MAT_DISNEY in kinds:
+        m = kind == MAT_DISNEY
+        ex = gather_rows(sa.mat_const[:, P_EXTRA], mat_ids)
+        ex2 = gather_rows(sa.mat_const[:, P_EXTRA2], mat_ids)
+        metallic = ex[:, 0]
+        clearcoat = ex[:, 1]
+        gloss = ex[:, 2]
+        sheen_amt = ex2[:, 0]
+        spectrans = ex2[:, 1]
+        spec_tint = ex2[:, 2]
+        color = kd
+        lum = jnp.maximum(jnp.sum(color * jnp.asarray([0.2126, 0.7152, 0.0722]), axis=-1), 1e-6)
+        tint = color / lum[:, None]
+        # diffuse (Burley) + sheen, weighted by (1-metallic)(1-spectrans)
+        dweight = (1.0 - metallic) * (1.0 - spectrans)
+        diff_c = color * dweight[:, None]
+        sheen_c = sheen_amt[:, None] * dweight[:, None] * tint
+        w.put(0, m & (_nonblack(diff_c) | _nonblack(sheen_c)), LOBE_DISNEY_DIFF, diff_c, k_or_t=sheen_c)
+        w.data = w.data.at[:, 0, 12].set(jnp.where(m, urough, w.data[:, 0, 12]))
+        # specular GGX with Schlick F0 = lerp(0.08*tint-ish, color, metallic)
+        f0 = (1.0 - metallic)[:, None] * 0.08 * ((1.0 - spec_tint)[:, None] + spec_tint[:, None] * tint) + metallic[:, None] * color
+        one = jnp.ones((R, 3), F32)
+        w.put(2, m, LOBE_MICRO_R, one, eta=f0, ax=ax, ay=ay, fresnel=FR_SCHLICK)
+        # clearcoat: alpha from gloss (lerp .1 -> .001)
+        cc_alpha = 0.1 * (1.0 - gloss) + 0.001 * gloss
+        w.put(6, m & (clearcoat > 0), LOBE_CLEARCOAT, 0.25 * clearcoat[:, None] * one, ax=cc_alpha, ay=cc_alpha)
+        # specular transmission
+        st_c = jnp.sqrt(jnp.clip(color, 0.0, 1.0)) * spectrans[:, None]
+        w.put(3, m & _nonblack(st_c), LOBE_MICRO_T, st_c, eta=eta, ax=ax, ay=ay)
+
+    if MAT_SUBSURFACE in kinds or MAT_KDSUBSURFACE in kinds:
+        m = (kind == MAT_SUBSURFACE) | (kind == MAT_KDSUBSURFACE)
+        smooth = (urough == 0) & (vrough == 0)
+        w.put(4, m & smooth, LOBE_FRESNEL_SPEC, kr, eta=eta, k_or_t=kt)
+        w.put(2, m & ~smooth, LOBE_MICRO_R, kr, eta=eta, ax=ax, ay=ay, fresnel=FR_DIELECTRIC)
+        w.put(3, m & ~smooth, LOBE_MICRO_T, kt, eta=eta, ax=ax, ay=ay)
+
+    if MAT_FOURIER in kinds or MAT_HAIR in kinds:
+        # placeholder shading until the tabulated/fiber models land
+        m = (kind == MAT_FOURIER) | (kind == MAT_HAIR)
+        w.put(0, m, LOBE_LAMBERT_R, jnp.where(_nonblack(kd)[:, None], kd, 0.5))
+
+    if is_mix is not None:
+        # apply the mixture color scale to every written lobe
+        w.data = w.data.at[:, :, 0:3].multiply(jnp.where(is_mix[:, None, None], mix_scale[:, None, :], 1.0))
 
     return {"kind": w.kind, "data": w.data, "possible": tuple(frozenset(p) for p in w.possible)}

@@ -9,6 +9,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..scene.arrays import GEOM_TRI, SceneArrays
+from .gather import gather_rows
 from .intersect import _xform_point
 
 F32 = jnp.float32
@@ -44,9 +45,9 @@ def surface_interaction(sa: SceneArrays, hit, o, d):
     prim = jnp.maximum(hit["prim"], 0)
     valid = hit["prim"] >= 0
     t = jnp.where(valid, hit["t"], 1.0)
-    kind = sa.prim_kind[prim]
-    geom = sa.prim_geom[prim]
-    flags = sa.prim_flags[prim]
+    kind = gather_rows(sa.prim_kind, prim)
+    geom = gather_rows(sa.prim_geom, prim)
+    flags = gather_rows(sa.prim_flags, prim)
     is_tri = kind == GEOM_TRI
 
     p = o + d * t[..., None]
@@ -60,9 +61,9 @@ def surface_interaction(sa: SceneArrays, hit, o, d):
 
     if sa.tri_p.shape[0] > 0:
         ti = jnp.where(is_tri, geom, 0)
-        tv = sa.tri_p[ti]  # (R, 3, 3)
-        tn = sa.tri_n[ti]
-        tuv = sa.tri_uv[ti]
+        tv = gather_rows(sa.tri_p, ti)  # (R, 3, 3)
+        tn = gather_rows(sa.tri_n, ti)
+        tuv = gather_rows(sa.tri_uv, ti)
         b1 = hit["b1"]
         b2 = hit["b2"]
         b0 = 1.0 - b1 - b2
@@ -96,9 +97,9 @@ def surface_interaction(sa: SceneArrays, hit, o, d):
 
     if sa.sph_param.shape[0] > 0:
         si = jnp.where(~is_tri, geom, 0)
-        o2w = sa.sph_o2w[si]
-        w2o = sa.sph_w2o[si]
-        par = sa.sph_param[si]
+        o2w = gather_rows(sa.sph_o2w, si)
+        w2o = gather_rows(sa.sph_w2o, si)
+        par = gather_rows(sa.sph_param, si)
         radius = par[:, 0]
         p_obj = _xform_point(w2o, p)
         p_obj = p_obj * (radius / jnp.maximum(jnp.linalg.norm(p_obj, axis=-1), 1e-30))[:, None]
@@ -152,8 +153,8 @@ def surface_interaction(sa: SceneArrays, hit, o, d):
         "ts": ts,
         "dpdu": dpdu,
         "dpdv": dpdv,
-        "mat": jnp.where(valid, sa.prim_mat[prim], 0),
-        "light": jnp.where(valid, sa.prim_light[prim], -1),
+        "mat": jnp.where(valid, gather_rows(sa.prim_mat, prim), 0),
+        "light": jnp.where(valid, gather_rows(sa.prim_light, prim), -1),
         "prim": hit["prim"],
         "wo": -d,
     }

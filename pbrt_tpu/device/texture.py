@@ -285,8 +285,10 @@ def eval_textures(sa: SceneArrays, programs, uv, p, duvdx=None, duvdy=None):
 
 def material_param(sa: SceneArrays, tex_values, mat_ids, slot):
     """Per-ray value of a material parameter slot: constant or texture."""
-    const = sa.mat_const[mat_ids, slot]  # (R, 3)
-    tid = sa.mat_tex[mat_ids, slot]  # (R,)
+    from .gather import gather_rows
+
+    const = gather_rows(sa.mat_const[:, slot], mat_ids)  # (R, 3)
+    tid = gather_rows(sa.mat_tex[:, slot], mat_ids)  # (R,)
     if tex_values.shape[0] == 0:
         return const
     r = jnp.arange(mat_ids.shape[0])

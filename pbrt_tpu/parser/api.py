@@ -520,13 +520,50 @@ class API:
             spec("amount", [0.5, 0.5, 0.5])
             p["material1"] = ("material", mat1)
             p["material2"] = ("material", mat2)
-        elif name in ("fourier", "hair", "disney", "subsurface", "kdsubsurface"):
-            # Recorded with full params; device support lands in later stages.
+        elif name == "disney":
+            # disney.rs create_disney_material parameter set
+            spec("color", [0.5, 0.5, 0.5])
+            flt("metallic", 0.0)
+            eta = tp.get_float_texture_or_none("eta")
+            p["eta"] = eta if eta is not None else ("const", 1.5)
+            flt("roughness", 0.5)
+            flt("speculartint", 0.0)
+            flt("anisotropic", 0.0)
+            flt("sheen", 0.0)
+            flt("sheentint", 0.5)
+            flt("clearcoat", 0.0)
+            flt("clearcoatgloss", 1.0)
+            flt("spectrans", 0.0)
+            p["remaproughness"] = ("const", False)
+        elif name in ("subsurface", "kdsubsurface"):
+            # subsurface.rs / kdsubsurface.rs: scattering props + interface
+            preset = tp.find_one_string("name", "")
+            if preset:
+                p["preset"] = ("const", preset)
+            spec("sigma_a", [0.0011, 0.0024, 0.014])
+            spec("sigma_s", [2.55, 3.21, 3.77])
+            if name == "kdsubsurface":
+                spec("Kd", [0.5, 0.5, 0.5])
+                spec("mfp", [1.0, 1.0, 1.0])
+            spec("Kr", [1.0, 1.0, 1.0])
+            spec("Kt", [1.0, 1.0, 1.0])
+            flt("scale", 1.0)
+            flt("g", 0.0)
+            eta = tp.get_float_texture_or_none("eta")
+            if eta is None:
+                eta = tp.get_float_texture("index", 1.33)
+            p["eta"] = eta
+            flt("uroughness", 0.0)
+            flt("vroughness", 0.0)
+            p["remaproughness"] = ("const", tp.find_one_bool("remaproughness", True))
+        elif name in ("fourier", "hair"):
+            # Recorded with full params; tabulated/fiber device models are a
+            # later stage (shaded as diffuse placeholder meanwhile).
             for key in ("bsdffile",):
                 s = tp.find_one_filename(key, "")
                 if s:
                     p[key] = ("const", s)
-            log.warning("material '%s' not yet device-supported; shading as matte placeholder", name)
+            log.warning("material '%s' not yet device-supported; shading as diffuse placeholder", name)
             spec("Kd", [0.5, 0.5, 0.5])
             flt("sigma", 0.0)
         else:

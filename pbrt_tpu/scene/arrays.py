@@ -32,6 +32,12 @@ MAT_METAL = 5
 MAT_UBER = 6
 MAT_SUBSTRATE = 7
 MAT_TRANSLUCENT = 8
+MAT_DISNEY = 9
+MAT_MIX = 10
+MAT_SUBSURFACE = 11
+MAT_KDSUBSURFACE = 12
+MAT_FOURIER = 13
+MAT_HAIR = 14
 
 MAT_IDS = {
     "none": MAT_NONE,
@@ -43,6 +49,12 @@ MAT_IDS = {
     "uber": MAT_UBER,
     "substrate": MAT_SUBSTRATE,
     "translucent": MAT_TRANSLUCENT,
+    "disney": MAT_DISNEY,
+    "mix": MAT_MIX,
+    "subsurface": MAT_SUBSURFACE,
+    "kdsubsurface": MAT_KDSUBSURFACE,
+    "fourier": MAT_FOURIER,
+    "hair": MAT_HAIR,
 }
 
 # material parameter slots (each a vec3 + texture-id indirection)
@@ -58,7 +70,9 @@ P_VROUGH = 8
 P_OPACITY = 9
 P_REFLECT = 10
 P_TRANSMIT = 11
-N_MAT_PARAMS = 12
+P_EXTRA = 12  # mix: (sub1, sub2, -) material row ids; disney: (metallic, clearcoat, gloss)
+P_EXTRA2 = 13  # disney: (sheen, spectrans, speculartint); subsurface extras
+N_MAT_PARAMS = 14
 
 # light kind ids
 LIGHT_POINT = 0
@@ -90,6 +104,8 @@ class SceneArrays:
     prim_light: jax.Array  # (P,) i32 area light id or -1
     prim_flags: jax.Array  # (P,) i32 bit0: flip geometric normal (rev ^ swap), bit1: has shading normals, bit2: reverse_orientation
     prim_area: jax.Array  # (P,) f32 surface area (for area light pdfs)
+    tri_prim_ids: jax.Array  # (T,) i32 triangle row -> primitive row
+    sph_prim_ids: jax.Array  # (S,) i32 sphere row -> primitive row
     # --- BVH ---
     bvh_min: jax.Array  # (N, 3) f32
     bvh_max: jax.Array  # (N, 3) f32

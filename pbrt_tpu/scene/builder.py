@@ -217,8 +217,9 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         if key in mat_index:
             return mat_index[key]
         mid = len(mat_rows)
-        mat_rows.append(_compile_material(mat, tex_reg))
+        mat_rows.append(None)  # reserve the row (mix sub-materials recurse)
         mat_index[key] = mid
+        mat_rows[mid] = _compile_material(mat, tex_reg, material_id)
         return mid
 
     lights: list[tuple] = []  # (kind, params(12,), prim_id)
@@ -424,7 +425,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
 
     # --- materials (ensure at least one row) -----------------------------------
     if not mat_rows:
-        mat_rows.append(_compile_material(HostMaterial(kind="matte", params={"Kd": ("const", np.array([0.5, 0.5, 0.5]))}), tex_reg))
+        mat_rows.append(_compile_material(HostMaterial(kind="matte", params={"Kd": ("const", np.array([0.5, 0.5, 0.5]))}), tex_reg, lambda m: 0))
 
     mat_kind = np.array([r[0] for r in mat_rows], dtype=np.int32)
     mat_const = np.stack([r[1] for r in mat_rows]).astype(np.float32)
@@ -495,6 +496,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         prim_light=jnp.asarray(np.asarray(prim_light, dtype=np.int32)),
         prim_flags=jnp.asarray(np.asarray(prim_flags, dtype=np.int32)),
         prim_area=jnp.asarray(np.asarray(prim_area, dtype=np.float32)),
+        tri_prim_ids=jnp.asarray(np.asarray([i for i, k in enumerate(prim_kind) if k == GEOM_TRI], dtype=np.int32)),
+        sph_prim_ids=jnp.asarray(np.asarray([i for i, k in enumerate(prim_kind) if k == GEOM_SPHERE], dtype=np.int32)),
         bvh_min=jnp.asarray(bvh.bounds_min),
         bvh_max=jnp.asarray(bvh.bounds_max),
         bvh_off=jnp.asarray(bvh.offset),
@@ -549,14 +552,11 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     return CompiledScene(arrays=arrays, static=static, description=desc)
 
 
-def _compile_material(mat: HostMaterial, tex_reg: _TextureRegistry):
+def _compile_material(mat: HostMaterial, tex_reg: _TextureRegistry, register_material=None):
     """HostMaterial -> (kind_id, const (N_MAT_PARAMS,3), tex (N_MAT_PARAMS,), remap)."""
     kind = MAT_IDS.get(mat.kind, None)
     if kind is None:
-        if mat.kind in ("fourier", "hair", "disney", "subsurface", "kdsubsurface", "mix"):
-            kind = MAT_MATTE  # placeholder shading; full support in later stages
-        else:
-            kind = MAT_MATTE
+        kind = MAT_MATTE
     const = np.zeros((N_MAT_PARAMS, 3), dtype=np.float64)
     tex = np.full(N_MAT_PARAMS, -1, dtype=np.int64)
     remap = 1
@@ -642,5 +642,46 @@ def _compile_material(mat: HostMaterial, tex_reg: _TextureRegistry):
     rm = mat.params.get("remaproughness")
     if rm is not None and rm[0] == "const":
         remap = 1 if rm[1] else 0
+
+    from .arrays import MAT_DISNEY, MAT_KDSUBSURFACE, MAT_MIX, MAT_SUBSURFACE, P_EXTRA, P_EXTRA2
+
+    if kind == MAT_MIX:
+        # amount texture/const -> P_KD slot; sub-material rows -> P_EXTRA
+        put(P_KD, "amount", default=[0.5, 0.5, 0.5])
+        m1 = mat.params.get("material1")
+        m2 = mat.params.get("material2")
+        if register_material is not None and m1 is not None and m2 is not None:
+            const[P_EXTRA][0] = register_material(m1[1])
+            const[P_EXTRA][1] = register_material(m2[1])
+        else:
+            kind = MAT_MATTE
+
+    elif kind == MAT_DISNEY:
+        # disney.rs parameter layout: color->Kd; metallic/clearcoat/gloss in
+        # P_EXTRA; sheen/spectrans/speculartint in P_EXTRA2
+        put(P_KD, "color", default=[0.5, 0.5, 0.5])
+
+        def put_scalar(slot, comp, name, default):
+            src_p = mat.params.get(name)
+            if src_p is not None and src_p[0] == "const":
+                v = np.atleast_1d(np.asarray(src_p[1], dtype=np.float64)).ravel()
+                const[slot][comp] = v[0]
+            else:
+                const[slot][comp] = default
+
+        put_scalar(P_EXTRA, 0, "metallic", 0.0)
+        put_scalar(P_EXTRA, 1, "clearcoat", 0.0)
+        put_scalar(P_EXTRA, 2, "clearcoatgloss", 1.0)
+        put_scalar(P_EXTRA2, 0, "sheen", 0.0)
+        put_scalar(P_EXTRA2, 1, "spectrans", 0.0)
+        put_scalar(P_EXTRA2, 2, "speculartint", 0.0)
+
+    elif kind in (MAT_SUBSURFACE, MAT_KDSUBSURFACE):
+        # surface BSDF part (glass-like interface); BSSRDF tables handled by
+        # the subsurface transport stage
+        if not np.any(const[P_KR]):
+            const[P_KR] = 1.0
+        if not np.any(const[P_KT]):
+            const[P_KT] = 1.0
 
     return kind, const, tex, remap
