@@ -339,97 +339,169 @@ def intersect_p_brute(sa: SceneArrays, static: SceneStatic, o, d, t_max):
 
 
 # ---------------------------------------------------------------------------
-# BVH traversal megakernel
+# BVH packet traversal megakernel
 # ---------------------------------------------------------------------------
+
+PACKET = 256  # rays per packet (share one traversal stack)
 
 
 def _traverse(sa: SceneArrays, static: SceneStatic, o, d, t_max, any_hit: bool):
-    """Per-ray short-stack BVH walk, batched over R rays via while_loop.
+    """Packet BVH traversal: packets of PACKET rays share ONE stack.
 
-    Mirrors the iterative traversal of bvh.rs:705-760: 64-deep node stack,
-    children visited near-to-far using the ray direction sign on the node's
-    split axis. All rays advance one node per iteration; finished rays idle
-    (masked) until the last ray exits — acceptable divergence for coherent
-    camera/shadow waves, and the loop is trace-once compiled.
+    Redesign of the per-ray stack walk (bvh.rs:705-760) for the TPU memory
+    system: per-ray traversal needs per-lane gathers/scatters, which execute
+    on the scalar core and measured ~0.02 Mray/s. With per-PACKET stacks all
+    node/primitive accesses are small (B,)-shaped gathers (B = number of
+    packets), the AABB/primitive tests stay fully vectorized over lanes, and
+    leaf primitive rows are CONTIGUOUS (builder permutes prims into BVH leaf
+    order). A packet descends into a subtree if ANY of its rays wants to;
+    coherent waves (camera/shadow) lose little, incoherent bounces pay a
+    union-of-paths cost (mitigated later by ray sorting).
     """
     R = o.shape[0]
     max_leaf = static.max_leaf
-    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-30, jnp.where(d < 0, -1e-30, 1e-30), d)
-    neg_dir = inv_d < 0  # (R, 3)
+    n_prims = static.n_prims
+    B = (R + PACKET - 1) // PACKET
+    Rp = B * PACKET
+    pad = Rp - R
 
-    stack = jnp.zeros((R, STACK_DEPTH), jnp.int32)
-    sp = jnp.ones((R,), jnp.int32)  # stack holds root (node 0)
-    best = Hit.none((R,))
-    best["t"] = jnp.asarray(t_max, F32) * jnp.ones((R,), F32)
-    found = jnp.zeros((R,), bool)
-    hit_any = jnp.zeros((R,), bool)
+    def pad_to(x, fill):
+        if pad == 0:
+            return x
+        return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0)
 
-    rows = jnp.arange(R)
+    o_p = pad_to(o, 0.0).reshape(B, PACKET, 3)
+    d_p = pad_to(d, 1.0).reshape(B, PACKET, 3)
+    t0 = jnp.broadcast_to(jnp.asarray(t_max, F32), (R,))
+    tm_p = pad_to(t0, -1.0).reshape(B, PACKET)  # padded lanes: t_max<0 -> never hit
+
+    inv_d = 1.0 / jnp.where(jnp.abs(d_p) < 1e-30, jnp.where(d_p < 0, -1e-30, 1e-30), d_p)
+
+    stack = jnp.zeros((B, STACK_DEPTH), jnp.int32)
+    sp = jnp.ones((B,), jnp.int32)  # root pre-pushed
+    t_best = tm_p
+    prim_best = jnp.full((B, PACKET), -1, jnp.int32)
+    b1_best = jnp.zeros((B, PACKET), F32)
+    b2_best = jnp.zeros((B, PACKET), F32)
+    hit_any = jnp.zeros((B, PACKET), bool)
+
+    rows_b = jnp.arange(B)
+    node_tab = sa.bvh_packed  # (N, 12)
+    ptd = sa.prim_test_data  # (P, 16)
+    pkind = sa.prim_kind
 
     def cond(state):
-        sp, *_ = state
+        sp = state[0]
         return jnp.any(sp > 0)
 
     def body(state):
         sp, stack, t_best, prim_best, b1_best, b2_best, hit_any = state
         active = sp > 0
         spm = jnp.maximum(sp - 1, 0)
-        node = stack[rows, spm]
+        node = stack[rows_b, spm]  # (B,) gather — B is small
         sp = jnp.where(active, spm, sp)
 
-        lo = sa.bvh_min[node]
-        hi = sa.bvh_max[node]
-        box_hit = active & ray_aabb(o, inv_d, lo, hi, t_best)
+        row = node_tab[node]  # (B, 12) gather
+        lo = row[:, None, 0:3]
+        hi = row[:, None, 3:6]
+        box = ray_aabb(o_p, inv_d, lo, hi, t_best) & active[:, None]
+        anyb = jnp.any(box, axis=1)  # (B,)
 
-        n_prims = sa.bvh_n[node]
-        is_leaf = n_prims > 0
-        off = sa.bvh_off[node]
-        axis = sa.bvh_axis[node]
+        n_leaf = row[:, 7].astype(jnp.int32)
+        is_leaf = n_leaf > 0
+        off = row[:, 6].astype(jnp.int32)
+        axis = row[:, 8].astype(jnp.int32)
 
-        # --- leaf: test up to max_leaf prims ---
-        leaf_mask = box_hit & is_leaf
-        k_ids = off[:, None] + jnp.arange(max_leaf, dtype=jnp.int32)[None, :]
-        k_valid = leaf_mask[:, None] & (jnp.arange(max_leaf)[None, :] < n_prims[:, None])
-        k_ids = jnp.clip(k_ids, 0, max(static.n_prims - 1, 0))
-        prim_ids = sa.bvh_ids[k_ids]
-        t_k, b1_k, b2_k = _test_prims(sa, o, d, t_best, prim_ids, k_valid)
-        k = jnp.argmin(t_k, axis=1)
-        t_new = t_k[rows, k]
+        # --- leaf: prims are contiguous rows [off, off+n) ---
+        do_leaf = anyb & is_leaf
+        k_ids = jnp.clip(off[:, None] + jnp.arange(max_leaf, dtype=jnp.int32)[None, :], 0, max(n_prims - 1, 0))
+        k_valid = do_leaf[:, None] & (jnp.arange(max_leaf)[None, :] < n_leaf[:, None])
+        rows16 = ptd[k_ids]  # (B, K, 16) gather of B*K rows
+        kk = pkind[k_ids]  # (B, K)
+        is_tri = kk == GEOM_TRI
+
+        ob = o_p[:, :, None, :]
+        db = d_p[:, :, None, :]
+        tb = t_best[:, :, None]
+        v0 = rows16[:, None, :, 0:3]
+        v1 = rows16[:, None, :, 3:6]
+        v2 = rows16[:, None, :, 6:9]
+        h_t, t_t, _b0, b1_t, b2_t = ray_triangle(ob, db, v0, v1, v2, tb)
+
+        if sa.sph_param.shape[0] > 0:
+            w2o = rows16[:, :, 0:12].reshape(rows16.shape[0], rows16.shape[1], 3, 4)[:, None]
+            spar = jnp.concatenate(
+                [rows16[:, :, 12:16], jnp.zeros(rows16.shape[:2] + (2,), F32)], axis=-1
+            )[:, None]
+            h_s, t_s, p_obj = ray_sphere(ob, db, w2o, spar, tb)
+            hit_k = jnp.where(is_tri[:, None, :], h_t, h_s)
+            t_k = jnp.where(is_tri[:, None, :], t_t, t_s)
+            b1_k = jnp.where(is_tri[:, None, :], b1_t, p_obj[..., 0])
+            b2_k = jnp.where(is_tri[:, None, :], b2_t, p_obj[..., 1])
+        else:
+            hit_k, t_k, b1_k, b2_k = h_t, t_t, b1_t, b2_t
+
+        hit_k = hit_k & k_valid[:, None, :]
+        t_k = jnp.where(hit_k, t_k, INF)
+        # nearest of the K leaf prims per lane (one-hot select, no gathers)
+        t_new = jnp.min(t_k, axis=2)
+        sel = (t_k == t_new[:, :, None]) & jnp.isfinite(t_k)
+        first = jnp.cumsum(sel.astype(jnp.int32), axis=2) == 1
+        sel = sel & first
         better = t_new < t_best
+        pid_k = jnp.broadcast_to(k_ids[:, None, :].astype(F32), t_k.shape)
+        prim_new = jnp.sum(jnp.where(sel, pid_k, 0.0), axis=2).astype(jnp.int32)
+        b1_new = jnp.sum(jnp.where(sel, b1_k, 0.0), axis=2)
+        b2_new = jnp.sum(jnp.where(sel, b2_k, 0.0), axis=2)
         t_best = jnp.where(better, t_new, t_best)
-        prim_best = jnp.where(better, prim_ids[rows, k], prim_best)
-        b1_best = jnp.where(better, b1_k[rows, k], b1_best)
-        b2_best = jnp.where(better, b2_k[rows, k], b2_best)
+        prim_best = jnp.where(better, prim_new, prim_best)
+        b1_best = jnp.where(better, b1_new, b1_best)
+        b2_best = jnp.where(better, b2_new, b2_best)
         hit_any = hit_any | better
 
-        # --- interior: push far child then near child ---
-        int_mask = box_hit & ~is_leaf
-        near_first = ~jnp.take_along_axis(neg_dir, axis[:, None], axis=1)[:, 0]
+        # --- interior: push children near-to-far by majority direction sign ---
+        do_int = anyb & ~is_leaf
+        # majority vote over lanes that hit the box
+        neg_axis = jnp.sum(
+            jnp.where(
+                box,
+                jnp.where(axis[:, None] == 0, d_p[:, :, 0], jnp.where(axis[:, None] == 1, d_p[:, :, 1], d_p[:, :, 2])) < 0,
+                False,
+            ),
+            axis=1,
+        )
+        n_box = jnp.maximum(jnp.sum(box, axis=1), 1)
+        near_first = neg_axis * 2 < n_box  # most lanes travel +axis
         c_near = jnp.where(near_first, node + 1, off)
         c_far = jnp.where(near_first, off, node + 1)
-        # push far
         sp_far = jnp.clip(sp, 0, STACK_DEPTH - 1)
-        stack = stack.at[rows, sp_far].set(jnp.where(int_mask, c_far, stack[rows, sp_far]))
-        sp = jnp.where(int_mask, jnp.minimum(sp + 1, STACK_DEPTH), sp)
-        # push near (popped next iteration)
+        stack = stack.at[rows_b, sp_far].set(jnp.where(do_int, c_far, stack[rows_b, sp_far]))
+        sp = jnp.where(do_int, jnp.minimum(sp + 1, STACK_DEPTH), sp)
         sp_near = jnp.clip(sp, 0, STACK_DEPTH - 1)
-        stack = stack.at[rows, sp_near].set(jnp.where(int_mask, c_near, stack[rows, sp_near]))
-        sp = jnp.where(int_mask, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+        stack = stack.at[rows_b, sp_near].set(jnp.where(do_int, c_near, stack[rows_b, sp_near]))
+        sp = jnp.where(do_int, jnp.minimum(sp + 1, STACK_DEPTH), sp)
 
         if any_hit:
-            # early-out: a found occluder terminates this ray's walk
-            sp = jnp.where(hit_any, 0, sp)
+            # a packet stops once EVERY live lane has found an occluder
+            all_done = jnp.all(hit_any | (tm_p <= 0), axis=1)
+            sp = jnp.where(all_done, 0, sp)
 
         return sp, stack, t_best, prim_best, b1_best, b2_best, hit_any
 
-    state = (sp, stack, best["t"], best["prim"], best["b1"], best["b2"], hit_any)
+    state = (sp, stack, t_best, prim_best, b1_best, b2_best, hit_any)
     sp, stack, t_best, prim_best, b1_best, b2_best, hit_any = jax.lax.while_loop(cond, body, state)
+
+    t_flat = t_best.reshape(Rp)[:R]
+    prim_flat = prim_best.reshape(Rp)[:R]
+    b1_flat = b1_best.reshape(Rp)[:R]
+    b2_flat = b2_best.reshape(Rp)[:R]
+    ha_flat = hit_any.reshape(Rp)[:R]
     return {
-        "t": jnp.where(hit_any, t_best, INF),
-        "prim": jnp.where(hit_any, prim_best, -1),
-        "b1": b1_best,
-        "b2": b2_best,
-    }, hit_any
+        "t": jnp.where(ha_flat, t_flat, INF),
+        "prim": jnp.where(ha_flat, prim_flat, -1),
+        "b1": b1_flat,
+        "b2": b2_flat,
+    }, ha_flat
 
 
 def intersect(sa: SceneArrays, static: SceneStatic, o, d, t_max):

@@ -11,6 +11,8 @@ pixel) rather than bit-identically.
 """
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from . import rng
@@ -76,3 +78,108 @@ def sample_1d(kind: str, seed, pixel, sample_idx, dim, spp: int):
         return jnp.where(u >= 1.0, u - 1.0, u)
     s = rng.hash_combine(seed, pixel, 4096 + dim)
     return rng.van_der_corput(sample_idx, s)
+
+
+# ---------------------------------------------------------------------------
+# Halton global-index machinery (halton.rs:120-156)
+# ---------------------------------------------------------------------------
+
+
+def _inverse_radical(base: int, exp: int, value: int):
+    """Index residue whose base-`base` radical inverse lands on `value`
+    (reversed digits; halton.rs inverse_radical_inverse)."""
+    inv = np.zeros_like(value)
+    v = value.copy()
+    for _ in range(exp):
+        inv = inv * base + (v % base)
+        v //= base
+    return inv
+
+
+def halton_tables(width: int, height: int):
+    """Per-pixel first-sample indices + strides for the Halton sampler.
+
+    The image plane is tiled 128x128 (halton.rs K_MAX_RESOLUTION); base
+    scales 2^j >= min(W,128), 3^k >= min(H,128); the CRT combines the
+    per-dimension residues into the global sample index offset."""
+    kmax = 128
+    j = 0
+    while (1 << j) < min(width, kmax):
+        j += 1
+    k = 0
+    while 3 ** k < min(height, kmax):
+        k += 1
+    sx = 1 << j
+    sy = 3 ** k
+    stride = sx * sy
+
+    ys, xs = np.mgrid[0:height, 0:width]
+    px = (xs % sx).astype(np.int64).ravel()
+    py = (ys % sy).astype(np.int64).ravel()
+
+    def mult_inverse(a, n):
+        # extended euclid
+        g, x = _ext_gcd(a % n, n)
+        return x % n
+
+    off = np.zeros(width * height, np.int64)
+    # dim 0: base 2
+    dim_off = _inverse_radical(2, j, px)
+    off += dim_off * (stride // sx) * mult_inverse(stride // sx, sx)
+    # dim 1: base 3
+    dim_off = _inverse_radical(3, k, py)
+    off += dim_off * (stride // sy) * mult_inverse(stride // sy, sy)
+    off %= stride
+
+    return {
+        "offset": jnp.asarray(off.reshape(height, width).ravel().astype(np.int64)),
+        "stride": int(stride),
+        "sx": sx,
+        "sy": sy,
+        "exp_x": j,
+        "exp_y": k,
+    }
+
+
+def _ext_gcd(a, b):
+    return _ext(a, b)
+
+
+def _ext(a, b):
+    """Returns (g, inverse of a mod b) via iterative extended Euclid."""
+    old_r, r = a, b
+    old_s, s = 1, 0
+    while r:
+        q = old_r // r
+        old_r, r = r, old_r - q * r
+        old_s, s = s, old_s - q * s
+    return old_r, old_s
+
+
+def halton_index(aux, pixel_linear, sample_idx):
+    """Global Halton index of sample `sample_idx` at a pixel (linear id)."""
+    off = aux["offset"][pixel_linear]
+    return off + jnp.asarray(sample_idx, jnp.int64) * aux["stride"]
+
+
+def halton_film_jitter(aux, pixel_linear, sample_idx):
+    """In-pixel (jx, jy) of the Halton point for this pixel/sample: the
+    fractional parts of ri_2 * 2^j and ri_3 * 3^k (halton.rs dims 0-1)."""
+    idx = halton_index(aux, pixel_linear, sample_idx)
+    x = rng.radical_inverse(0, idx) * aux["sx"]
+    y = rng.radical_inverse(1, idx) * aux["sy"]
+    return x - jnp.floor(x), y - jnp.floor(y)
+
+
+def halton_dim_2d(aux, pixel_linear, sample_idx, dim: int):
+    """2D Halton sample at static dimension pair `dim` >= 1 (bases from the
+    prime table with Faure-permutation scrambling, lowdiscrepancy.rs)."""
+    idx = halton_index(aux, pixel_linear, sample_idx)
+    b0 = min(2 * dim, len(rng.PRIMES) - 2)
+    b1 = b0 + 1
+    p0 = jnp.asarray(rng.faure_permutation(int(rng.PRIMES[b0])))
+    p1 = jnp.asarray(rng.faure_permutation(int(rng.PRIMES[b1])))
+    return (
+        rng.scrambled_radical_inverse(b0, idx, p0),
+        rng.scrambled_radical_inverse(b1, idx, p1),
+    )

@@ -128,11 +128,19 @@ def _one_sample_wave(sa, static, icfg, scfg, fcfg, cam, px_base, py_base, pixel_
     """
     kind = scfg["kind"]
     spp = scfg["spp"]
-    u1, u2 = sample_2d(kind, seed, pixel_ids, sample_idx, 0, spp)
+    if kind == "halton" and scfg.get("halton") is not None:
+        # true Halton points for the film dims (CRT pixel enumeration)
+        from .device.sampler import halton_dim_2d, halton_film_jitter
+
+        aux = scfg["halton"]
+        u1, u2 = halton_film_jitter(aux, pixel_ids, sample_idx)
+        ul1, ul2 = halton_dim_2d(aux, pixel_ids, sample_idx, 1)
+    else:
+        u1, u2 = sample_2d(kind, seed, pixel_ids, sample_idx, 0, spp)
+        ul1, ul2 = sample_2d(kind, seed, pixel_ids, sample_idx, 1, spp)
     dx, dy, w = filter_offset(fcfg["filter"], fcfg["filter_params"], u1, u2)
     px = px_base.astype(F32) + 0.5 + dx
     py = py_base.astype(F32) + 0.5 + dy
-    ul1, ul2 = sample_2d(kind, seed, pixel_ids, sample_idx, 1, spp)
     o, d = generate_rays(cam, px, py, ul1, ul2)
     if static.tex_programs and any(p.kind == "imagemap" for p in static.tex_programs):
         from .device.camera import ray_differential_dirs
@@ -167,6 +175,10 @@ def make_wave_fn(cs: CompiledScene, cam=None):
         "cos_sample": desc.integrator.cos_sample,
     }
     scfg = {"kind": desc.sampler.kind, "spp": int(desc.sampler.pixel_samples)}
+    if desc.sampler.kind == "halton":
+        from .device.sampler import halton_tables
+
+        scfg["halton"] = halton_tables(desc.film.x_resolution, desc.film.y_resolution)
     fcfg = {
         "filter": desc.film.filter_name,
         "filter_params": dict(desc.film.filter_params),

@@ -112,7 +112,9 @@ class SceneArrays:
     bvh_off: jax.Array  # (N,) i32
     bvh_n: jax.Array  # (N,) i32
     bvh_axis: jax.Array  # (N,) i32
-    bvh_ids: jax.Array  # (P,) i32
+    bvh_ids: jax.Array  # (P,) i32 (identity after BVH-order prim permutation)
+    bvh_packed: jax.Array  # (N, 12) f32: min(3) max(3) off n axis pad(3)
+    prim_test_data: jax.Array  # (P, 16) f32: tri verts (9) | sphere w2o(12)+r/zmin/zmax/phimax
     # --- materials ---
     mat_kind: jax.Array  # (M,) i32
     mat_const: jax.Array  # (M, N_MAT_PARAMS, 3) f32 constant values

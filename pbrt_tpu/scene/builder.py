@@ -158,6 +158,15 @@ class CompiledScene:
     description: SceneDescription
 
 
+def _geom_to_prim_map(prim_kind, prim_geom, kind_id, n_geom):
+    """geometry-table row -> primitive row (prims are in BVH leaf order)."""
+    out = np.zeros(max(n_geom, 0), np.int32)
+    for i, (k, g) in enumerate(zip(prim_kind, prim_geom)):
+        if k == kind_id:
+            out[g] = i
+    return out
+
+
 def _sphere_area(sph):
     # reference sphere.rs area(): phi_max * radius * (zmax - zmin)
     return sph.phi_max * sph.radius * (np.clip(sph.z_max, -sph.radius, sph.radius) - np.clip(sph.z_min, -sph.radius, sph.radius))
@@ -423,6 +432,42 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     max_leaf = desc.accelerator_params.get("maxnodeprims", 4)
     bvh = build_bvh(np.asarray(prim_lo) if n_prims else np.zeros((0, 3)), np.asarray(prim_hi) if n_prims else np.zeros((0, 3)), max_leaf)
 
+    # permute primitive rows into BVH leaf order so leaf primitive ranges are
+    # CONTIGUOUS — packet traversal then reads prim data with uniform slices
+    # instead of per-ray gathers (bvh_ids becomes the identity)
+    if n_prims:
+        perm = np.asarray(bvh.prim_ids, dtype=np.int64)
+        inv = np.empty(n_prims, dtype=np.int64)
+        inv[perm] = np.arange(n_prims)
+
+        def _perm(lst):
+            arr = list(lst)
+            return [arr[i] for i in perm]
+
+        prim_kind = _perm(prim_kind)
+        prim_geom = _perm(prim_geom)
+        prim_mat = _perm(prim_mat)
+        prim_light = _perm(prim_light)
+        prim_flags = _perm(prim_flags)
+        prim_area = _perm(prim_area)
+        prim_medium = _perm(prim_medium)
+        # remap prim references held by lights
+        lights = [(k, p_, (int(inv[pr]) if pr >= 0 else -1)) for (k, p_, pr) in lights]
+        bvh.prim_ids = np.arange(n_prims, dtype=np.int32)
+
+    # packed tables for the packet traversal kernel:
+    # node_data (N, 12): min(3), max(3), off, n_prims, axis, pad(3)
+    node_data = np.zeros((len(bvh.n_prims), 12), np.float32)
+    node_data[:, 0:3] = bvh.bounds_min
+    node_data[:, 3:6] = bvh.bounds_max
+    node_data[:, 6] = bvh.offset
+    node_data[:, 7] = bvh.n_prims
+    node_data[:, 8] = bvh.axis
+    # prim_test_data (P, 16): tri -> 9 vertex floats; sphere -> w2o(12)+... the
+    # sphere pack needs 16: w2o rows (12) + radius, zmin, zmax, phimax
+    ptd = np.zeros((max(n_prims, 1), 16), np.float32)
+    # (filled vectorized below once the concatenated geometry tables exist)
+
     # --- materials (ensure at least one row) -----------------------------------
     if not mat_rows:
         mat_rows.append(_compile_material(HostMaterial(kind="matte", params={"Kd": ("const", np.array([0.5, 0.5, 0.5]))}), tex_reg, lambda m: 0))
@@ -482,6 +527,18 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         return np.concatenate([np.asarray(c, dtype=np.float32).reshape((-1,) + shape) for c in chunks], axis=0)
 
     tri_p_cat = _cat(tri_p, (3, 3))
+    sph_w2o_cat = np.asarray(sph_w2o, dtype=np.float32).reshape(-1, 3, 4)
+    sph_param_cat = np.asarray(sph_param, dtype=np.float32).reshape(-1, 6)
+    if n_prims:
+        pk = np.asarray(prim_kind)
+        pg = np.asarray(prim_geom)
+        tri_rows = np.where(pk == GEOM_TRI)[0]
+        sph_rows = np.where(pk == GEOM_SPHERE)[0]
+        if len(tri_rows):
+            ptd[tri_rows, 0:9] = tri_p_cat[pg[tri_rows]].reshape(len(tri_rows), 9)
+        if len(sph_rows):
+            ptd[sph_rows, 0:12] = sph_w2o_cat[pg[sph_rows]].reshape(len(sph_rows), 12)
+            ptd[sph_rows, 12:16] = sph_param_cat[pg[sph_rows]][:, 0:4]
 
     arrays = SceneArrays(
         tri_p=jnp.asarray(tri_p_cat),
@@ -496,14 +553,16 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         prim_light=jnp.asarray(np.asarray(prim_light, dtype=np.int32)),
         prim_flags=jnp.asarray(np.asarray(prim_flags, dtype=np.int32)),
         prim_area=jnp.asarray(np.asarray(prim_area, dtype=np.float32)),
-        tri_prim_ids=jnp.asarray(np.asarray([i for i, k in enumerate(prim_kind) if k == GEOM_TRI], dtype=np.int32)),
-        sph_prim_ids=jnp.asarray(np.asarray([i for i, k in enumerate(prim_kind) if k == GEOM_SPHERE], dtype=np.int32)),
+        tri_prim_ids=jnp.asarray(_geom_to_prim_map(prim_kind, prim_geom, GEOM_TRI, len(tri_p_cat))),
+        sph_prim_ids=jnp.asarray(_geom_to_prim_map(prim_kind, prim_geom, GEOM_SPHERE, len(sph_o2w))),
         bvh_min=jnp.asarray(bvh.bounds_min),
         bvh_max=jnp.asarray(bvh.bounds_max),
         bvh_off=jnp.asarray(bvh.offset),
         bvh_n=jnp.asarray(bvh.n_prims),
         bvh_axis=jnp.asarray(bvh.axis),
         bvh_ids=jnp.asarray(bvh.prim_ids),
+        bvh_packed=jnp.asarray(node_data),
+        prim_test_data=jnp.asarray(ptd),
         mat_kind=jnp.asarray(mat_kind),
         mat_const=jnp.asarray(mat_const),
         mat_tex=jnp.asarray(mat_tex),

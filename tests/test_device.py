@@ -231,3 +231,26 @@ def test_scrambled_radical_inverse_identity_perm():
     a = np.asarray(rng.scrambled_radical_inverse(base_idx, idx, perm))
     b = np.asarray(rng.radical_inverse(base_idx, idx))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_halton_pixel_enumeration():
+    """CRT enumeration: every Halton index for a pixel lands IN that pixel."""
+    from pbrt_tpu.device.sampler import halton_film_jitter, halton_index, halton_tables
+
+    W, H = 40, 30
+    aux = halton_tables(W, H)
+    r = np.random.RandomState(0)
+    pix = jnp.asarray(r.randint(0, W * H, 64).astype(np.uint32))
+    for s in (0, 1, 5):
+        idx = halton_index(aux, pix, jnp.uint32(s))
+        # raw halton dims scaled by base scales must land on the pixel coords
+        from pbrt_tpu.device import rng as _rng
+
+        x = np.asarray(_rng.radical_inverse(0, idx)) * aux["sx"]
+        y = np.asarray(_rng.radical_inverse(1, idx)) * aux["sy"]
+        px = np.asarray(pix) % W
+        py = np.asarray(pix) // W
+        np.testing.assert_array_equal(np.floor(x).astype(int) % aux["sx"], px % aux["sx"])
+        np.testing.assert_array_equal(np.floor(y).astype(int) % aux["sy"], py % aux["sy"])
+        jx, jy = halton_film_jitter(aux, pix, jnp.uint32(s))
+        assert float(jnp.min(jx)) >= 0 and float(jnp.max(jx)) < 1
