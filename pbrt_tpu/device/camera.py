@@ -19,8 +19,14 @@ from ..scene.host import CameraConfig, FilmConfig
 CAM_PERSPECTIVE = 0
 CAM_ORTHOGRAPHIC = 1
 CAM_ENVIRONMENT = 2
+CAM_REALISTIC = 3
 
-_KINDS = {"perspective": CAM_PERSPECTIVE, "orthographic": CAM_ORTHOGRAPHIC, "environment": CAM_ENVIRONMENT}
+_KINDS = {
+    "perspective": CAM_PERSPECTIVE,
+    "orthographic": CAM_ORTHOGRAPHIC,
+    "environment": CAM_ENVIRONMENT,
+    "realistic": CAM_REALISTIC,
+}
 
 
 def _perspective_matrix(fov_deg, n=1e-2, f=1000.0):
@@ -66,6 +72,11 @@ def make_camera(cfg: CameraConfig, film: FilmConfig):
     raster_to_camera = np.linalg.inv(proj) @ raster_to_screen
 
     c2w = cfg.camera_to_world.m  # (4, 4)
+    realistic = None
+    if kind == CAM_REALISTIC:
+        from .realistic import make_realistic
+
+        realistic = make_realistic(cfg, film)
     # physical area of the screen window at z=1 (for light-transport We)
     if kind == CAM_PERSPECTIVE:
         import math as _m
@@ -83,6 +94,7 @@ def make_camera(cfg: CameraConfig, film: FilmConfig):
         "resolution": (xres, yres),
         "shutter": (cfg.shutter_open, cfg.shutter_close),
         "screen_area": float(screen_area),
+        "realistic": realistic,
     }
 
 
@@ -122,6 +134,11 @@ def generate_rays(cam, p_film_x, p_film_y, u_lens1, u_lens2):
     texture filtering path via the camera dx/dy helper below.
     """
     kind = cam["kind"]
+    if kind == CAM_REALISTIC:
+        from .realistic import realistic_generate_rays
+
+        o, d, _w = realistic_generate_rays(cam, cam["realistic"], p_film_x, p_film_y, u_lens1, u_lens2)
+        return o, d
     r2c = cam["raster_to_camera"]
     c2w = cam["camera_to_world"]
     p_raster = jnp.stack([p_film_x, p_film_y, jnp.zeros_like(p_film_x)], axis=-1)

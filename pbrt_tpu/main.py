@@ -24,6 +24,8 @@ def build_arg_parser():
     p.add_argument("--logtostderr", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--spp", type=int, default=None, help="override sampler pixel samples")
+    p.add_argument("--checkpoint", default="", help="checkpoint file for resumable renders")
+    p.add_argument("--checkpoint-every", type=int, default=32, help="samples between checkpoints")
     return p
 
 
@@ -63,7 +65,14 @@ def main(argv=None):
             sys.stderr.write(f"\r[{done}/{total} spp]")
             sys.stderr.flush()
 
-    img = render(desc, seed=args.seed, spp=args.spp, progress=progress)
+    img = render(
+        desc,
+        seed=args.seed,
+        spp=args.spp,
+        progress=progress,
+        checkpoint_path=args.checkpoint or None,
+        checkpoint_every=args.checkpoint_every,
+    )
     if not args.quiet:
         sys.stderr.write("\n")
 

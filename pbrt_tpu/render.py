@@ -141,7 +141,13 @@ def _one_sample_wave(sa, static, icfg, scfg, fcfg, cam, px_base, py_base, pixel_
     dx, dy, w = filter_offset(fcfg["filter"], fcfg["filter_params"], u1, u2)
     px = px_base.astype(F32) + 0.5 + dx
     py = py_base.astype(F32) + 0.5 + dy
-    o, d = generate_rays(cam, px, py, ul1, ul2)
+    ray_w = None
+    if cam.get("realistic") is not None:
+        from .device.realistic import realistic_generate_rays
+
+        o, d, ray_w = realistic_generate_rays(cam, cam["realistic"], px, py, ul1, ul2)
+    else:
+        o, d = generate_rays(cam, px, py, ul1, ul2)
     if static.tex_programs and any(p.kind == "imagemap" for p in static.tex_programs):
         from .device.camera import ray_differential_dirs
 
@@ -158,6 +164,10 @@ def _one_sample_wave(sa, static, icfg, scfg, fcfg, cam, px_base, py_base, pixel_
         L = L * scale[:, None]
     if w is None:
         w = jnp.ones(L.shape[0], F32)
+    if ray_w is not None:
+        # realistic-lens vignetting weight (weights the sample, not the
+        # filter normalization)
+        L = L * ray_w[:, None]
     return L * w[:, None], w, n_vertices
 
 
@@ -193,10 +203,10 @@ def make_wave_fn(cs: CompiledScene, cam=None):
     return wave
 
 
-def render(desc: SceneDescription, seed: int = 0, spp: int | None = None, progress=None):
+def render(desc: SceneDescription, seed: int = 0, spp: int | None = None, progress=None, **kw):
     """Render a scene description to an (H, W, 3) float32 numpy image."""
     cs = compile_scene(desc)
-    return render_compiled(cs, seed=seed, spp=spp, progress=progress)
+    return render_compiled(cs, seed=seed, spp=spp, progress=progress, **kw)
 
 
 _WAVE_CACHE: dict = {}
@@ -212,7 +222,15 @@ def _cached_wave_fn(cs: CompiledScene):
     return _WAVE_CACHE["wave"]
 
 
-def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, progress=None):
+def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, progress=None,
+                    checkpoint_path: str | None = None, checkpoint_every: int = 0):
+    """Render; optionally checkpoint film state every N samples.
+
+    Checkpointing (absent from the reference — SURVEY.md §5 mandates it for
+    preemptible TPUs): the film accumulator + weight sum + next sample index
+    are plain arrays, snapshotted to an .npz; a matching snapshot on disk is
+    resumed automatically.
+    """
     desc = cs.description
     if desc.integrator.kind == "sppm":
         from .device.sppm import render_sppm
@@ -254,14 +272,32 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
     acc = np.zeros((R, 3), np.float64)
     wacc = np.zeros((R,), np.float64)
     n_vertices = 0.0
+    s_start = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        try:
+            ck = np.load(checkpoint_path)
+            if int(ck["spp_total"]) == spp and ck["acc"].shape == acc.shape and int(ck["seed"]) == seed:
+                acc = ck["acc"]
+                wacc = ck["wacc"]
+                s_start = int(ck["next_sample"])
+                log.info("resumed checkpoint at sample %d/%d", s_start, spp)
+            else:
+                log.warning("checkpoint %s does not match this render; ignoring", checkpoint_path)
+        except Exception as e:  # corrupt snapshot: start over
+            log.warning("checkpoint unreadable (%s); starting fresh", e)
     t0 = time.time()
-    for s in range(spp):
+    for s in range(s_start, spp):
         for c in range(n_chunks):
             sl = slice(c * chunk, min((c + 1) * chunk, R))
             Lw, w, nv = wave(sa, px[sl], py[sl], pixel_ids[sl], jnp.uint32(s), jnp.uint32(seed))
             acc[sl] += np.asarray(Lw, np.float64)
             wacc[sl] += np.asarray(w, np.float64)
             n_vertices += float(np.asarray(jnp.sum(nv)))
+        if checkpoint_path and checkpoint_every and (s + 1) % checkpoint_every == 0:
+            tmp = checkpoint_path + ".tmp.npz"
+            with open(tmp, "wb") as fh:
+                np.savez(fh, acc=acc, wacc=wacc, next_sample=s + 1, spp_total=spp, seed=seed)
+            os.replace(tmp, checkpoint_path)
         if progress:
             progress(s + 1, spp)
     dt = time.time() - t0
