@@ -112,12 +112,16 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
 
     sel_pdf = _light_select_pdf(static)
     nee_on = ikind in ("path", "volpath", "directlighting")
-    handle_media = ikind == "volpath" and static.n_media > 0
+    # path handles subsurface interiors too (the volumetric random walk is
+    # this build's BSSRDF, replacing the tabulated dipole; path.rs:177-204)
+    handle_media = (ikind == "volpath" and static.n_media > 0) or (
+        ikind in ("path", "volpath") and static.has_sss_media
+    )
     pass_null = static.has_null_material or handle_media
     kind_s = scfg["kind"]
     spp = scfg["spp"]
     DPB = 8  # sample dims per bounce (dims 0-1 = film/lens, consumed by caller)
-    extra_iters = 4 if pass_null else 0
+    extra_iters = (24 if static.has_sss_media else 4) if pass_null else 0
 
     if handle_media or pass_null:
         from .media import hg_p, hg_sample, medium_sample, transmittance_shadow
@@ -305,7 +309,12 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         new_pdf = jnp.where(surf_cont, jnp.maximum(bs["pdf"], 1e-30), prev_pdf)
         new_prev_p = jnp.where(surf_cont[:, None], si["p"], prev_p)
         eta_scale = jnp.where(surf_cont, eta_scale * bs["eta_scale"], eta_scale)
-        new_bounces = bounces + (surf_cont | in_scatter)
+        # interior SSS scattering is depth-free (matches the reference's
+        # BSSRDF not consuming path depth); other medium events count
+        scatter_counts = in_scatter
+        for _mid in static.sss_media:
+            scatter_counts = scatter_counts & (medium != _mid)
+        new_bounces = bounces + (surf_cont | scatter_counts)
 
         # medium transition on transmission through a medium-interface surface
         if handle_media or pass_null:

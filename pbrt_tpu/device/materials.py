@@ -263,11 +263,17 @@ def make_bsdf(sa: SceneArrays, static: SceneStatic, mat_ids, uv, p, duvdx=None, 
         w.put(3, m & _nonblack(st_c), LOBE_MICRO_T, st_c, eta=eta, ax=ax, ay=ay)
 
     if MAT_SUBSURFACE in kinds or MAT_KDSUBSURFACE in kinds:
+        # interface = Fresnel reflection + DIFFUSE transmission: the diffuse
+        # entry/exit stands in for the reference BSSRDF's Sw term
+        # (bssrdf.rs sw(): (1-Fr)/(c*pi)) so NEE works at the boundary;
+        # interior transport is the implicit medium's random walk
         m = (kind == MAT_SUBSURFACE) | (kind == MAT_KDSUBSURFACE)
         smooth = (urough == 0) & (vrough == 0)
-        w.put(4, m & smooth, LOBE_FRESNEL_SPEC, kr, eta=eta, k_or_t=kt)
+        f0 = ((eta - 1.0) / (eta + 1.0)) ** 2
+        trans_w = jnp.clip(kt * (1.0 - f0)[:, None], 0.0, 1.0)
+        w.put(4, m & smooth, LOBE_SPEC_R, kr, eta=eta, fresnel=FR_DIELECTRIC)
         w.put(2, m & ~smooth, LOBE_MICRO_R, kr, eta=eta, ax=ax, ay=ay, fresnel=FR_DIELECTRIC)
-        w.put(3, m & ~smooth, LOBE_MICRO_T, kt, eta=eta, ax=ax, ay=ay)
+        w.put(1, m, LOBE_LAMBERT_T, trans_w)
 
     if MAT_FOURIER in kinds or MAT_HAIR in kinds:
         # placeholder shading until the tabulated/fiber models land

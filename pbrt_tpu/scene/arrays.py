@@ -187,6 +187,8 @@ class SceneStatic:
     media_kinds: tuple = ()  # 'homogeneous' | 'heterogeneous' per medium id
     camera_medium: int = -1
     has_null_material: bool = False  # scene contains medium-boundary prims
+    has_sss_media: bool = False  # implicit subsurface interior media present
+    sss_media: tuple = ()  # medium ids that are subsurface interiors
     light_image_keys: tuple = ()  # per light: "lim{i}" key or None
     light_kinds: tuple = ()  # static LIGHT_* per light row
 

@@ -208,6 +208,19 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             med_w2m_rows.append(hm.medium_to_world.inverse().m[:3, :])
         med_param_rows.append(row)
 
+    def add_medium(hm, name):
+        mid = len(med_param_rows)
+        med_ids[name] = mid
+        media_kinds.append(hm.kind)
+        row = np.zeros(8)
+        row[0:3] = hm.sigma_a
+        row[3:6] = hm.sigma_s
+        row[6] = hm.g
+        row[7] = 1.0
+        med_param_rows.append(row)
+        med_w2m_rows.append(np.eye(4)[:3, :])
+        return mid
+
     def medium_id(name: str) -> int:
         if not name:
             return -1
@@ -302,8 +315,58 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             log.warning("light kind '%s' dropped", hl.kind)
 
     # --- primitives ------------------------------------------------------------
+    from .host import HostMedium
+
+    _sss_media: dict[int, str] = {}
+
+    def sss_medium_for(mat: HostMaterial) -> str:
+        """Subsurface materials scatter volumetrically: build an interior
+        medium from their sigma_a/sigma_s (random-walk SSS replaces the
+        reference's tabulated-dipole BSSRDF, bssrdf.rs — unbiased, and the
+        internal diffusion does not consume path depth, matching the
+        reference's semantics)."""
+        key = id(mat)
+        if key in _sss_media:
+            return _sss_media[key]
+        name = f"__sss_{len(_sss_media)}"
+        scale = 1.0
+        sc = mat.params.get("scale")
+        if sc is not None and sc[0] == "const":
+            scale = float(np.atleast_1d(sc[1]).ravel()[0])
+        g = 0.0
+        gp = mat.params.get("g")
+        if gp is not None and gp[0] == "const":
+            g = float(np.atleast_1d(gp[1]).ravel()[0])
+
+        def cvec(nm, default):
+            v = mat.params.get(nm)
+            if v is not None and v[0] == "const":
+                a = np.atleast_1d(np.asarray(v[1], float)).ravel()
+                return np.repeat(a, 3)[:3] if a.size == 1 else a[:3]
+            return np.asarray(default, float)
+
+        if mat.kind == "kdsubsurface":
+            # kdsubsurface.rs: Kd + mean free path -> scattering coefficients
+            # via the classical diffuse-albedo inversion (approximate)
+            kdv = np.clip(cvec("Kd", [0.5, 0.5, 0.5]), 1e-4, 0.999)
+            mfp = np.maximum(cvec("mfp", [1.0, 1.0, 1.0]), 1e-6)
+            # invert Rd(alpha') for the dipole (Jensen 2001 fit)
+            alpha = 1.0 - np.exp(-8.0 * kdv)  # smooth monotone approximation
+            sigma_t = 1.0 / mfp
+            sig_s = alpha * sigma_t
+            sig_a = sigma_t - sig_s
+        else:
+            sig_a = cvec("sigma_a", [0.0011, 0.0024, 0.014]) * scale
+            sig_s = cvec("sigma_s", [2.55, 3.21, 3.77]) * scale
+        hm = HostMedium(kind="homogeneous", sigma_a=np.maximum(sig_a, 0.0), sigma_s=np.maximum(sig_s, 0.0), g=g)
+        add_medium(hm, name)
+        _sss_media[key] = name
+        return name
+
     for prim in desc.primitives:
         mid = material_id(prim.material)
+        if prim.material.kind in ("subsurface", "kdsubsurface") and not prim.inside_medium:
+            prim.inside_medium = sss_medium_for(prim.material)
         sh = prim.shape
         if sh.mesh is not None:
             mesh = sh.mesh
@@ -604,6 +667,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         n_media=len(med_names),
         media_kinds=tuple(media_kinds),
         camera_medium=med_ids.get(desc.camera_medium, -1),
+        has_sss_media=bool(_sss_media),
+        sss_media=tuple(med_ids[n] for n in _sss_media.values()),
         has_null_material=any(int(k) == 0 for k in mat_kind[np.asarray(prim_mat, dtype=np.int64)]) if n_prims else False,
         light_image_keys=tuple(light_image_keys),
         light_kinds=tuple(int(l[0]) for l in lights),
