@@ -41,6 +41,7 @@ LOBE_FRESNEL_SPEC = 8
 LOBE_FRESNEL_BLEND = 9
 LOBE_DISNEY_DIFF = 10  # Burley diffuse + sheen (disney.rs DisneyDiffuse/Sheen)
 LOBE_CLEARCOAT = 11  # GTR1 clearcoat (disney.rs DisneyClearcoat)
+LOBE_FOURIER = 12  # tabulated measured BSDF (reflection.rs FourierBSDF); table id in data[12]
 
 SPECULAR_KINDS = frozenset({LOBE_SPEC_R, LOBE_SPEC_T, LOBE_FRESNEL_SPEC})
 TRANS_KINDS = frozenset({LOBE_LAMBERT_T, LOBE_MICRO_T, LOBE_SPEC_T})
@@ -236,7 +237,7 @@ def cosine_sample_hemisphere(u1, u2):
 _DIFFUSE_LIKE = frozenset({LOBE_LAMBERT_R, LOBE_LAMBERT_T, LOBE_OREN_NAYAR})
 
 
-def _lobe_f(kind, data, wo, wi, possible: frozenset):
+def _lobe_f(kind, data, wo, wi, possible: frozenset, fourier_ft=None):
     """f for one lobe slot, vectorized. Non-specular kinds only."""
     R = wo.shape[0]
     color = data[..., 0:3]
@@ -331,6 +332,12 @@ def _lobe_f(kind, data, wo, wi, possible: frozenset):
         ok_cc = refl_hemi & (whl > 1e-12)
         out = jnp.where(((kind == LOBE_CLEARCOAT) & ok_cc)[:, None], f_cc, out)
 
+    if LOBE_FOURIER in possible and fourier_ft is not None:
+        from .fourier import fourier_f
+
+        f_fo = fourier_f(fourier_ft, data[..., 12].astype(jnp.int32), wo, wi)
+        out = jnp.where((kind == LOBE_FOURIER)[:, None], f_fo, out)
+
     if LOBE_FRESNEL_BLEND in possible:
         rd = color
         rs = data[..., 6:9]
@@ -354,12 +361,12 @@ def _lobe_f(kind, data, wo, wi, possible: frozenset):
 def _lobe_matches(kind, refl):
     """Does this lobe contribute for the given geometric reflect/transmit bit?"""
     is_trans = (kind == LOBE_LAMBERT_T) | (kind == LOBE_MICRO_T) | (kind == LOBE_SPEC_T)
-    is_both = kind == LOBE_FRESNEL_SPEC
+    is_both = (kind == LOBE_FRESNEL_SPEC) | (kind == LOBE_FOURIER)
     is_refl = (kind != LOBE_NONE) & ~is_trans & ~is_both
     return jnp.where(refl, is_refl, is_trans) | is_both
 
 
-def _lobe_pdf(kind, data, wo, wi, possible: frozenset):
+def _lobe_pdf(kind, data, wo, wi, possible: frozenset, fourier_ft=None):
     """Solid-angle pdf for one lobe (0 for specular kinds)."""
     refl_hemi = same_hemisphere(wo, wi)
     abs_ci = abs_cos_theta(wi)
@@ -403,6 +410,12 @@ def _lobe_pdf(kind, data, wo, wi, possible: frozenset):
         p_mt = ggx_pdf(wo, wh_t, ax, ay) * dwh_dwi
         pdf = jnp.where((kind == LOBE_MICRO_T) & ~refl_hemi & ~same_side, p_mt, pdf)
 
+    if LOBE_FOURIER in possible and fourier_ft is not None:
+        from .fourier import fourier_pdf
+
+        p_fo = fourier_pdf(fourier_ft, data[..., 12].astype(jnp.int32), wo, wi)
+        pdf = jnp.where(kind == LOBE_FOURIER, p_fo, pdf)
+
     return pdf
 
 
@@ -423,7 +436,7 @@ def bsdf_f(lobes, wo, wi, refl):
             continue
         k = kinds[:, s]
         match = _lobe_matches(k, refl) & ~_is_specular(k)
-        f_s = _lobe_f(k, lobes["data"][:, s], wo, wi, poss)
+        f_s = _lobe_f(k, lobes["data"][:, s], wo, wi, poss, lobes.get("fourier"))
         total = total + jnp.where(match[:, None], f_s, 0.0)
     return total
 
@@ -444,7 +457,7 @@ def bsdf_pdf(lobes, wo, wi):
         k = kinds[:, s]
         active = k != LOBE_NONE
         if poss - SPECULAR_KINDS:
-            total = total + jnp.where(active, _lobe_pdf(k, lobes["data"][:, s], wo, wi, poss), 0.0)
+            total = total + jnp.where(active, _lobe_pdf(k, lobes["data"][:, s], wo, wi, poss, lobes.get("fourier")), 0.0)
         n = n + active
     return jnp.where(n > 0, total / jnp.maximum(n, 1.0), 0.0)
 
@@ -555,6 +568,14 @@ def bsdf_sample(lobes, wo, u_lobe, u1, u2):
         m = k == LOBE_CLEARCOAT
         wi = jnp.where(m[:, None], wi_cc, wi)
         valid = valid & jnp.where(m, same_hemisphere(wo, wi_cc), True)
+
+    if LOBE_FOURIER in union:
+        from .fourier import fourier_sample
+
+        fs = fourier_sample(lobes["fourier"], dat[:, 12].astype(jnp.int32), wo, u1, u2)
+        m = k == LOBE_FOURIER
+        wi = jnp.where(m[:, None], fs["wi"], wi)
+        valid = valid & jnp.where(m, fs["valid"], True)
 
     if LOBE_FRESNEL_BLEND in union:
         fb_diffuse = u1 < 0.5

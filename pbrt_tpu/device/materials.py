@@ -46,6 +46,7 @@ from ..scene.arrays import (
 from .bsdf import (
     LOBE_CLEARCOAT,
     LOBE_DISNEY_DIFF,
+    LOBE_FOURIER,
     LOBE_FRESNEL_BLEND,
     LOBE_FRESNEL_SPEC,
     LOBE_LAMBERT_R,
@@ -275,13 +276,23 @@ def make_bsdf(sa: SceneArrays, static: SceneStatic, mat_ids, uv, p, duvdx=None, 
         w.put(2, m & ~smooth, LOBE_MICRO_R, kr, eta=eta, ax=ax, ay=ay, fresnel=FR_DIELECTRIC)
         w.put(1, m, LOBE_LAMBERT_T, trans_w)
 
-    if MAT_FOURIER in kinds or MAT_HAIR in kinds:
-        # placeholder shading until the tabulated/fiber models land
-        m = (kind == MAT_FOURIER) | (kind == MAT_HAIR)
+    if MAT_FOURIER in kinds and static.has_fourier:
+        # tabulated measured BSDF (materials/fourier.rs; reflection.rs
+        # FourierBSDF): table id rides in data[12], tables in lobes["fourier"]
+        m = kind == MAT_FOURIER
+        ex = gather_rows(sa.mat_const[:, P_EXTRA], mat_ids)
+        w.put(5, m, LOBE_FOURIER, jnp.ones((R, 3), F32), ab=(ex[:, 0], jnp.zeros(R, F32)))
+
+    if MAT_HAIR in kinds:
+        # placeholder shading until the fiber model lands
+        m = kind == MAT_HAIR
         w.put(0, m, LOBE_LAMBERT_R, jnp.where(_nonblack(kd)[:, None], kd, 0.5))
 
     if is_mix is not None:
         # apply the mixture color scale to every written lobe
         w.data = w.data.at[:, :, 0:3].multiply(jnp.where(is_mix[:, None, None], mix_scale[:, None, :], 1.0))
 
-    return {"kind": w.kind, "data": w.data, "possible": tuple(frozenset(p) for p in w.possible)}
+    out = {"kind": w.kind, "data": w.data, "possible": tuple(frozenset(p) for p in w.possible)}
+    if static.has_fourier:
+        out["fourier"] = sa.fourier
+    return out

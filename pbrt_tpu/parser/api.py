@@ -557,13 +557,14 @@ class API:
             flt("vroughness", 0.0)
             p["remaproughness"] = ("const", tp.find_one_bool("remaproughness", True))
         elif name in ("fourier", "hair"):
-            # Recorded with full params; tabulated/fiber device models are a
-            # later stage (shaded as diffuse placeholder meanwhile).
+            # fourier: tabulated BSDF (SCATFUN file, loaded at scene compile);
+            # hair shades as a diffuse placeholder until the fiber model lands
             for key in ("bsdffile",):
                 s = tp.find_one_filename(key, "")
                 if s:
                     p[key] = ("const", s)
-            log.warning("material '%s' not yet device-supported; shading as diffuse placeholder", name)
+            if name == "hair":
+                log.warning("material 'hair' not yet device-supported; shading as diffuse placeholder")
             spec("Kd", [0.5, 0.5, 0.5])
             flt("sigma", 0.0)
         else:

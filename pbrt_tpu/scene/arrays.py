@@ -136,6 +136,7 @@ class SceneArrays:
     tex_images: dict = field(default_factory=dict)  # name "img{i}" -> (H, W, 3) f32
     med_grids: dict = field(default_factory=dict)  # name "med{i}" -> (nz, ny, nx) f32 density
     light_images: dict = field(default_factory=dict)  # "lim{i}" -> (H, W, 3) f32 (gonio/projection maps)
+    fourier: dict = field(default_factory=dict)  # stacked FourierBSDF tables (device/fourier.py)
     tex_param: jax.Array | None = None  # (X, 24) f32 per-texture params
     # --- infinite light env map machinery (None when constant) ---
     env_image: jax.Array | None = None  # (H, W, 3)
@@ -191,6 +192,7 @@ class SceneStatic:
     sss_media: tuple = ()  # medium ids that are subsurface interiors
     light_image_keys: tuple = ()  # per light: "lim{i}" key or None
     light_kinds: tuple = ()  # static LIGHT_* per light row
+    has_fourier: bool = False  # scene has readable tabulated (fourier) BSDFs
 
 
 def scene_byte_size(sa: SceneArrays) -> int:

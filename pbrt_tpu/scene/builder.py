@@ -233,6 +233,21 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     tex_reg = _TextureRegistry()
     mat_index: dict[int, int] = {}
     mat_rows: list[tuple] = []  # (kind_id, const (P,3), tex (P,), remap)
+    fourier_tables: list[dict] = []
+    fourier_ids: dict[str, int] = {}
+
+    def register_fourier(path: str) -> int:
+        """Load + densify a SCATFUN table once per path (fourier.rs:16-36)."""
+        if path in fourier_ids:
+            return fourier_ids[path]
+        from ..core.fourierbsdf import read_fourier_table
+
+        tbl = read_fourier_table(path)
+        tid = -1 if tbl is None else len(fourier_tables)
+        if tbl is not None:
+            fourier_tables.append(tbl)
+        fourier_ids[path] = tid
+        return tid
 
     def material_id(mat: HostMaterial) -> int:
         key = id(mat)
@@ -241,7 +256,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         mid = len(mat_rows)
         mat_rows.append(None)  # reserve the row (mix sub-materials recurse)
         mat_index[key] = mid
-        mat_rows[mid] = _compile_material(mat, tex_reg, material_id)
+        mat_rows[mid] = _compile_material(mat, tex_reg, material_id, register_fourier)
         return mid
 
     lights: list[tuple] = []  # (kind, params(12,), prim_id)
@@ -603,6 +618,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             ptd[sph_rows, 0:12] = sph_w2o_cat[pg[sph_rows]].reshape(len(sph_rows), 12)
             ptd[sph_rows, 12:16] = sph_param_cat[pg[sph_rows]][:, 0:4]
 
+    fourier_dev = _stack_fourier_tables(fourier_tables)
+
     arrays = SceneArrays(
         tri_p=jnp.asarray(tri_p_cat),
         tri_n=jnp.asarray(_cat(tri_n, (3, 3))),
@@ -647,6 +664,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         env_cond_cdf=env_cond,
         env_marg_cdf=env_marg,
         env_w2l=env_w2l,
+        fourier=fourier_dev,
     )
     static = SceneStatic(
         n_tris=len(tri_p_cat),
@@ -672,11 +690,54 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         has_null_material=any(int(k) == 0 for k in mat_kind[np.asarray(prim_mat, dtype=np.int64)]) if n_prims else False,
         light_image_keys=tuple(light_image_keys),
         light_kinds=tuple(int(l[0]) for l in lights),
+        has_fourier=bool(fourier_dev),
     )
     return CompiledScene(arrays=arrays, static=static, description=desc)
 
 
-def _compile_material(mat: HostMaterial, tex_reg: _TextureRegistry, register_material=None):
+def _stack_fourier_tables(tables: list[dict]) -> dict:
+    """Stack per-path FourierBSDF tables into one padded device block
+    (layout consumed by device/fourier.py). Padding rules: mu nodes keep
+    strictly increasing past the real range (interval search never selects
+    them for in-range cosines), coefficient rows pad with zeros, and cdf
+    columns pad with a steep ramp so the sampling inversion can't land in
+    padding. Single-table scenes (the common case) get zero padding."""
+    if not tables:
+        return {}
+    nmu_max = max(t["nmu"] for t in tables)
+    mcap_max = max(t["m_cap"] for t in tables)
+    nt = len(tables)
+    mu_s = np.zeros((nt, nmu_max), np.float32)
+    a_s = np.zeros((nt, nmu_max * nmu_max, 3 * mcap_max), np.float32)
+    a0_s = np.zeros((nt, nmu_max, nmu_max), np.float32)
+    cdf_s = np.zeros((nt, nmu_max, nmu_max), np.float32)
+    eta_s = np.zeros((nt,), np.float32)
+    for ti, t in enumerate(tables):
+        n, mc = t["nmu"], t["m_cap"]
+        mu_s[ti, :n] = t["mu"]
+        if n < nmu_max:
+            mu_s[ti, n:] = t["mu"][-1] + 1e-3 * np.arange(1, nmu_max - n + 1, dtype=np.float32)
+        grid = np.zeros((nmu_max, nmu_max, 3, mcap_max), np.float32)
+        grid[:n, :n, :, :mc] = t["a"].reshape(n, n, 3, mc)  # rows [o, i]
+        a_s[ti] = grid.reshape(nmu_max * nmu_max, 3 * mcap_max)
+        a0_s[ti, :n, :n] = t["a0"]
+        cdf_s[ti, :n, :n] = t["cdf"]
+        if n < nmu_max:
+            step = max(1.0, float(t["cdf"].max()))
+            ramp = t["cdf"][:, -1:] + step * np.arange(1, nmu_max - n + 1, dtype=np.float32)[None, :]
+            cdf_s[ti, :n, n:] = ramp
+            cdf_s[ti, n:, :] = cdf_s[ti, n - 1 : n, :]
+        eta_s[ti] = t["eta"]
+    return {
+        "mu": jnp.asarray(mu_s),
+        "aflat": jnp.asarray(a_s),
+        "a0": jnp.asarray(a0_s),
+        "cdf": jnp.asarray(cdf_s),
+        "eta": jnp.asarray(eta_s),
+    }
+
+
+def _compile_material(mat: HostMaterial, tex_reg: _TextureRegistry, register_material=None, register_fourier=None):
     """HostMaterial -> (kind_id, const (N_MAT_PARAMS,3), tex (N_MAT_PARAMS,), remap)."""
     kind = MAT_IDS.get(mat.kind, None)
     if kind is None:
@@ -767,7 +828,19 @@ def _compile_material(mat: HostMaterial, tex_reg: _TextureRegistry, register_mat
     if rm is not None and rm[0] == "const":
         remap = 1 if rm[1] else 0
 
-    from .arrays import MAT_DISNEY, MAT_KDSUBSURFACE, MAT_MIX, MAT_SUBSURFACE, P_EXTRA, P_EXTRA2
+    from .arrays import MAT_DISNEY, MAT_FOURIER, MAT_KDSUBSURFACE, MAT_MATTE as _MATTE, MAT_MIX, MAT_SUBSURFACE, P_EXTRA, P_EXTRA2
+
+    if kind == MAT_FOURIER:
+        # tabulated BSDF (materials/fourier.rs): load the SCATFUN file at
+        # compile time; unreadable tables degrade to matte like the reference
+        src = mat.params.get("bsdffile")
+        tid = -1
+        if register_fourier is not None and src is not None and src[0] == "const":
+            tid = register_fourier(str(src[1]))
+        if tid < 0:
+            kind = _MATTE
+        else:
+            const[P_EXTRA][0] = tid
 
     if kind == MAT_MIX:
         # amount texture/const -> P_KD slot; sub-material rows -> P_EXTRA
