@@ -42,6 +42,7 @@ LOBE_FRESNEL_BLEND = 9
 LOBE_DISNEY_DIFF = 10  # Burley diffuse + sheen (disney.rs DisneyDiffuse/Sheen)
 LOBE_CLEARCOAT = 11  # GTR1 clearcoat (disney.rs DisneyClearcoat)
 LOBE_FOURIER = 12  # tabulated measured BSDF (reflection.rs FourierBSDF); table id in data[12]
+LOBE_HAIR = 13  # Marschner fiber model (materials/hair.rs); see device/hair.py for slots
 
 SPECULAR_KINDS = frozenset({LOBE_SPEC_R, LOBE_SPEC_T, LOBE_FRESNEL_SPEC})
 TRANS_KINDS = frozenset({LOBE_LAMBERT_T, LOBE_MICRO_T, LOBE_SPEC_T})
@@ -338,6 +339,12 @@ def _lobe_f(kind, data, wo, wi, possible: frozenset, fourier_ft=None):
         f_fo = fourier_f(fourier_ft, data[..., 12].astype(jnp.int32), wo, wi)
         out = jnp.where((kind == LOBE_FOURIER)[:, None], f_fo, out)
 
+    if LOBE_HAIR in possible:
+        from .hair import hair_f
+
+        f_h = hair_f(data, wo, wi)
+        out = jnp.where((kind == LOBE_HAIR)[:, None], f_h, out)
+
     if LOBE_FRESNEL_BLEND in possible:
         rd = color
         rs = data[..., 6:9]
@@ -361,7 +368,7 @@ def _lobe_f(kind, data, wo, wi, possible: frozenset, fourier_ft=None):
 def _lobe_matches(kind, refl):
     """Does this lobe contribute for the given geometric reflect/transmit bit?"""
     is_trans = (kind == LOBE_LAMBERT_T) | (kind == LOBE_MICRO_T) | (kind == LOBE_SPEC_T)
-    is_both = (kind == LOBE_FRESNEL_SPEC) | (kind == LOBE_FOURIER)
+    is_both = (kind == LOBE_FRESNEL_SPEC) | (kind == LOBE_FOURIER) | (kind == LOBE_HAIR)
     is_refl = (kind != LOBE_NONE) & ~is_trans & ~is_both
     return jnp.where(refl, is_refl, is_trans) | is_both
 
@@ -415,6 +422,12 @@ def _lobe_pdf(kind, data, wo, wi, possible: frozenset, fourier_ft=None):
 
         p_fo = fourier_pdf(fourier_ft, data[..., 12].astype(jnp.int32), wo, wi)
         pdf = jnp.where(kind == LOBE_FOURIER, p_fo, pdf)
+
+    if LOBE_HAIR in possible:
+        from .hair import hair_pdf
+
+        p_h = hair_pdf(data, wo, wi)
+        pdf = jnp.where(kind == LOBE_HAIR, p_h, pdf)
 
     return pdf
 
@@ -576,6 +589,14 @@ def bsdf_sample(lobes, wo, u_lobe, u1, u2):
         m = k == LOBE_FOURIER
         wi = jnp.where(m[:, None], fs["wi"], wi)
         valid = valid & jnp.where(m, fs["valid"], True)
+
+    if LOBE_HAIR in union:
+        from .hair import hair_sample
+
+        hs = hair_sample(dat, wo, u1, u2)
+        m = k == LOBE_HAIR
+        wi = jnp.where(m[:, None], hs["wi"], wi)
+        valid = valid & jnp.where(m, hs["valid"], True)
 
     if LOBE_FRESNEL_BLEND in union:
         fb_diffuse = u1 < 0.5

@@ -48,6 +48,7 @@ from .bsdf import (
     LOBE_DISNEY_DIFF,
     LOBE_FOURIER,
     LOBE_FRESNEL_BLEND,
+    LOBE_HAIR,
     LOBE_FRESNEL_SPEC,
     LOBE_LAMBERT_R,
     LOBE_LAMBERT_T,
@@ -284,9 +285,20 @@ def make_bsdf(sa: SceneArrays, static: SceneStatic, mat_ids, uv, p, duvdx=None, 
         w.put(5, m, LOBE_FOURIER, jnp.ones((R, 3), F32), ab=(ex[:, 0], jnp.zeros(R, F32)))
 
     if MAT_HAIR in kinds:
-        # placeholder shading until the fiber model lands
+        # Marschner fiber BSDF (materials/hair.rs; device/hair.py). P_KD
+        # carries sigma_a directly (mode 0) or a reflectance color that is
+        # inverted here per-pixel with beta_n (mode 1, textured color);
+        # h = -1 + 2*v across the tessellated ribbon width (hair.rs:188)
         m = kind == MAT_HAIR
-        w.put(0, m, LOBE_LAMBERT_R, jnp.where(_nonblack(kd)[:, None], kd, 0.5))
+        ex = gather_rows(sa.mat_const[:, P_EXTRA], mat_ids)
+        alpha_deg = ex[:, 0]
+        kd_raw = jnp.clip(param(P_KD), 0.0, None)  # sigma_a is unbounded above
+        bn = jnp.clip(vrough, 1e-3, 1.0)
+        denom = 5.969 - 0.215 * bn + 2.532 * bn ** 2 - 10.73 * bn ** 3 + 5.574 * bn ** 4 + 0.245 * bn ** 5
+        sig_conv = (jnp.log(jnp.clip(kd_raw, 1e-4, 1.0)) / denom[:, None]) ** 2
+        sig = jnp.where((ex[:, 1] > 0.5)[:, None], sig_conv, kd_raw)
+        h = -1.0 + 2.0 * uv[:, 1]
+        w.put(0, m, LOBE_HAIR, sig, eta=eta, ax=jnp.clip(urough, 0.0, 1.0), ay=bn, ab=(alpha_deg, h))
 
     if is_mix is not None:
         # apply the mixture color scale to every written lobe

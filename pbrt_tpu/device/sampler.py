@@ -26,11 +26,29 @@ def is_ld(kind: str) -> bool:
     return kind in _LD_KINDS
 
 
+def sobol_dim(sample_idx, dim: int, scramble):
+    """Sobol' sample of dimension `dim` at index `sample_idx`, XOR-scrambled.
+
+    Generator matrices come from core/sobolmat.py (algorithmic equivalent of
+    sobolmatrices.rs); the 32 column XORs unroll into pure vector ops."""
+    from ..core.sobolmat import matrix
+
+    cols = matrix(dim)
+    idxu = jnp.asarray(sample_idx).astype(jnp.uint32)
+    res = jnp.broadcast_to(jnp.asarray(scramble, jnp.uint32), idxu.shape)
+    for j in range(32):
+        c = int(cols[j])
+        if c == 0:
+            continue
+        res = res ^ jnp.where(((idxu >> j) & jnp.uint32(1)) > 0, jnp.uint32(c), jnp.uint32(0))
+    return rng.u32_to_float(res)
+
+
 def sample_2d(kind: str, seed, pixel, sample_idx, dim, spp: int):
     """One 2D sample. dim may be a static int or a traced int32 (inside the
     rolled bounce loop); the Halton radical-inverse path needs a static base,
     so traced dims fall through to the hash-scrambled (0,2) family."""
-    if kind == "halton" and not isinstance(dim, int):
+    if kind in ("halton", "sobol") and not isinstance(dim, int):
         kind = "zerotwosequence"
     if kind in ("random", "stratified"):
         u1 = rng.uniform_1d(seed, pixel, sample_idx, 2 * dim)
@@ -47,6 +65,13 @@ def sample_2d(kind: str, seed, pixel, sample_idx, dim, spp: int):
             u1 = (sx + u1) / xs
             u2 = (sy + u2) / ys
         return u1, u2
+    if kind == "sobol":
+        # true Sobol' dims (2*dim, 2*dim+1) over algorithmically-derived
+        # generator matrices (core/sobolmat.py; sobol.rs + sobolmatrices.rs),
+        # XOR-scrambled per pixel (Kollig-Keller — preserves the net props)
+        s1 = rng.hash_combine(seed, pixel, jnp.uint32(2 * dim))
+        s2 = rng.hash_combine(seed, pixel, jnp.uint32(2 * dim + 1))
+        return sobol_dim(sample_idx, 2 * dim, s1), sobol_dim(sample_idx, 2 * dim + 1, s2)
     if kind == "halton":
         # Cranley-Patterson rotated Halton: bases (2,3), (5,7), ... per dim pair
         b0 = min(2 * dim, len(rng.PRIMES) - 2)
@@ -66,10 +91,13 @@ def sample_2d(kind: str, seed, pixel, sample_idx, dim, spp: int):
 
 
 def sample_1d(kind: str, seed, pixel, sample_idx, dim, spp: int):
-    if kind == "halton" and not isinstance(dim, int):
+    if kind in ("halton", "sobol") and not isinstance(dim, int):
         kind = "zerotwosequence"
     if kind in ("random", "stratified"):
         return rng.uniform_1d(seed, pixel, sample_idx, 1024 + dim)
+    if kind == "sobol":
+        s = rng.hash_combine(seed, pixel, jnp.uint32(4096 + dim))
+        return sobol_dim(sample_idx, 512 + dim, s)
     if kind == "halton":
         b = min(dim, len(rng.PRIMES) - 1)
         u = rng.radical_inverse(b, sample_idx)

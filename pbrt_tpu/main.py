@@ -48,10 +48,11 @@ def main(argv=None):
     )
 
     if args.cat or args.toply:
+        # formatted .pbrt re-emission (main.rs --cat/--toply; api.rs printers)
+        from .parser.catprint import cat_scene
         from .parser.parser import parse_file
 
-        for d in parse_file(args.scene):
-            print(d)
+        cat_scene(parse_file(args.scene), to_ply=args.toply)
         return 0
 
     t0 = time.time()

@@ -556,17 +556,27 @@ class API:
             flt("uroughness", 0.0)
             flt("vroughness", 0.0)
             p["remaproughness"] = ("const", tp.find_one_bool("remaproughness", True))
-        elif name in ("fourier", "hair"):
-            # fourier: tabulated BSDF (SCATFUN file, loaded at scene compile);
-            # hair shades as a diffuse placeholder until the fiber model lands
-            for key in ("bsdffile",):
-                s = tp.find_one_filename(key, "")
-                if s:
-                    p[key] = ("const", s)
-            if name == "hair":
-                log.warning("material 'hair' not yet device-supported; shading as diffuse placeholder")
+        elif name == "fourier":
+            # tabulated BSDF (SCATFUN file, loaded at scene compile)
+            s = tp.find_one_filename("bsdffile", "")
+            if s:
+                p["bsdffile"] = ("const", s)
             spec("Kd", [0.5, 0.5, 0.5])
-            flt("sigma", 0.0)
+        elif name == "hair":
+            # Marschner fiber model (materials/hair.rs create_hair_material
+            # :604-651): sigma_a > color > melanin concentration precedence
+            for key in ("sigma_a", "color"):
+                src = tp.get_spectrum_texture(key, None)
+                if src is not None:
+                    p[key] = src
+            for key in ("eumelanin", "pheomelanin"):
+                src = tp.get_float_texture_or_none(key)
+                if src is not None:
+                    p[key] = src
+            flt("eta", 1.55)
+            flt("beta_m", 0.3)
+            flt("beta_n", 0.3)
+            flt("alpha", 2.0)
         else:
             log.warning("material '%s' unknown; using matte", name)
             return copy.deepcopy(host.MATTE_DEFAULT)

@@ -132,6 +132,12 @@ class SceneArrays:
     # --- world ---
     world_center: jax.Array  # (3,) f32
     world_radius: jax.Array  # () f32
+    # --- motion blur (None when the scene is static): shutter-close keyframe
+    # tables; device kernels lerp by per-ray time (transform.rs
+    # AnimatedTransform -> baked linear vertex motion, see builder) ---
+    tri_p_end: jax.Array | None = None  # (T, 3, 3)
+    sph_w2o_end: jax.Array | None = None  # (S, 3, 4)
+    prim_test_data_end: jax.Array | None = None  # (P, 16)
     # --- textures: per-texture image stack entries live in a dict of leaves ---
     tex_images: dict = field(default_factory=dict)  # name "img{i}" -> (H, W, 3) f32
     med_grids: dict = field(default_factory=dict)  # name "med{i}" -> (nz, ny, nx) f32 density
@@ -193,6 +199,7 @@ class SceneStatic:
     light_image_keys: tuple = ()  # per light: "lim{i}" key or None
     light_kinds: tuple = ()  # static LIGHT_* per light row
     has_fourier: bool = False  # scene has readable tabulated (fourier) BSDFs
+    has_motion: bool = False  # any primitive carries shutter-close keyframes
 
 
 def scene_byte_size(sa: SceneArrays) -> int:

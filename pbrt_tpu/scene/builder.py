@@ -695,6 +695,18 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     return CompiledScene(arrays=arrays, static=static, description=desc)
 
 
+def _hair_sigma_a_from_reflectance(c, beta_n):
+    """hair.rs sigmaa_from_reflectance :291-306."""
+    bn = float(beta_n)
+    denom = 5.969 - 0.215 * bn + 2.532 * bn ** 2 - 10.73 * bn ** 3 + 5.574 * bn ** 4 + 0.245 * bn ** 5
+    return (np.log(np.clip(np.asarray(c, np.float64), 1e-4, 1.0)) / denom) ** 2
+
+
+def _hair_sigma_a_from_concentration(ce: float, cp: float):
+    """hair.rs sigmaa_from_concentration :279-289 (eumelanin/pheomelanin)."""
+    return ce * np.array([0.419, 0.697, 1.37]) + cp * np.array([0.187, 0.4, 1.05])
+
+
 def _stack_fourier_tables(tables: list[dict]) -> dict:
     """Stack per-path FourierBSDF tables into one padded device block
     (layout consumed by device/fourier.py). Padding rules: mu nodes keep
@@ -828,7 +840,7 @@ def _compile_material(mat: HostMaterial, tex_reg: _TextureRegistry, register_mat
     if rm is not None and rm[0] == "const":
         remap = 1 if rm[1] else 0
 
-    from .arrays import MAT_DISNEY, MAT_FOURIER, MAT_KDSUBSURFACE, MAT_MATTE as _MATTE, MAT_MIX, MAT_SUBSURFACE, P_EXTRA, P_EXTRA2
+    from .arrays import MAT_DISNEY, MAT_FOURIER, MAT_HAIR, MAT_KDSUBSURFACE, MAT_MATTE as _MATTE, MAT_MIX, MAT_SUBSURFACE, P_EXTRA, P_EXTRA2
 
     if kind == MAT_FOURIER:
         # tabulated BSDF (materials/fourier.rs): load the SCATFUN file at
@@ -872,6 +884,46 @@ def _compile_material(mat: HostMaterial, tex_reg: _TextureRegistry, register_mat
         put_scalar(P_EXTRA2, 0, "sheen", 0.0)
         put_scalar(P_EXTRA2, 1, "spectrans", 0.0)
         put_scalar(P_EXTRA2, 2, "speculartint", 0.0)
+
+    elif kind == MAT_HAIR:
+        # materials/hair.rs create_hair_material :604-651: sigma_a > color >
+        # melanin precedence; const-value conversions happen here so the
+        # device sees final sigma_a whenever possible (mode 0); textured
+        # color defers the reflectance inversion to the device (mode 1)
+        remap = 0
+        if "eta" not in mat.params:
+            const[P_ETA] = 1.55
+        if not put_src(P_UROUGH, mat.params.get("beta_m")):
+            const[P_UROUGH] = 0.3
+        if not put_src(P_VROUGH, mat.params.get("beta_n")):
+            const[P_VROUGH] = 0.3
+        alpha_src = mat.params.get("alpha")
+        const[P_EXTRA][0] = float(np.ravel(alpha_src[1])[0]) if alpha_src is not None and alpha_src[0] == "const" else 2.0
+        mode = 0.0
+        bn_for_conv = const[P_VROUGH][0] if tex[P_VROUGH] < 0 else 0.3
+        if "sigma_a" in mat.params:
+            put(P_KD, "sigma_a")
+        elif "color" in mat.params:
+            csrc = mat.params["color"]
+            if csrc[0] == "const":
+                const[P_KD] = _hair_sigma_a_from_reflectance(np.asarray(csrc[1], np.float64), bn_for_conv)
+            else:
+                put(P_KD, "color")
+                mode = 1.0
+        elif "eumelanin" in mat.params or "pheomelanin" in mat.params:
+            def _c(nm):
+                s = mat.params.get(nm)
+                if s is None:
+                    return 0.0
+                if s[0] != "const":
+                    log.warning("hair: textured %s unsupported; using 0", nm)
+                    return 0.0
+                return max(float(np.ravel(s[1])[0]), 0.0)
+
+            const[P_KD] = _hair_sigma_a_from_concentration(_c("eumelanin"), _c("pheomelanin"))
+        else:
+            const[P_KD] = _hair_sigma_a_from_concentration(1.3, 0.0)
+        const[P_EXTRA][1] = mode
 
     elif kind in (MAT_SUBSURFACE, MAT_KDSUBSURFACE):
         # surface BSDF part (glass-like interface); BSSRDF tables handled by

@@ -1,0 +1,79 @@
+"""Sobol' sampler tests: matrix construction + sequence properties.
+
+Validates the algorithmic generator-matrix construction
+(core/sobolmat.py; reference data tables: src/core/sobolmatrices.rs) and
+the device sampling path (device/sampler.py sobol_dim).
+"""
+import numpy as np
+
+import jax.numpy as jnp
+
+from pbrt_tpu.core.sobolmat import _is_primitive, _primitive_polys, matrix
+from pbrt_tpu.device.sampler import sample_2d, sobol_dim
+
+
+def test_primitive_polys_known_small():
+    """First primitive polynomials match the classical table: x+1, x^2+x+1,
+    x^3+x+1, x^3+x^2+1, x^4+x+1..."""
+    polys = _primitive_polys(6)
+    # (degree, inner coefficient bits of x^{d-1}..x^1)
+    assert polys[0] == (1, 0)  # x + 1
+    assert polys[1] == (2, 1)  # x^2 + x + 1
+    assert {polys[2], polys[3]} == {(3, 1), (3, 2)}  # x^3+x+1, x^3+x^2+1
+    degs = [d for d, _ in _primitive_polys(60)]
+    assert degs == sorted(degs)
+    # count of primitive polys per degree: 1,1,2,2,6,6,18,...
+    from collections import Counter
+
+    c = Counter(degs)
+    assert c[1] == 1 and c[2] == 1 and c[3] == 2 and c[4] == 2 and c[5] == 6 and c[6] == 6
+    assert not _is_primitive(0b1111, 3)  # x^3+x^2+x+1 = (x+1)(x^2+1) reducible
+
+
+def test_dim0_is_van_der_corput():
+    idx = jnp.arange(8)
+    u = np.asarray(sobol_dim(idx, 0, jnp.uint32(0)))
+    np.testing.assert_allclose(u, [0.0, 0.5, 0.25, 0.75, 0.125, 0.625, 0.375, 0.875], atol=1e-7)
+
+
+def test_sobol_one_d_stratification():
+    """Every dimension is a (0,1)-sequence in base 2: any 2^k prefix places
+    exactly one point in each of the 2^k elementary intervals."""
+    n = 256
+    idx = jnp.arange(n)
+    for dim in (1, 2, 3, 7, 19, 45):
+        u = np.asarray(sobol_dim(idx, dim, jnp.uint32(0)))
+        for k in (4, 16, 64, 256):
+            cells = np.floor(u[:k] * k).astype(int)
+            assert len(np.unique(cells)) == k, f"dim {dim}: prefix {k} not stratified"
+
+
+def test_sobol_2d_low_discrepancy():
+    """Pair (2,3): 2D star-discrepancy proxy — 16x16 boxes over 256 points
+    each contain exactly one point (a (0,2)-ish net check via strata)."""
+    n = 256
+    idx = jnp.arange(n)
+    u = np.asarray(sobol_dim(idx, 2, jnp.uint32(0)))
+    v = np.asarray(sobol_dim(idx, 3, jnp.uint32(0)))
+    # at minimum: 1D projections perfectly stratified & no duplicate cells
+    # at the sqrt resolution
+    cell = np.floor(u * 16).astype(int) * 16 + np.floor(v * 16).astype(int)
+    # a scrambled/unoptimized Sobol pair is not guaranteed a perfect (0,2)
+    # net, but must beat random by a wide margin: expect >=85% distinct
+    # 16x16 cells (random would give ~63%)
+    assert len(np.unique(cell)) >= int(0.85 * n)
+
+
+def test_sampler_sobol_kind_integration():
+    """sample_2d('sobol', ...) returns scrambled values in [0,1) that differ
+    per pixel but share stratification structure."""
+    n = 128
+    pix = jnp.zeros(n, jnp.uint32)
+    sidx = jnp.arange(n)
+    u1, u2 = sample_2d("sobol", jnp.uint32(7), pix, sidx, 0, n)
+    u1 = np.asarray(u1)
+    assert (u1 >= 0).all() and (u1 < 1).all()
+    cells = np.floor(u1 * n).astype(int)
+    assert len(np.unique(cells)) == n  # XOR scramble preserves stratification
+    v1, _ = sample_2d("sobol", jnp.uint32(7), jnp.ones(n, jnp.uint32), sidx, 0, n)
+    assert not np.allclose(u1, np.asarray(v1))
