@@ -72,6 +72,20 @@ def make_camera(cfg: CameraConfig, film: FilmConfig):
     raster_to_camera = np.linalg.inv(proj) @ raster_to_screen
 
     c2w = cfg.camera_to_world.m  # (4, 4)
+    # animated camera (transform.rs AnimatedTransform): decomposed T/R/S
+    # keyframes; generate_rays slerps per ray by shutter time
+    anim = None
+    if getattr(cfg, "camera_to_world_end", None) is not None:
+        from ..core.transform import AnimatedTransform
+
+        at = AnimatedTransform(cfg.camera_to_world, cfg.camera_to_world_end)
+        if at.actually_animated:
+            (t0, q0, s0), (t1, q1, s1) = at._parts()
+            anim = {
+                "t": jnp.asarray(np.stack([t0, t1]).astype(np.float32)),
+                "q": jnp.asarray(np.stack([q0, q1]).astype(np.float32)),
+                "s": jnp.asarray(np.stack([s0, s1]).astype(np.float32)),
+            }
     realistic = None
     if kind == CAM_REALISTIC:
         from .realistic import make_realistic
@@ -95,6 +109,7 @@ def make_camera(cfg: CameraConfig, film: FilmConfig):
         "shutter": (cfg.shutter_open, cfg.shutter_close),
         "screen_area": float(screen_area),
         "realistic": realistic,
+        "anim": anim,
     }
 
 
@@ -127,11 +142,46 @@ def concentric_sample_disk(u1, u2):
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
-def generate_rays(cam, p_film_x, p_film_y, u_lens1, u_lens2):
+def _quat_rot_batch(q):
+    """(R, 4) wxyz quaternions -> (R, 3, 3) rotation matrices."""
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)], -1),
+            jnp.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)], -1),
+            jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        axis=-2,
+    )
+
+
+def _anim_c2w(anim, tf):
+    """Per-ray interpolated camera-to-world: (R, 3, 3) rotation*scale and
+    (R, 3) translation (AnimatedTransform::interpolate, vectorized)."""
+    t0, t1 = anim["t"][0], anim["t"][1]
+    q0, q1 = anim["q"][0], anim["q"][1]
+    s0, s1 = anim["s"][0], anim["s"][1]
+    dt = jnp.clip(tf, 0.0, 1.0)
+    trans = (1.0 - dt)[:, None] * t0 + dt[:, None] * t1
+    cos_th = jnp.clip(jnp.sum(q0 * q1), -1.0, 1.0)
+    theta = jnp.arccos(cos_th)
+    sin_th = jnp.maximum(jnp.sin(theta), 1e-9)
+    lin = cos_th > 0.9995
+    w0 = jnp.where(lin, 1.0 - dt, jnp.sin((1.0 - dt) * theta) / sin_th)
+    w1 = jnp.where(lin, dt, jnp.sin(dt * theta) / sin_th)
+    q = w0[:, None] * q0[None, :] + w1[:, None] * q1[None, :]
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    rot = _quat_rot_batch(q)
+    s_t = (1.0 - dt)[:, None, None] * s0[None] + dt[:, None, None] * s1[None]
+    return jnp.einsum("rij,rjk->rik", rot, s_t), trans
+
+
+def generate_rays(cam, p_film_x, p_film_y, u_lens1, u_lens2, time_frac=None):
     """Raster-space sample positions -> world-space rays.
 
-    Returns (o, d) each (R, 3). Differentials are generated lazily by the
-    texture filtering path via the camera dx/dy helper below.
+    Returns (o, d) each (R, 3). time_frac: optional (R,) normalized shutter
+    times for the animated-camera path. Differentials are generated lazily
+    by the texture filtering path via the camera dx/dy helper below.
     """
     kind = cam["kind"]
     if kind == CAM_REALISTIC:
@@ -170,6 +220,11 @@ def generate_rays(cam, p_film_x, p_film_y, u_lens1, u_lens2):
         o_cam = jnp.where(use_lens, o_lens, o_cam)
         d_cam = jnp.where(use_lens, _normalize(p_focus - o_cam), d_cam)
 
+    if cam.get("anim") is not None and time_frac is not None:
+        m3, trans = _anim_c2w(cam["anim"], time_frac)
+        o_w = jnp.einsum("rij,rj->ri", m3, o_cam) + trans
+        d_w = _normalize(jnp.einsum("rij,rj->ri", m3, d_cam))
+        return o_w, d_w
     o_w = jnp.einsum("ij,...j->...i", c2w[:3, :3], o_cam) + c2w[:3, 3]
     d_w = _normalize(_apply44_vector(c2w, d_cam))
     return o_w, d_w

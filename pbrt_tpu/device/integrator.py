@@ -88,7 +88,7 @@ def _compute_duv(si, o, d, dd):
     return jnp.where(valid[:, None], jnp.stack([du, dv], axis=-1), 0.0)
 
 
-def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, seed, o, d, pixel, sample_idx, diff_dirs=None):
+def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, seed, o, d, pixel, sample_idx, diff_dirs=None, time=None):
     """Trace one wave of camera rays to completion. Returns (L, n_vertices).
 
     icfg: {"kind": path|volpath|directlighting|whitted|ao, "max_depth": int,
@@ -107,11 +107,41 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
     ikind = icfg["kind"]
     max_depth = int(icfg["max_depth"])
 
+    if not static.has_motion:
+        time = None
     if ikind == "ao":
-        return _trace_ao(sa, static, icfg, scfg, seed, o, d, pixel, sample_idx), jnp.ones(R, F32)
+        return _trace_ao(sa, static, icfg, scfg, seed, o, d, pixel, sample_idx, time), jnp.ones(R, F32)
 
     sel_pdf = _light_select_pdf(static)
     nee_on = ikind in ("path", "volpath", "directlighting")
+    # light-selection distribution (lightdistrib.rs create_light_sample_
+    # distribution): "uniform" or power-proportional; "spatial" currently
+    # maps to "power" (the voxel-grid variant is a further refinement —
+    # power already captures the dominant many-light effect)
+    strategy = str(icfg.get("light_strategy", "uniform"))
+    use_power = strategy in ("power", "spatial") and static.n_lights > 1 and (nee_on or ikind == "whitted")
+    if use_power:
+        from .lights import compute_power
+
+        _pw = compute_power(sa, static)
+        _pmf = jnp.maximum(_pw / jnp.maximum(_pw.sum(), 1e-20), 1e-6)
+        _pmf = _pmf / _pmf.sum()  # every light stays selectable (unbiased)
+        _cdf = jnp.cumsum(_pmf)
+
+    def _sel_pmf_of(lid):
+        """Selection pmf of given light rows (for MIS at emission hits)."""
+        if not use_power:
+            return jnp.full(lid.shape, sel_pdf, F32)
+        oh = jnp.arange(static.n_lights)[None, :] == lid[:, None]
+        return jnp.sum(jnp.where(oh, _pmf[None, :], 0.0), axis=1)
+
+    def _select_light(u_sel):
+        if not use_power:
+            lid = jnp.minimum((u_sel * static.n_lights).astype(jnp.int32), static.n_lights - 1)
+            return lid, jnp.full(u_sel.shape, sel_pdf, F32)
+        lid = jnp.sum((u_sel[:, None] > _cdf[None, :-1]).astype(jnp.int32), axis=1) if static.n_lights > 1 else jnp.zeros(u_sel.shape, jnp.int32)
+        lid = jnp.clip(lid, 0, static.n_lights - 1)
+        return lid, _sel_pmf_of(lid)
     # path handles subsurface interiors too (the volumetric random walk is
     # this build's BSSRDF, replacing the tabulated dipole; path.rs:177-204)
     handle_media = (ikind == "volpath" and static.n_media > 0) or (
@@ -133,8 +163,8 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         emission with deferred MIS for rays that reached the surface."""
         (o, d, L, beta, alive, prev_specular, prev_pdf, prev_p, eta_scale,
          n_vertices, medium, bounces, dd_x, dd_y) = state
-        hit = intersect(sa, static, o, d, jnp.full(R, jnp.inf, F32))
-        si = surface_interaction(sa, hit, o, d)
+        hit = intersect(sa, static, o, d, jnp.full(R, jnp.inf, F32), time=time)
+        si = surface_interaction(sa, hit, o, d, time=time)
         valid = si["valid"]
         n_vertices = n_vertices + (alive & valid)
 
@@ -157,7 +187,8 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
             esc = alive & ~valid & ~in_scatter
             le = env_le(sa, static, d)
             if nee_on:
-                p_l = env_pdf_li(sa, static, d) * sel_pdf
+                env_row = jnp.full(R, max(static.infinite_light_index, 0), jnp.int32)
+                p_l = env_pdf_li(sa, static, d) * _sel_pmf_of(env_row)
                 w = jnp.where(prev_specular, 1.0, power_heuristic(1.0, prev_pdf, 1.0, p_l))
             else:
                 w = jnp.ones(R, F32)
@@ -170,7 +201,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
             le = area_light_emission(sa, lid, si["ng"], si["wo"])
             if nee_on:
                 area = gather_rows(sa.prim_area, jnp.maximum(si["prim"], 0))
-                p_l = pdf_li_area_hit(sa, prev_p, si["p"], si["ng"], lid, area) * sel_pdf
+                p_l = pdf_li_area_hit(sa, prev_p, si["p"], si["ng"], lid, area) * _sel_pmf_of(jnp.maximum(lid, 0))
                 w = jnp.where(prev_specular, 1.0, power_heuristic(1.0, prev_pdf, 1.0, p_l))
             else:
                 w = jnp.ones(R, F32)
@@ -189,8 +220,8 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         t_sh = dist * (1.0 - 2.0 * RAY_EPS)
         if pass_null:
             key = (jnp.asarray(seed, jnp.uint32) * jnp.uint32(31) + jnp.asarray(sample_idx, jnp.uint32)) ^ (b.astype(jnp.uint32) * jnp.uint32(0x68E31DA4))
-            return transmittance_shadow(sa, static, o_sh, wi, t_sh, medium_v, key)
-        occ = intersect_p(sa, static, o_sh, wi, t_sh)
+            return transmittance_shadow(sa, static, o_sh, wi, t_sh, medium_v, key, time=time)
+        occ = intersect_p(sa, static, o_sh, wi, t_sh, time=time)
         return jnp.where(occ[:, None], 0.0, 1.0)
 
     def _nee_at(si, lobes, alive_m, medium_v, b, dim_base, light_index=None, dim_salt=0,
@@ -205,8 +236,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         u1, u2 = sample_2d(kind_s, seed, pixel, sample_idx, dim_base + 1 + 131 * dim_salt, spp)
 
         if light_index is None:
-            lid = jnp.minimum((u_sel * static.n_lights).astype(jnp.int32), static.n_lights - 1)
-            spdf = sel_pdf
+            lid, spdf = _select_light(u_sel)
         else:
             lid = jnp.full(R, light_index, jnp.int32)
             spdf = 1.0
@@ -394,11 +424,11 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
     return L, n_vertices
 
 
-def _trace_ao(sa, static, icfg, scfg, seed, o, d, pixel, sample_idx):
+def _trace_ao(sa, static, icfg, scfg, seed, o, d, pixel, sample_idx, time=None):
     """Ambient occlusion (src/integrators/ao.rs)."""
     R = o.shape[0]
-    hit = intersect(sa, static, o, d, jnp.full(R, jnp.inf, F32))
-    si = surface_interaction(sa, hit, o, d)
+    hit = intersect(sa, static, o, d, jnp.full(R, jnp.inf, F32), time=time)
+    si = surface_interaction(sa, hit, o, d, time=time)
     valid = si["valid"]
     n_samples = int(icfg.get("n_samples", 64))
     cos_sample = bool(icfg.get("cos_sample", True))
@@ -423,7 +453,7 @@ def _trace_ao(sa, static, icfg, scfg, seed, o, d, pixel, sample_idx):
             pdf = jnp.full(R, 1.0 / (2 * jnp.pi), F32)
         w = w_l[..., 0:1] * si_f["ss"] + w_l[..., 1:2] * si_f["ts"] + w_l[..., 2:3] * ns
         o_sh = _offset_ray(si["p"], ng, w)
-        occ = intersect_p(sa, static, o_sh, w, jnp.full(R, jnp.inf, F32))
+        occ = intersect_p(sa, static, o_sh, w, jnp.full(R, jnp.inf, F32), time=time)
         cos_w = _dot(w, ns)
         return acc + jnp.where(valid & ~occ & (cos_w > 0), cos_w / (jnp.pi * pdf), 0.0)
 

@@ -206,10 +206,12 @@ class Hit:
         }
 
 
-def _test_prims(sa: SceneArrays, o, d, t_max, prim_ids, valid):
+def _test_prims(sa: SceneArrays, o, d, t_max, prim_ids, valid, time=None):
     """Test rays against an aligned batch of primitives.
 
-    o, d: (R, 3); prim_ids: (R, K) primitive ids; valid: (R, K) mask.
+    o, d: (R, 3); prim_ids: (R, K) primitive ids; valid: (R, K) mask;
+    time: optional (R,) shutter times — lerps the shutter-close keyframe
+    tables (motion blur).
     Returns (t, b1, b2) each (R, K) with t=inf where missed.
     """
     kind = sa.prim_kind[prim_ids]
@@ -223,6 +225,8 @@ def _test_prims(sa: SceneArrays, o, d, t_max, prim_ids, valid):
     if sa.tri_p.shape[0] > 0:
         tri_idx = jnp.where(kind == GEOM_TRI, geom, 0)
         tv = sa.tri_p[tri_idx]  # (R, K, 3, 3)
+        if time is not None and sa.tri_p_end is not None:
+            tv = tv + time[:, None, None, None] * (sa.tri_p_end[tri_idx] - tv)
         h_t, t_t, _b0, b1_t, b2_t = ray_triangle(o_b, d_b, tv[..., 0, :], tv[..., 1, :], tv[..., 2, :], tm_b)
     else:
         h_t = jnp.zeros(kind.shape, bool)
@@ -233,6 +237,8 @@ def _test_prims(sa: SceneArrays, o, d, t_max, prim_ids, valid):
     if sa.sph_param.shape[0] > 0:
         sph_idx = jnp.where(kind == GEOM_SPHERE, geom, 0)
         w2o = sa.sph_w2o[sph_idx]
+        if time is not None and sa.sph_w2o_end is not None:
+            w2o = w2o + time[:, None, None, None] * (sa.sph_w2o_end[sph_idx] - w2o)
         par = sa.sph_param[sph_idx]
         h_s, t_s, p_obj = ray_sphere(o_b, d_b, w2o, par, tm_b)
     else:
@@ -268,7 +274,7 @@ def _reduce_best(t, b1, b2, prim_ids):
 # ---------------------------------------------------------------------------
 
 
-def _brute_all(sa: SceneArrays, static: SceneStatic, o, d, t_max):
+def _brute_all(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None):
     """All-pairs tests with pure broadcasting — zero gathers.
 
     TPU note: gathers execute on the scalar core and dominated the original
@@ -285,6 +291,8 @@ def _brute_all(sa: SceneArrays, static: SceneStatic, o, d, t_max):
 
     if sa.tri_p.shape[0] > 0:
         tv = sa.tri_p[None, :, :, :]  # (1, T, 3, 3) broadcast
+        if time is not None and sa.tri_p_end is not None:
+            tv = tv + time[:, None, None, None] * (sa.tri_p_end[None] - tv)
         tm = jnp.asarray(t_max, F32)[:, None]
         h, t_t, _b0, b1, b2 = ray_triangle(o_b, d_b, tv[..., 0, :], tv[..., 1, :], tv[..., 2, :], tm)
         parts_t.append(jnp.where(h, t_t, INF))
@@ -293,6 +301,8 @@ def _brute_all(sa: SceneArrays, static: SceneStatic, o, d, t_max):
         parts_pid.append(sa.tri_prim_ids)
     if sa.sph_param.shape[0] > 0:
         w2o = sa.sph_w2o[None, :, :, :]
+        if time is not None and sa.sph_w2o_end is not None:
+            w2o = w2o + time[:, None, None, None] * (sa.sph_w2o_end[None] - w2o)
         par = sa.sph_param[None, :, :]
         tm = jnp.asarray(t_max, F32)[:, None]
         h, t_s, p_obj = ray_sphere(o_b, d_b, w2o, par, tm)
@@ -320,8 +330,8 @@ def _select_min(t, cols):
     return tbest, sel, outs
 
 
-def intersect_brute(sa: SceneArrays, static: SceneStatic, o, d, t_max):
-    t, b1, b2, pid = _brute_all(sa, static, o, d, t_max)
+def intersect_brute(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None):
+    t, b1, b2, pid = _brute_all(sa, static, o, d, t_max, time)
     R = t.shape[0]
     pid_b = jnp.broadcast_to(pid[None, :].astype(F32), t.shape)
     tbest, _sel, (b1_s, b2_s, pid_s) = _select_min(t, [b1, b2, pid_b])
@@ -333,8 +343,8 @@ def intersect_brute(sa: SceneArrays, static: SceneStatic, o, d, t_max):
     }
 
 
-def intersect_p_brute(sa: SceneArrays, static: SceneStatic, o, d, t_max):
-    t, _, _, _pid = _brute_all(sa, static, o, d, t_max)
+def intersect_p_brute(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None):
+    t, _, _, _pid = _brute_all(sa, static, o, d, t_max, time)
     return jnp.any(jnp.isfinite(t), axis=1)
 
 
@@ -345,7 +355,7 @@ def intersect_p_brute(sa: SceneArrays, static: SceneStatic, o, d, t_max):
 PACKET = 256  # rays per packet (share one traversal stack)
 
 
-def _traverse(sa: SceneArrays, static: SceneStatic, o, d, t_max, any_hit: bool):
+def _traverse(sa: SceneArrays, static: SceneStatic, o, d, t_max, any_hit: bool, time=None):
     """Packet BVH traversal: packets of PACKET rays share ONE stack.
 
     Redesign of the per-ray stack walk (bvh.rs:705-760) for the TPU memory
@@ -372,6 +382,7 @@ def _traverse(sa: SceneArrays, static: SceneStatic, o, d, t_max, any_hit: bool):
 
     o_p = pad_to(o, 0.0).reshape(B, PACKET, 3)
     d_p = pad_to(d, 1.0).reshape(B, PACKET, 3)
+    time_p = None if time is None else pad_to(jnp.broadcast_to(jnp.asarray(time, F32), (R,)), 0.0).reshape(B, PACKET)
     t0 = jnp.broadcast_to(jnp.asarray(t_max, F32), (R,))
     tm_p = pad_to(t0, -1.0).reshape(B, PACKET)  # padded lanes: t_max<0 -> never hit
 
@@ -423,16 +434,31 @@ def _traverse(sa: SceneArrays, static: SceneStatic, o, d, t_max, any_hit: bool):
         ob = o_p[:, :, None, :]
         db = d_p[:, :, None, :]
         tb = t_best[:, :, None]
-        v0 = rows16[:, None, :, 0:3]
-        v1 = rows16[:, None, :, 3:6]
-        v2 = rows16[:, None, :, 6:9]
+        if time_p is not None and sa.prim_test_data_end is not None:
+            # per-lane keyframe lerp: (B, 1, K, 16) -> (B, PACKET, K, 16)
+            rows16e = sa.prim_test_data_end[k_ids]
+            rows16L = rows16[:, None] + time_p[:, :, None, None] * (rows16e - rows16)[:, None]
+            v0 = rows16L[..., 0:3]
+            v1 = rows16L[..., 3:6]
+            v2 = rows16L[..., 6:9]
+        else:
+            rows16L = None
+            v0 = rows16[:, None, :, 0:3]
+            v1 = rows16[:, None, :, 3:6]
+            v2 = rows16[:, None, :, 6:9]
         h_t, t_t, _b0, b1_t, b2_t = ray_triangle(ob, db, v0, v1, v2, tb)
 
         if sa.sph_param.shape[0] > 0:
-            w2o = rows16[:, :, 0:12].reshape(rows16.shape[0], rows16.shape[1], 3, 4)[:, None]
-            spar = jnp.concatenate(
-                [rows16[:, :, 12:16], jnp.zeros(rows16.shape[:2] + (2,), F32)], axis=-1
-            )[:, None]
+            if rows16L is not None:
+                w2o = rows16L[..., 0:12].reshape(rows16L.shape[0], rows16L.shape[1], rows16L.shape[2], 3, 4)
+                spar = jnp.concatenate(
+                    [rows16L[..., 12:16], jnp.zeros(rows16L.shape[:3] + (2,), F32)], axis=-1
+                )
+            else:
+                w2o = rows16[:, :, 0:12].reshape(rows16.shape[0], rows16.shape[1], 3, 4)[:, None]
+                spar = jnp.concatenate(
+                    [rows16[:, :, 12:16], jnp.zeros(rows16.shape[:2] + (2,), F32)], axis=-1
+                )[:, None]
             h_s, t_s, p_obj = ray_sphere(ob, db, w2o, spar, tb)
             hit_k = jnp.where(is_tri[:, None, :], h_t, h_s)
             t_k = jnp.where(is_tri[:, None, :], t_t, t_s)
@@ -504,21 +530,25 @@ def _traverse(sa: SceneArrays, static: SceneStatic, o, d, t_max, any_hit: bool):
     }, ha_flat
 
 
-def intersect(sa: SceneArrays, static: SceneStatic, o, d, t_max):
+def intersect(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None):
     """Closest-hit query. Returns hit dict {t, prim, b1, b2}."""
+    if not static.has_motion:
+        time = None
     if static.n_prims == 0:
         return Hit.none((o.shape[0],))
     if static.use_brute_force:
-        return intersect_brute(sa, static, o, d, t_max)
-    hit, _ = _traverse(sa, static, o, d, t_max, any_hit=False)
+        return intersect_brute(sa, static, o, d, t_max, time)
+    hit, _ = _traverse(sa, static, o, d, t_max, any_hit=False, time=time)
     return hit
 
 
-def intersect_p(sa: SceneArrays, static: SceneStatic, o, d, t_max):
+def intersect_p(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None):
     """Any-hit (shadow) query -> bool (R,). (scene.rs intersect_p)"""
+    if not static.has_motion:
+        time = None
     if static.n_prims == 0:
         return jnp.zeros(o.shape[0], bool)
     if static.use_brute_force:
-        return intersect_p_brute(sa, static, o, d, t_max)
-    _, hit_any = _traverse(sa, static, o, d, t_max, any_hit=True)
+        return intersect_p_brute(sa, static, o, d, t_max, time)
+    _, hit_any = _traverse(sa, static, o, d, t_max, any_hit=True, time=time)
     return hit_any

@@ -278,7 +278,7 @@ def medium_tr(sa: SceneArrays, static: SceneStatic, med, o, d, t_max, key):
 # ---------------------------------------------------------------------------
 
 
-def transmittance_shadow(sa: SceneArrays, static: SceneStatic, o, d, t_max, medium, key):
+def transmittance_shadow(sa: SceneArrays, static: SceneStatic, o, d, t_max, medium, key, time=None):
     """Visibility with transmittance: walk the shadow segment, passing
     through material-less (null) boundaries and accumulating medium Tr.
 
@@ -295,7 +295,7 @@ def transmittance_shadow(sa: SceneArrays, static: SceneStatic, o, d, t_max, medi
 
     n_iters = MAX_NULL_CROSSINGS if (static.has_null_material or static.n_media) else 1
     for it in range(n_iters):
-        hit = intersect(sa, static, cur_o, d, cur_t)
+        hit = intersect(sa, static, cur_o, d, cur_t, time=time)
         prim = jnp.maximum(hit["prim"], 0)
         hit_valid = hit["prim"] >= 0
         mat_kind = sa.mat_kind[sa.prim_mat[prim]]

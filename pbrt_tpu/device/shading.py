@@ -34,10 +34,11 @@ def coordinate_system(n):
     return t, bt
 
 
-def surface_interaction(sa: SceneArrays, hit, o, d):
+def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
     """Build the shading record for each ray.
 
-    hit: dict from intersect(); o, d: (R, 3) ray.
+    hit: dict from intersect(); o, d: (R, 3) ray; time: optional (R,)
+    shutter times (motion blur — lerps keyframe geometry tables).
     Returns dict with p, ng (geometric normal), ns (shading normal), uv,
     tangent/bitangent frame (ss, ts), mat (material id), light (area light id),
     valid (R,) mask.
@@ -62,6 +63,8 @@ def surface_interaction(sa: SceneArrays, hit, o, d):
     if sa.tri_p.shape[0] > 0:
         ti = jnp.where(is_tri, geom, 0)
         tv = gather_rows(sa.tri_p, ti)  # (R, 3, 3)
+        if time is not None and sa.tri_p_end is not None:
+            tv = tv + time[:, None, None] * (gather_rows(sa.tri_p_end, ti) - tv)
         tn = gather_rows(sa.tri_n, ti)
         tuv = gather_rows(sa.tri_uv, ti)
         b1 = hit["b1"]
@@ -99,6 +102,9 @@ def surface_interaction(sa: SceneArrays, hit, o, d):
         si = jnp.where(~is_tri, geom, 0)
         o2w = gather_rows(sa.sph_o2w, si)
         w2o = gather_rows(sa.sph_w2o, si)
+        if time is not None and sa.sph_w2o_end is not None:
+            w2o = w2o + time[:, None, None] * (gather_rows(sa.sph_w2o_end, si) - w2o)
+            o2w = o2w + time[:, None, None] * (gather_rows(sa.sph_o2w_end, si) - o2w)
         par = gather_rows(sa.sph_param, si)
         radius = par[:, 0]
         p_obj = _xform_point(w2o, p)

@@ -97,6 +97,7 @@ class RenderOptions:
     camera_name: str = "perspective"
     camera_params: ParamSet = field(default_factory=ParamSet)
     camera_to_world: Transform = field(default_factory=Transform)
+    camera_to_world_end: Transform | None = None
     named_media: dict = field(default_factory=dict)
     lights: list = field(default_factory=list)
     primitives: list = field(default_factory=list)
@@ -234,6 +235,7 @@ class API:
             self.render_options.camera_name = name
             self.render_options.camera_params = params
             self.render_options.camera_to_world = self.ctm[0].inverse()
+            self.render_options.camera_to_world_end = self.ctm[1].inverse() if self.ctm[0].m is not self.ctm[1].m and not np.allclose(self.ctm[0].m, self.ctm[1].m) else None
             self.render_options.camera_medium = self.graphics_state.current_outside_medium
             self.named_coordinate_systems["camera"] = [self.ctm[0].inverse(), self.ctm[1].inverse()]
 
@@ -667,6 +669,17 @@ class API:
         shapes = self._make_shapes(name, params)
         if not shapes:
             return
+        # motion blur: bake linear vertex motion for meshes; spheres keep a
+        # second object-to-world (transform.rs AnimatedTransform; deviation:
+        # per-ray transform slerp -> per-vertex linear chords, exact for
+        # translation, chord-approx for shutter rotations)
+        if not np.allclose(self.ctm[0].m, self.ctm[1].m):
+            rel = self.ctm[1] @ self.ctm[0].inverse()
+            for sh in shapes:
+                if sh.mesh is not None:
+                    sh.mesh.p_end = rel.xpoint(np.asarray(sh.mesh.p, dtype=np.float64).reshape(-1, 3))
+                elif sh.sphere is not None:
+                    sh.sphere.object_to_world_end = self.ctm[1] @ (self.ctm[0].inverse() @ sh.sphere.object_to_world)
         area_light_template = None
         if self.graphics_state.area_light:
             alp = self.graphics_state.area_light_params
@@ -996,6 +1009,7 @@ class API:
         camera = CameraConfig(
             kind=ro.camera_name,
             camera_to_world=ro.camera_to_world,
+            camera_to_world_end=ro.camera_to_world_end,
             fov=cp.find_one_float("fov", 90.0),
             lens_radius=cp.find_one_float("lensradius", 0.0),
             focal_distance=cp.find_one_float("focaldistance", 1e6),
@@ -1057,6 +1071,8 @@ class API:
             accelerator_params={"maxnodeprims": ro.accelerator_params.find_one_int("maxnodeprims", 4)},
             media=_build_media(ro.named_media),
             camera_medium=ro.camera_medium,
+            transform_start_time=ro.transform_start_time,
+            transform_end_time=ro.transform_end_time,
         )
 
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from .device import rng
 from .device.camera import make_camera, generate_rays
 from .device.integrator import trace_wave
-from .device.sampler import sample_2d
+from .device.sampler import sample_1d, sample_2d
 from .scene.builder import CompiledScene, compile_scene
 from .scene.host import SceneDescription
 
@@ -141,20 +141,29 @@ def _one_sample_wave(sa, static, icfg, scfg, fcfg, cam, px_base, py_base, pixel_
     dx, dy, w = filter_offset(fcfg["filter"], fcfg["filter_params"], u1, u2)
     px = px_base.astype(F32) + 0.5 + dx
     py = py_base.astype(F32) + 0.5 + dy
+    # per-ray shutter time (camera.rs CameraSample::time), normalized to the
+    # TransformTimes keyframe range for the motion lerp tables
+    time_frac = None
+    if cam.get("anim") is not None or static.has_motion:
+        ut = sample_1d(kind, seed, pixel_ids, sample_idx, 8117, spp)
+        so, sc = cam["shutter"]
+        ts, te = cam.get("motion_times", (0.0, 1.0))
+        t_abs = so + ut * (sc - so)
+        time_frac = jnp.clip((t_abs - ts) / max(te - ts, 1e-9), 0.0, 1.0)
     ray_w = None
     if cam.get("realistic") is not None:
         from .device.realistic import realistic_generate_rays
 
         o, d, ray_w = realistic_generate_rays(cam, cam["realistic"], px, py, ul1, ul2)
     else:
-        o, d = generate_rays(cam, px, py, ul1, ul2)
+        o, d = generate_rays(cam, px, py, ul1, ul2, time_frac)
     if static.tex_programs and any(p.kind == "imagemap" for p in static.tex_programs):
         from .device.camera import ray_differential_dirs
 
         diff_dirs = ray_differential_dirs(cam, px, py)
     else:
         diff_dirs = None
-    L, n_vertices = trace_wave(sa, static, icfg, scfg, seed, o, d, pixel_ids, sample_idx, diff_dirs)
+    L, n_vertices = trace_wave(sa, static, icfg, scfg, seed, o, d, pixel_ids, sample_idx, diff_dirs, time=time_frac)
     # sanity clamps (integrator.rs:350-368 NaN/negative checks)
     L = jnp.where(jnp.isfinite(L), L, 0.0)
     L = jnp.maximum(L, 0.0)
@@ -176,11 +185,13 @@ def make_wave_fn(cs: CompiledScene, cam=None):
     desc = cs.description
     if cam is None:
         cam = make_camera(desc.camera, desc.film)
+        cam["motion_times"] = (float(getattr(desc, "transform_start_time", 0.0)), float(getattr(desc, "transform_end_time", 1.0)))
     icfg = {
         "kind": desc.integrator.kind,
         "max_depth": max(int(desc.integrator.max_depth), 1),
         "rr_threshold": desc.integrator.rr_threshold,
         "strategy": desc.integrator.strategy,
+        "light_strategy": desc.integrator.light_strategy,
         "n_samples": desc.integrator.n_samples,
         "cos_sample": desc.integrator.cos_sample,
     }

@@ -174,6 +174,10 @@ def _sphere_area(sph):
 
 def compile_scene(desc: SceneDescription) -> CompiledScene:
     tri_p, tri_n, tri_uv = [], [], []
+    tri_p_e = []  # shutter-close vertices (== tri_p entries when static)
+    sph_w2o_e = []
+    sph_o2w_e = []
+    any_motion = False
     sph_o2w, sph_w2o, sph_param = [], [], []
     prim_kind, prim_geom, prim_mat, prim_light, prim_flags, prim_area = [], [], [], [], [], []
     prim_lo, prim_hi = [], []
@@ -388,6 +392,11 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             v = np.asarray(mesh.p, dtype=np.float64)
             f = np.asarray(mesh.indices, dtype=np.int64)
             pv = v[f]  # (t, 3, 3)
+            if mesh.p_end is not None:
+                pv_end = np.asarray(mesh.p_end, dtype=np.float64)[f]
+                any_motion = True
+            else:
+                pv_end = pv
             e1 = pv[:, 1] - pv[:, 0]
             e2 = pv[:, 2] - pv[:, 0]
             gn = np.cross(e1, e2)
@@ -414,6 +423,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             t = len(f)
             t0 = sum(len(c) for c in tri_p)
             tri_p.append(pv)
+            tri_p_e.append(pv_end)
             tri_n.append(nv)
             tri_uv.append(uvv)
             base_prim = len(prim_kind)
@@ -433,8 +443,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             prim_light.extend(light_ids.tolist())
             prim_flags.extend([flags] * t)
             prim_area.extend(areas.tolist())
-            prim_lo.extend(pv.min(axis=1))
-            prim_hi.extend(pv.max(axis=1))
+            prim_lo.extend(np.minimum(pv.min(axis=1), pv_end.min(axis=1)))
+            prim_hi.extend(np.maximum(pv.max(axis=1), pv_end.max(axis=1)))
             prim_medium.extend([[medium_id(prim.inside_medium), medium_id(prim.outside_medium)]] * t)
         elif sh.sphere is not None:
             sph = sh.sphere
@@ -443,6 +453,13 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             si = len(sph_o2w)
             sph_o2w.append(o2w.m[:3, :])
             sph_w2o.append(w2o.m[:3, :])
+            if sph.object_to_world_end is not None:
+                sph_w2o_e.append(sph.object_to_world_end.inverse().m[:3, :])
+                sph_o2w_e.append(sph.object_to_world_end.m[:3, :])
+                any_motion = True
+            else:
+                sph_w2o_e.append(w2o.m[:3, :])
+                sph_o2w_e.append(o2w.m[:3, :])
             zmin = np.clip(min(sph.z_min, sph.z_max), -sph.radius, sph.radius)
             zmax = np.clip(max(sph.z_min, sph.z_max), -sph.radius, sph.radius)
             theta_min = np.arccos(np.clip(zmin / sph.radius, -1.0, 1.0))
@@ -470,6 +487,9 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             prim_flags.append(flags)
             prim_area.append(_sphere_area(sph))
             lo, hi = o2w.xbounds([-sph.radius] * 3, [sph.radius] * 3)
+            if sph.object_to_world_end is not None:
+                lo2, hi2 = sph.object_to_world_end.xbounds([-sph.radius] * 3, [sph.radius] * 3)
+                lo, hi = np.minimum(lo, lo2), np.maximum(hi, hi2)
             prim_lo.append(lo)
             prim_hi.append(hi)
             prim_medium.append([medium_id(prim.inside_medium), medium_id(prim.outside_medium)])
@@ -480,6 +500,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         # pad with one degenerate (never-hit) triangle so device gathers
         # always have at least one row
         tri_p.append(np.full((1, 3, 3), 1e30))
+        tri_p_e.append(np.full((1, 3, 3), 1e30))
         tri_n.append(np.tile(np.array([0.0, 0.0, 1.0]), (1, 3, 1)))
         tri_uv.append(np.zeros((1, 3, 2)))
         prim_kind.append(GEOM_TRI)
@@ -605,8 +626,11 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         return np.concatenate([np.asarray(c, dtype=np.float32).reshape((-1,) + shape) for c in chunks], axis=0)
 
     tri_p_cat = _cat(tri_p, (3, 3))
+    tri_pe_cat = _cat(tri_p_e, (3, 3)) if any_motion else tri_p_cat
     sph_w2o_cat = np.asarray(sph_w2o, dtype=np.float32).reshape(-1, 3, 4)
+    sph_w2oe_cat = np.asarray(sph_w2o_e, dtype=np.float32).reshape(-1, 3, 4) if any_motion else sph_w2o_cat
     sph_param_cat = np.asarray(sph_param, dtype=np.float32).reshape(-1, 6)
+    ptd_end = ptd.copy() if any_motion else ptd
     if n_prims:
         pk = np.asarray(prim_kind)
         pg = np.asarray(prim_geom)
@@ -614,9 +638,14 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         sph_rows = np.where(pk == GEOM_SPHERE)[0]
         if len(tri_rows):
             ptd[tri_rows, 0:9] = tri_p_cat[pg[tri_rows]].reshape(len(tri_rows), 9)
+            if any_motion:
+                ptd_end[tri_rows, 0:9] = tri_pe_cat[pg[tri_rows]].reshape(len(tri_rows), 9)
         if len(sph_rows):
             ptd[sph_rows, 0:12] = sph_w2o_cat[pg[sph_rows]].reshape(len(sph_rows), 12)
             ptd[sph_rows, 12:16] = sph_param_cat[pg[sph_rows]][:, 0:4]
+            if any_motion:
+                ptd_end[sph_rows, 0:12] = sph_w2oe_cat[pg[sph_rows]].reshape(len(sph_rows), 12)
+                ptd_end[sph_rows, 12:16] = sph_param_cat[pg[sph_rows]][:, 0:4]
 
     fourier_dev = _stack_fourier_tables(fourier_tables)
 
@@ -643,6 +672,10 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         bvh_ids=jnp.asarray(bvh.prim_ids),
         bvh_packed=jnp.asarray(node_data),
         prim_test_data=jnp.asarray(ptd),
+        tri_p_end=jnp.asarray(tri_pe_cat) if any_motion else None,
+        sph_w2o_end=jnp.asarray(sph_w2oe_cat) if any_motion else None,
+        sph_o2w_end=jnp.asarray(np.asarray(sph_o2w_e, dtype=np.float32).reshape(-1, 3, 4)) if any_motion else None,
+        prim_test_data_end=jnp.asarray(ptd_end) if any_motion else None,
         mat_kind=jnp.asarray(mat_kind),
         mat_const=jnp.asarray(mat_const),
         mat_tex=jnp.asarray(mat_tex),
@@ -691,6 +724,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         light_image_keys=tuple(light_image_keys),
         light_kinds=tuple(int(l[0]) for l in lights),
         has_fourier=bool(fourier_dev),
+        has_motion=any_motion,
     )
     return CompiledScene(arrays=arrays, static=static, description=desc)
 

@@ -37,6 +37,7 @@ class TriangleMesh:
     alpha_texture: object | None = None
     reverse_orientation: bool = False
     transform_swaps_handedness: bool = False
+    p_end: np.ndarray | None = None  # (V, 3) shutter-close positions (motion blur)
 
 
 @dataclass
@@ -49,6 +50,7 @@ class Sphere:
     z_max: float = 1.0
     phi_max: float = 2.0 * math.pi  # radians
     reverse_orientation: bool = False
+    object_to_world_end: Transform | None = None  # motion blur keyframe
 
 
 # Shape record: exactly one of mesh/sphere is set.
@@ -195,6 +197,7 @@ class FilmConfig:
 class CameraConfig:
     kind: str = "perspective"
     camera_to_world: Transform = field(default_factory=Transform)
+    camera_to_world_end: Transform | None = None  # animated camera (motion blur)
     fov: float = 90.0
     lens_radius: float = 0.0
     focal_distance: float = 1e6
@@ -277,6 +280,8 @@ class SceneDescription:
     accelerator_params: dict = field(default_factory=dict)
     media: dict = field(default_factory=dict)  # name -> HostMedium
     camera_medium: str = ""  # medium the camera sits in
+    transform_start_time: float = 0.0  # keyframe-0 time (TransformTimes)
+    transform_end_time: float = 1.0
 
 
 # ---------------------------------------------------------------------------
