@@ -76,35 +76,75 @@ def _nonblack(c):
 
 
 class _LobeWriter:
+    """Lazy SoA lobe accumulator.
+
+    TPU perf note: the original formulation updated a materialized
+    (R, 8, 14) tensor with `.at[:, slot].set` per put — each update streams
+    the full 45 MB block through HBM and XLA does not fuse the chains
+    (measured ~6 ms of make_bsdf's cost at 500k rays). Instead we keep, per
+    slot, 14 lazy (R,) columns updated by cheap `where` selects and stack
+    ONCE at finalize; the whole writer then fuses into surrounding code.
+    """
+
     def __init__(self, n_rays):
-        self.kind = jnp.zeros((n_rays, N_SLOTS), jnp.int32)
-        self.data = jnp.zeros((n_rays, N_SLOTS, 14), F32)
+        self._kind = [None] * N_SLOTS  # lazy (R,) columns; None = all zero
+        self._cols = [[None] * 14 for _ in range(N_SLOTS)]
         self.possible = [set() for _ in range(N_SLOTS)]
         self.n = n_rays
+        self._mix_scale = None
+
+    def _sel(self, slot, c, mask, value):
+        cur = self._cols[slot][c]
+        if cur is None:
+            cur = jnp.zeros(self.n, F32)
+        v = jnp.broadcast_to(jnp.asarray(value, F32), (self.n,))
+        self._cols[slot][c] = jnp.where(mask, v, cur)
 
     def put(self, slot, mask, kind, color, eta=None, k_or_t=None, ax=None, ay=None, fresnel=FR_NONE, ab=None):
         """Masked write of one lobe into `slot`."""
         m = mask
         self.possible[slot].add(int(kind))
-        self.kind = self.kind.at[:, slot].set(jnp.where(m, kind, self.kind[:, slot]))
-        d = self.data[:, slot]
-        d = d.at[:, 0:3].set(jnp.where(m[:, None], color, d[:, 0:3]))
+        curk = self._kind[slot]
+        if curk is None:
+            curk = jnp.zeros(self.n, jnp.int32)
+        self._kind[slot] = jnp.where(m, kind, curk)
+        for c in range(3):
+            self._sel(slot, c, m, color[:, c] if jnp.ndim(color) == 2 else color)
         if eta is not None:
-            eta = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(eta, F32)), (self.n,)) if jnp.ndim(eta) <= 1 else eta
-            if jnp.ndim(eta) == 1:
-                d = d.at[:, 3].set(jnp.where(m, eta, d[:, 3]))
+            eta = jnp.asarray(eta, F32)
+            if jnp.ndim(eta) <= 1:
+                self._sel(slot, 3, m, eta)
             else:
-                d = d.at[:, 3:6].set(jnp.where(m[:, None], eta, d[:, 3:6]))
+                for c in range(3):
+                    self._sel(slot, 3 + c, m, eta[:, c])
         if k_or_t is not None:
-            d = d.at[:, 6:9].set(jnp.where(m[:, None], k_or_t, d[:, 6:9]))
+            for c in range(3):
+                self._sel(slot, 6 + c, m, k_or_t[:, c] if jnp.ndim(k_or_t) == 2 else k_or_t)
         if ax is not None:
-            d = d.at[:, 9].set(jnp.where(m, ax, d[:, 9]))
-            d = d.at[:, 10].set(jnp.where(m, ay, d[:, 10]))
-        d = d.at[:, 11].set(jnp.where(m, fresnel, d[:, 11]))
+            self._sel(slot, 9, m, ax)
+            self._sel(slot, 10, m, ay)
+        self._sel(slot, 11, m, fresnel)
         if ab is not None:
-            d = d.at[:, 12].set(jnp.where(m, ab[0], d[:, 12]))
-            d = d.at[:, 13].set(jnp.where(m, ab[1], d[:, 13]))
-        self.data = self.data.at[:, slot].set(d)
+            self._sel(slot, 12, m, ab[0])
+            self._sel(slot, 13, m, ab[1])
+
+    def scale_colors(self, mask, scale):
+        """Multiply every written lobe's color by `scale` where mask (mix)."""
+        for slot in range(N_SLOTS):
+            for c in range(3):
+                cur = self._cols[slot][c]
+                if cur is not None:
+                    self._cols[slot][c] = jnp.where(mask, cur * scale[:, c], cur)
+
+    def finalize(self):
+        zero = jnp.zeros(self.n, F32)
+        zeroi = jnp.zeros(self.n, jnp.int32)
+        kind = jnp.stack([k if k is not None else zeroi for k in self._kind], axis=1)
+        data = jnp.stack(
+            [jnp.stack([c if c is not None else zero for c in cols], axis=1) for cols in self._cols],
+            axis=1,
+        )
+        return kind, data
 
 
 def make_bsdf(sa: SceneArrays, static: SceneStatic, mat_ids, uv, p, duvdx=None, duvdy=None):
@@ -252,7 +292,7 @@ def make_bsdf(sa: SceneArrays, static: SceneStatic, mat_ids, uv, p, duvdx=None, 
         diff_c = color * dweight[:, None]
         sheen_c = sheen_amt[:, None] * dweight[:, None] * tint
         w.put(0, m & (_nonblack(diff_c) | _nonblack(sheen_c)), LOBE_DISNEY_DIFF, diff_c, k_or_t=sheen_c)
-        w.data = w.data.at[:, 0, 12].set(jnp.where(m, urough, w.data[:, 0, 12]))
+        w._sel(0, 12, m, urough)
         # specular GGX with Schlick F0 = lerp(0.08*tint-ish, color, metallic)
         f0 = (1.0 - metallic)[:, None] * 0.08 * ((1.0 - spec_tint)[:, None] + spec_tint[:, None] * tint) + metallic[:, None] * color
         one = jnp.ones((R, 3), F32)
@@ -302,9 +342,10 @@ def make_bsdf(sa: SceneArrays, static: SceneStatic, mat_ids, uv, p, duvdx=None, 
 
     if is_mix is not None:
         # apply the mixture color scale to every written lobe
-        w.data = w.data.at[:, :, 0:3].multiply(jnp.where(is_mix[:, None, None], mix_scale[:, None, :], 1.0))
+        w.scale_colors(is_mix, mix_scale)
 
-    out = {"kind": w.kind, "data": w.data, "possible": tuple(frozenset(p) for p in w.possible)}
+    kind_arr, data_arr = w.finalize()
+    out = {"kind": kind_arr, "data": data_arr, "possible": tuple(frozenset(p) for p in w.possible)}
     if static.has_fourier:
         out["fourier"] = sa.fourier
     return out

@@ -291,6 +291,11 @@ def material_param(sa: SceneArrays, tex_values, mat_ids, slot):
     tid = gather_rows(sa.mat_tex[:, slot], mat_ids)  # (R,)
     if tex_values.shape[0] == 0:
         return const
-    r = jnp.arange(mat_ids.shape[0])
-    texed = tex_values[jnp.clip(tid, 0), r]
-    return jnp.where((tid >= 0)[:, None], texed, const)
+    # texture-id dispatch as a static where-chain: the leading (X,) axis is
+    # tiny and static, and per-ray advanced indexing into (X, R, 3) is a
+    # scalar-core gather on TPU (measured ~3 ms per call at 500k rays vs
+    # ~0.2 ms for the chain)
+    out = const
+    for x in range(tex_values.shape[0]):
+        out = jnp.where((tid == x)[:, None], tex_values[x], out)
+    return out
