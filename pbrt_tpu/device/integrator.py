@@ -163,7 +163,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         emission with deferred MIS for rays that reached the surface."""
         (o, d, L, beta, alive, prev_specular, prev_pdf, prev_p, eta_scale,
          n_vertices, medium, bounces, dd_x, dd_y) = state
-        hit = intersect(sa, static, o, d, jnp.full(R, jnp.inf, F32), time=time)
+        hit = intersect(sa, static, o, d, jnp.full(R, jnp.inf, F32), time=time, sort_rays=True)
         si = surface_interaction(sa, hit, o, d, time=time)
         valid = si["valid"]
         n_vertices = n_vertices + (alive & valid)
@@ -221,7 +221,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         if pass_null:
             key = (jnp.asarray(seed, jnp.uint32) * jnp.uint32(31) + jnp.asarray(sample_idx, jnp.uint32)) ^ (b.astype(jnp.uint32) * jnp.uint32(0x68E31DA4))
             return transmittance_shadow(sa, static, o_sh, wi, t_sh, medium_v, key, time=time)
-        occ = intersect_p(sa, static, o_sh, wi, t_sh, time=time)
+        occ = intersect_p(sa, static, o_sh, wi, t_sh, time=time, sort_rays=True)
         return jnp.where(occ[:, None], 0.0, 1.0)
 
     def _nee_at(si, lobes, alive_m, medium_v, b, dim_base, light_index=None, dim_salt=0,

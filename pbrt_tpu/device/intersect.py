@@ -530,19 +530,74 @@ def _traverse(sa: SceneArrays, static: SceneStatic, o, d, t_max, any_hit: bool, 
     }, ha_flat
 
 
-def intersect(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None):
-    """Closest-hit query. Returns hit dict {t, prim, b1, b2}."""
+# rays-per-packet coherence: above this primitive count, sort waves by a
+# direction-octant + origin-Morton key before traversal so each packet's
+# union-of-node-visits shrinks (SURVEY.md 2.12 wavefront mandate; the
+# reference's per-thread rays are naturally coherent per tile)
+SORT_MIN_PRIMS = 4096
+
+
+def _morton3(x, y, z):
+    """Interleave 3x10-bit -> 30-bit Morton code (bvh.rs left_shift3)."""
+
+    def spread(v):
+        v = v & jnp.uint32(0x3FF)
+        v = (v | (v << 16)) & jnp.uint32(0x30000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x30C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x9249249)
+        return v
+
+    return spread(x) | (spread(y) << 1) | (spread(z) << 2)
+
+
+def _ray_sort_key(sa, o, d):
+    """Sort key: 3-bit direction octant (major) then origin Morton code."""
+    wc = sa.world_center
+    wr = jnp.maximum(sa.world_radius, 1e-6)
+    q = jnp.clip((o - wc) / (2.0 * wr) + 0.5, 0.0, 1.0)
+    qi = (q * 1023.0).astype(jnp.uint32)
+    m = _morton3(qi[:, 0], qi[:, 1], qi[:, 2])
+    oct_ = (
+        (d[:, 0] < 0).astype(jnp.uint32)
+        | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
+        | ((d[:, 2] < 0).astype(jnp.uint32) << 2)
+    )
+    return (oct_ << 29) | (m >> 1)
+
+
+def _sorted_traverse(sa, static, o, d, t_max, any_hit, time):
+    key = _ray_sort_key(sa, o, d)
+    perm = jnp.argsort(key)
+    o_s = o[perm]
+    d_s = d[perm]
+    tm = jnp.broadcast_to(jnp.asarray(t_max, F32), (o.shape[0],))[perm]
+    time_s = None if time is None else jnp.broadcast_to(jnp.asarray(time, F32), (o.shape[0],))[perm]
+    hit, hit_any = _traverse(sa, static, o_s, d_s, tm, any_hit=any_hit, time=time_s)
+    inv = jnp.argsort(perm)
+    hit = {k: v[inv] for k, v in hit.items()}
+    return hit, hit_any[inv]
+
+
+def intersect(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None, sort_rays=False):
+    """Closest-hit query. Returns hit dict {t, prim, b1, b2}.
+
+    sort_rays: opt-in wave reordering for incoherent bounces on big scenes
+    (integrator sets it for bounce >= 1)."""
     if not static.has_motion:
         time = None
     if static.n_prims == 0:
         return Hit.none((o.shape[0],))
     if static.use_brute_force:
         return intersect_brute(sa, static, o, d, t_max, time)
+    if sort_rays and static.n_prims >= SORT_MIN_PRIMS:
+        hit, _ = _sorted_traverse(sa, static, o, d, t_max, False, time)
+        return hit
     hit, _ = _traverse(sa, static, o, d, t_max, any_hit=False, time=time)
     return hit
 
 
-def intersect_p(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None):
+def intersect_p(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None, sort_rays=False):
     """Any-hit (shadow) query -> bool (R,). (scene.rs intersect_p)"""
     if not static.has_motion:
         time = None
@@ -550,5 +605,8 @@ def intersect_p(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None):
         return jnp.zeros(o.shape[0], bool)
     if static.use_brute_force:
         return intersect_p_brute(sa, static, o, d, t_max, time)
+    if sort_rays and static.n_prims >= SORT_MIN_PRIMS:
+        _, hit_any = _sorted_traverse(sa, static, o, d, t_max, True, time)
+        return hit_any
     _, hit_any = _traverse(sa, static, o, d, t_max, any_hit=True, time=time)
     return hit_any
