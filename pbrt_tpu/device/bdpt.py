@@ -102,7 +102,8 @@ def _set_v(v, i, **kw):
 
 
 def _gather(v, i):
-    return {k: a[:, i] for k, a in v.items()}
+    # is_delta_light is a per-path (R,) endpoint flag, not a vertex column
+    return {k: a[:, i] for k, a in v.items() if k != "is_delta_light"}
 
 
 def _convert_pdf(pdf_dir, p_from, p_to, ng_to):
@@ -262,8 +263,10 @@ def generate_light_subpath(sa, static, possible, prov, dim0, power_cdf, max_s):
     is_area = kindl == LIGHT_AREA
     n_l = jnp.zeros((R, 3), F32)
     if static.has_area_lights:
-        # emission normal approximated from the sampled direction's hemisphere
-        n_l = jnp.where(is_area[:, None], _norm(em["d"]), n_l)
+        # the sampled point's true surface normal (sample_le returns it);
+        # using the emission direction here biased every endpoint pdf
+        # conversion (cos(n,d) degenerated to 1)
+        n_l = jnp.where(is_area[:, None], em["n"], n_l)
     # origin pdf in area measure (vertex.rs pdf_light_origin): delta lights
     # have a delta position (=sel only); area lights are uniform over area
     pdf_origin = sel_pdf
@@ -281,18 +284,23 @@ def generate_light_subpath(sa, static, possible, prov, dim0, power_cdf, max_s):
         pdf_fwd=pdf_origin,
         light=lid,
     )
-    # delta-position lights exclude the s=0 alternative in the MIS walk
-    # (vertex.rs is_delta_light)
+    # delta-position lights exclude the s=0 alternative in the MIS walk.
+    # The reference (bdpt.rs:1225-1228) consults is_delta_light ONLY for the
+    # i==0 term; storing it in the vertex delta flag would also wrongly
+    # exclude the i==1 term (the valid s=1 NEE alternative), so it lives in
+    # a separate per-path field and delta[0] stays false.
     from ..scene.arrays import _DELTA_LIGHTS
 
     is_delta_l = jnp.zeros(R, bool)
     for dk in _DELTA_LIGHTS:
         is_delta_l = is_delta_l | (kindl == dk)
-    v["delta"] = v["delta"].at[:, 0].set(is_delta_l)
+    v["is_delta_light"] = is_delta_l
     # directional pdf approximations per kind (consistent across strategies)
     pdf_dir = jnp.full(R, 1.0 / (4.0 * jnp.pi), F32)
-    cos_l = jnp.abs(_dot(n_l, em["d"]))
-    pdf_dir = jnp.where(is_area, jnp.maximum(cos_l, 1e-4) / jnp.pi, pdf_dir)
+    if static.has_area_lights:
+        from .lights import area_light_pdf_dir
+
+        pdf_dir = jnp.where(is_area, area_light_pdf_dir(sa, lid, n_l, em["d"]), pdf_dir)
 
     v, _ = _random_walk(sa, static, possible, prov, dim0 + 5, v, 1, max_s - 1, em["o"], em["d"], beta, pdf_dir, alive, "importance")
     n_light = jnp.sum(v["type"] != VT_NONE, axis=1)
@@ -332,12 +340,18 @@ def _mis_weight(cam_v, light_v, s: int, t: int, overrides):
         d_prev = cam_v["delta"][:, i - 1] if i - 1 > 0 else jnp.zeros(R, bool)
         sum_ri = sum_ri + jnp.where(~d_i & ~d_prev, ri, 0.0)
 
-    # light side
+    # light side. The i==0 term alone is gated on is_delta_light
+    # (bdpt.rs:1225-1228 delta_light_vertex); for i>0 the previous VERTEX
+    # delta flag applies (always false at the light endpoint itself, so the
+    # s=1 NEE alternative stays counted for point/spot/distant lights).
+    is_delta_light = light_v.get("is_delta_light")
+    if is_delta_light is None:
+        is_delta_light = jnp.zeros(R, bool)
     ri = jnp.ones(R, F32)
     for i in range(s - 1, -1, -1):
         ri = ri * _remap0(rev_of(light_v, i, "light")) / _remap0(light_v["pdf_fwd"][:, i])
         d_i = light_v["delta"][:, i]
-        d_prev = light_v["delta"][:, i - 1] if i - 1 >= 0 and i - 1 < s else jnp.zeros(R, bool)
+        d_prev = is_delta_light if i == 0 else light_v["delta"][:, i - 1]
         sum_ri = sum_ri + jnp.where(~d_i & ~d_prev, ri, 0.0)
 
     return 1.0 / (1.0 + sum_ri)
@@ -371,8 +385,9 @@ def connect_bdpt(sa, static, possible, cam, prov, cam_v, n_cam, light_v, n_light
         pdf_origin = (1.0 / jnp.maximum(area, 1e-12)) * sel_pdf_uniform
         prev = _gather(cam_v, t - 2)
         w_dir = _norm(prev["p"] - pt["p"])
-        cos_l = jnp.abs(_dot(pt["ng"], w_dir))
-        pdf_dir = jnp.maximum(cos_l, 1e-6) / jnp.pi
+        from .lights import area_light_pdf_dir
+
+        pdf_dir = area_light_pdf_dir(sa, lid, pt["ng"], w_dir)
         pdf_at_prev = _convert_pdf(pdf_dir, pt["p"], prev["p"], prev["ng"])
         w = _mis_weight(cam_v, light_v, s, t, {("cam", t - 1): pdf_origin, ("cam", t - 2): pdf_at_prev})
         return jnp.where((emitting & jnp.any(L > 0, axis=-1))[:, None], L * w[:, None], 0.0), None
@@ -394,9 +409,12 @@ def connect_bdpt(sa, static, possible, cam, prov, cam_v, n_cam, light_v, n_light
         p_light = pt["p"] + ls["wi"] * ls["dist"][:, None]
         n_light = ls["n"]
         # pt.rev <- light's emission-direction pdf converted to area at pt
-        cos_le = jnp.abs(_dot(n_light, -ls["wi"]))
+        from .lights import area_light_pdf_dir
+
         pdf_dir_l = jnp.where(
-            jnp.any(n_light != 0, axis=-1), jnp.maximum(cos_le, 1e-6) / jnp.pi, 1.0 / (4.0 * jnp.pi)
+            jnp.any(n_light != 0, axis=-1),
+            area_light_pdf_dir(sa, lid, n_light, -ls["wi"]),
+            1.0 / (4.0 * jnp.pi),
         )
         pdf_rev_pt = _convert_pdf(pdf_dir_l, p_light, pt["p"], pt["ng"])
         prev = _gather(cam_v, t - 2)
@@ -410,7 +428,8 @@ def connect_bdpt(sa, static, possible, cam, prov, cam_v, n_cam, light_v, n_light
         pdf_dir_to_l = _vertex_pdf_dir(pt, possible, _norm(prev["p"] - pt["p"]), ls["wi"])
         pdf_rev_light = _convert_pdf(pdf_dir_to_l, pt["p"], p_light, n_light)
         lv["pdf_fwd"] = lv["pdf_fwd"].at[:, 0].set(jnp.maximum(pdf_origin, 1e-20))
-        lv["delta"] = lv["delta"].at[:, 0].set(ls["delta"])
+        lv["delta"] = lv["delta"].at[:, 0].set(jnp.zeros(R, bool))
+        lv["is_delta_light"] = ls["delta"]
         lv["type"] = lv["type"].at[:, 0].set(VT_LIGHT)
         w = _mis_weight(cam_v, lv, s, t, {("cam", t - 1): pdf_rev_pt, ("cam", t - 2): pdf_rev_prev, ("light", 0): pdf_rev_light})
         return jnp.where(ok[:, None], L * w[:, None], 0.0), None

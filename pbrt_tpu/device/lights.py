@@ -455,23 +455,39 @@ def sample_le(sa: SceneArrays, static: SceneStatic, light_ids, u1a, u1b, u2a, u2
         w = jnp.where(m[:, None], le * (jnp.pi * wr * wr), w)
 
     # area: uniform point on prim, cosine-weighted direction
+    n_out = jnp.zeros((R, 3), F32)
     if static.has_area_lights:
         m = kind == LIGHT_AREA
         lprim = sa.light_prim[lid]
         ps, ns, area = _sample_prim_point(sa, lprim, u1a, u1b)
         from .bsdf import cosine_sample_hemisphere
 
-        w_l = cosine_sample_hemisphere(u2a, u2b)
         two_sided = par[:, 3] > 0
-        # two-sided: flip to the other side half the time is subsumed by
-        # uniform u; one-sided emits on the +n side only
-        t1a, t2a = coordinate_system(ns)
-        d_ar = _norm(w_l[:, 0:1] * t1a + w_l[:, 1:2] * t2a + w_l[:, 2:3] * ns)
-        cos_l = jnp.maximum(w_l[:, 2], 1e-6)
-        # pdf_pos = 1/area, pdf_dir = cos/pi -> Le/pdf = L * area * pi
-        w_area = par[:, 0:3] * (area * jnp.pi)[:, None]
-        o = jnp.where(m[:, None], ps + ns * 1e-3, o)
+        # two-sided: emit from the back hemisphere half the time
+        # (diffuse.rs sample_le); remap u2a so both halves stay stratified
+        flip = two_sided & (u2a < 0.5)
+        u2a_r = jnp.where(
+            two_sided, jnp.where(u2a < 0.5, 2.0 * u2a, 2.0 * (u2a - 0.5)), u2a
+        )
+        w_l = cosine_sample_hemisphere(u2a_r, u2b)
+        ns_e = jnp.where(flip[:, None], -ns, ns)
+        t1a, t2a = coordinate_system(ns_e)
+        d_ar = _norm(w_l[:, 0:1] * t1a + w_l[:, 1:2] * t2a + w_l[:, 2:3] * ns_e)
+        # pdf_pos = 1/area; pdf_dir = cos/pi (one-sided) or 0.5*cos/pi
+        # (two-sided) -> Le/pdf = L * area * pi * (2 if two-sided)
+        w_area = par[:, 0:3] * (area * jnp.pi * jnp.where(two_sided, 2.0, 1.0))[:, None]
+        o = jnp.where(m[:, None], ps + ns_e * 1e-3, o)
         d = jnp.where(m[:, None], d_ar, d)
         w = jnp.where(m[:, None], w_area, w)
+        n_out = jnp.where(m[:, None], ns, n_out)
 
-    return {"o": o, "d": d, "le_over_pdf": w}
+    return {"o": o, "d": d, "le_over_pdf": w, "n": n_out}
+
+
+def area_light_pdf_dir(sa: SceneArrays, light_ids, n, w):
+    """Directional emission pdf of a diffuse area light (diffuse.rs pdf_le):
+    cos/pi one-sided, 0.5*cos/pi two-sided."""
+    par = sa.light_param[jnp.maximum(light_ids, 0)]
+    two_sided = par[:, 3] > 0
+    cos_l = jnp.abs(_dot(n, w))
+    return jnp.where(two_sided, 0.5, 1.0) * jnp.maximum(cos_l, 1e-6) / jnp.pi

@@ -147,7 +147,12 @@ def render_mlt(cs, seed: int = 0, progress=None):
         n_mut = max((mpp * n_pix) // (n_chains * (max_depth + 1)), 1)
 
         @jax.jit
-        def chain_step(u_cur, lum_cur, key):
+        def chain_step(u_cur, cur, key):
+            # `cur` carries the CURRENT state's full evaluation (pixel, L,
+            # splats, lum) between steps so the target is evaluated once per
+            # mutation (for the proposal only), mirroring mlt.rs where the
+            # sampler state's radiance is cached.
+            pix_o, L_o, spx_o, sval_o, lum_o = cur
             R = u_cur.shape[0]
             key = rng.pcg_hash(key + jnp.arange(R, dtype=jnp.uint32) * jnp.uint32(0x9E3779B1))
             u_large = rng.u32_to_float(rng.pcg_hash(key[:, None] * jnp.uint32(2654435761) + jnp.arange(D, dtype=jnp.uint32)[None, :]))
@@ -162,7 +167,6 @@ def render_mlt(cs, seed: int = 0, progress=None):
             u_prop = jnp.where(is_large[:, None], u_large, u_small)
 
             pix_n, L_n, spx_n, sval_n, lum_n = _l_fn(sa, static, possible, cam, cdf, u_prop, depth, W, H)
-            pix_o, L_o, spx_o, sval_o, lum_o = _l_fn(sa, static, possible, cam, cdf, u_cur, depth, W, H)
 
             a = jnp.clip(lum_n / jnp.maximum(lum_o, 1e-12), 0.0, 1.0)
             # plain Metropolis expected-value splatting: both states weighted
@@ -186,13 +190,20 @@ def render_mlt(cs, seed: int = 0, progress=None):
             u_key = rng.pcg_hash(key2 + jnp.uint32(0x165667B1))
             accept = rng.u32_to_float(u_key) < a
             u_next = jnp.where(accept[:, None], u_prop, u_cur)
-            lum_next = jnp.where(accept, lum_n, lum_o)
-            return u_next, lum_next, fs
+            acc_rep = jnp.tile(accept, max(k_n, 1))[: spx_n.shape[0]]
+            nxt = (
+                jnp.where(accept, pix_n, pix_o),
+                jnp.where(accept[:, None], L_n, L_o),
+                jnp.where(acc_rep, spx_n, spx_o),
+                jnp.where(acc_rep[:, None], sval_n, sval_o),
+                jnp.where(accept, lum_n, lum_o),
+            )
+            return u_next, nxt, fs
 
-        _, _, _, _, lum_cur = l_jit(u_cur)
+        cur = l_jit(u_cur)
         accum = np.zeros((n_pix, 3), np.float64)
         for m in range(n_mut):
-            u_cur, lum_cur, fs = chain_step(u_cur, lum_cur, jnp.uint32(seed * 7919 + depth * 104729 + m))
+            u_cur, cur, fs = chain_step(u_cur, cur, jnp.uint32(seed * 7919 + depth * 104729 + m))
             accum += np.asarray(fs, np.float64)
         total_mutations += n_mut * n_chains
         # pbrt write_image(b/mutationsPerPixel): image = accum * b * nPix/NMut

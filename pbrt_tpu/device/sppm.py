@@ -46,13 +46,20 @@ KMAX = 32  # visible points examined per photon deposit (cell scan cap)
 GAMMA = 2.0 / 3.0
 
 
-def _hash_cell(ix, iy, iz, n_cells):
-    h = (
-        ix.astype(jnp.uint32) * jnp.uint32(73856093)
-        ^ iy.astype(jnp.uint32) * jnp.uint32(19349663)
-        ^ iz.astype(jnp.uint32) * jnp.uint32(83492791)
+# sorted-run cell key: EXACT packed voxel coordinates (10 bits/axis,
+# power-of-2 wraparound), not a hash — hashing merged unrelated voxels into
+# one sorted run, overflowing the KMAX scan cap and dropping energy.
+# Wraparound aliases only voxels exactly 1024 cells apart; the distance
+# filter rejects any such far pair.
+KEY_SENTINEL = jnp.uint32(1 << 30)
+
+
+def _cell_key(ix, iy, iz):
+    return (
+        (ix.astype(jnp.uint32) & jnp.uint32(1023))
+        | ((iy.astype(jnp.uint32) & jnp.uint32(1023)) << 10)
+        | ((iz.astype(jnp.uint32) & jnp.uint32(1023)) << 20)
     )
-    return (h % jnp.uint32(n_cells)).astype(jnp.int32)
 
 
 def _camera_pass(sa, static, icfg, scfg, cam, seed, px, py, pids, it):
@@ -175,7 +182,7 @@ def _camera_pass(sa, static, icfg, scfg, cam, seed, px, py, pids, it):
 
 
 def _build_grid(vp, radius, grid_min, inv_cell, n_cells):
-    """Sort visible points by hashed voxel cell.
+    """Sort visible points by exact voxel cell key.
 
     Each VP registers the up-to-8 cells its radius-ball overlaps.
     Returns (sorted_cells (8R,), sorted_vp (8R,)).
@@ -194,7 +201,7 @@ def _build_grid(vp, radius, grid_min, inv_cell, n_cells):
                 ix = jnp.where(cx == 0, lo_i[:, 0], hi_i[:, 0])
                 iy = jnp.where(cy == 0, lo_i[:, 1], hi_i[:, 1])
                 iz = jnp.where(cz == 0, lo_i[:, 2], hi_i[:, 2])
-                c = _hash_cell(ix, iy, iz, n_cells)
+                c = _cell_key(ix, iy, iz)
                 # dedupe: only the first occurrence of a cell registers
                 dup = jnp.zeros(R, bool)
                 for pz in range(cz + 1):
@@ -203,8 +210,8 @@ def _build_grid(vp, radius, grid_min, inv_cell, n_cells):
                             jx = jnp.where(px_ == 0, lo_i[:, 0], hi_i[:, 0])
                             jy = jnp.where(py_ == 0, lo_i[:, 1], hi_i[:, 1])
                             jz = jnp.where(pz == 0, lo_i[:, 2], hi_i[:, 2])
-                            dup = dup | (_hash_cell(jx, jy, jz, n_cells) == c)
-                c = jnp.where(vp["valid"] & ~dup, c, n_cells)  # sentinel
+                            dup = dup | (_cell_key(jx, jy, jz) == c)
+                c = jnp.where(vp["valid"] & ~dup, c, KEY_SENTINEL)
                 cells.append(c)
                 vps.append(vp_idx)
     cells = jnp.concatenate(cells)
@@ -237,6 +244,7 @@ def _photon_pass(sa, static, icfg, seed, it, n_photons, power_cdf, vp, radius,
 
     phi = jnp.zeros((R, 3), F32)
     m_cnt = jnp.zeros(R, F32)
+    overflow = jnp.zeros((), jnp.int32)  # VP slots dropped by the KMAX cap
     r2 = radius * radius
 
     for b in range(max_depth):
@@ -248,9 +256,12 @@ def _photon_pass(sa, static, icfg, seed, it, n_photons, power_cdf, vp, radius,
         if b > 0:
             # deposit at this vertex (sppm.rs: photons skip the first hit)
             pg = (si["p"] - grid_min) * inv_cell
-            c = _hash_cell(jnp.floor(pg[:, 0]).astype(jnp.int32), jnp.floor(pg[:, 1]).astype(jnp.int32), jnp.floor(pg[:, 2]).astype(jnp.int32), n_cells)
+            c = _cell_key(jnp.floor(pg[:, 0]).astype(jnp.int32), jnp.floor(pg[:, 1]).astype(jnp.int32), jnp.floor(pg[:, 2]).astype(jnp.int32))
             lo_k = jnp.searchsorted(sorted_cells, c, side="left")
             hi_k = jnp.searchsorted(sorted_cells, c, side="right")
+            overflow = overflow + jnp.sum(
+                jnp.where(alive, jnp.maximum(hi_k - lo_k - KMAX, 0), 0)
+            )
             contrib_idx = []
             contrib_phi = []
             contrib_m = []
@@ -296,7 +307,7 @@ def _photon_pass(sa, static, icfg, seed, it, n_photons, power_cdf, vp, radius,
         o = _offset_ray(si["p"], si["ng"], wi_w)
         d = wi_w
 
-    return phi, m_cnt
+    return phi, m_cnt, overflow
 
 
 def render_sppm(cs, seed: int = 0, progress=None):
@@ -362,7 +373,10 @@ def render_sppm(cs, seed: int = 0, progress=None):
         cell = max(2.0 * max_r, 1e-6)
         inv_cell = jnp.float32(1.0 / cell)
         sc, sv = grid_jit(vp, radius, inv_cell)
-        phi, m_cnt = photon_jit(it_j, seed_j, vp, radius, sc, sv, inv_cell)
+        phi, m_cnt, overflow = photon_jit(it_j, seed_j, vp, radius, sc, sv, inv_cell)
+        ov = int(overflow)
+        if ov > 0:
+            log.warning("sppm iter %d: %d photon-VP pairs dropped by KMAX=%d cap", it, ov, KMAX)
 
         # radius/tau update (sppm.rs :470-502)
         has = m_cnt > 0

@@ -61,3 +61,39 @@ def test_mlt_matches_path_brightness():
     assert np.isfinite(img_mlt).all()
     r = img_mlt.mean() / img_path.mean()
     assert 0.75 < r < 1.25, f"brightness ratio {r}: path {img_path.mean()} mlt {img_mlt.mean()}"
+
+
+def test_bdpt_matches_path_point_light():
+    """Delta-light MIS: is_delta_light must gate only the i==0 term of the
+    light-side weight walk (bdpt.rs:1225-1228); conflating it with the
+    vertex delta flag drops the s=1 alternative and over-brightens."""
+
+    def scene(integrator):
+        mesh = TriangleMesh(
+            p=np.array([[-3, 0, -3], [3, 0, -3], [3, 0, 3], [-3, 0, 3]], np.float64),
+            indices=np.array([[0, 2, 1], [0, 3, 2]], np.int32),
+        )
+        floor = HostPrimitive(
+            shape=ShapeRecord(mesh=mesh),
+            material=HostMaterial(kind="matte", params={"Kd": ("const", np.array([0.6, 0.6, 0.6]))}),
+        )
+        ball = HostPrimitive(
+            shape=ShapeRecord(sphere=Sphere(object_to_world=Transform.translate([0.0, 0.6, 0.0]), radius=0.6)),
+            material=HostMaterial(kind="matte", params={"Kd": ("const", np.array([0.5, 0.3, 0.2]))}),
+        )
+        point = HostLight(kind="point", from_point=np.array([1.5, 2.5, 1.0]), intensity=np.array([10.0, 10.0, 10.0]))
+        return SceneDescription(
+            primitives=[floor, ball],
+            lights=[point],
+            camera=CameraConfig(kind="perspective", camera_to_world=Transform.look_at([0, 2, 4], [0, 0.5, 0], [0, 1, 0]), fov=45.0),
+            film=FilmConfig(x_resolution=12, y_resolution=9),
+            sampler=SamplerConfig(kind="zerotwosequence", pixel_samples=64),
+            integrator=integrator,
+        )
+
+    img_path = render(scene(IntegratorConfig(kind="path", max_depth=3)), spp=64)
+    img_bdpt = render(scene(IntegratorConfig(kind="bdpt", max_depth=3)), spp=64)
+    lit = img_path.mean(axis=-1) > 0.02
+    assert lit.sum() > 20
+    r = img_bdpt.mean(axis=-1)[lit] / img_path.mean(axis=-1)[lit]
+    assert abs(np.median(r) - 1.0) < 0.15, f"median ratio {np.median(r)}"
