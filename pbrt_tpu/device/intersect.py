@@ -579,6 +579,42 @@ def _sorted_traverse(sa, static, o, d, t_max, any_hit, time):
     return hit, hit_any[inv]
 
 
+def _pallas_route(static) -> bool:
+    """Route closest-hit through the Pallas wide-BVH kernel?
+
+    On the TPU backend the single-kernel traversal is ~4x the XLA packet
+    loop (which pays a ~60us floor per lockstep while_loop iteration). On
+    CPU the kernel runs in (slow) interpret mode, so tests must opt in via
+    PBRT_TPU_WIDE=1."""
+    import os
+
+    if not static.has_wide:
+        return False
+    env = os.environ.get("PBRT_TPU_WIDE", "")
+    if env == "0":
+        return False
+    if jax.default_backend() == "cpu":
+        return env == "1"
+    return True
+
+
+def _wide_closest(sa, static, o, d, t_max):
+    from .pallas_bvh import wide_intersect
+
+    interp = jax.default_backend() == "cpu"
+    t, slot, hitm = wide_intersect(sa, static, o, d, t_max, interpret=interp)
+    prim = jnp.where(hitm, sa.wslot_prim[jnp.maximum(slot, 0)], -1)
+    # barycentrics for the single hit prim via the same watertight test
+    rows = sa.prim_test_data[jnp.maximum(prim, 0)]
+    _h, _t, _b0, b1, b2 = ray_triangle(o, d, rows[:, 0:3], rows[:, 3:6], rows[:, 6:9], jnp.full(o.shape[0], INF, F32))
+    return {
+        "t": jnp.where(hitm, t, INF),
+        "prim": prim,
+        "b1": jnp.where(hitm, jnp.clip(b1, 0.0, 1.0), 0.0),
+        "b2": jnp.where(hitm, jnp.clip(b2, 0.0, 1.0), 0.0),
+    }
+
+
 def intersect(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None, sort_rays=False):
     """Closest-hit query. Returns hit dict {t, prim, b1, b2}.
 
@@ -590,6 +626,15 @@ def intersect(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None, sort
         return Hit.none((o.shape[0],))
     if static.use_brute_force:
         return intersect_brute(sa, static, o, d, t_max, time)
+    if time is None and _pallas_route(static):
+        if sort_rays and static.n_prims >= SORT_MIN_PRIMS:
+            key = _ray_sort_key(sa, o, d)
+            perm = jnp.argsort(key)
+            tm = jnp.broadcast_to(jnp.asarray(t_max, F32), (o.shape[0],))[perm]
+            hit = _wide_closest(sa, static, o[perm], d[perm], tm)
+            inv = jnp.argsort(perm)
+            return {k: v[inv] for k, v in hit.items()}
+        return _wide_closest(sa, static, o, d, t_max)
     if sort_rays and static.n_prims >= SORT_MIN_PRIMS:
         hit, _ = _sorted_traverse(sa, static, o, d, t_max, False, time)
         return hit

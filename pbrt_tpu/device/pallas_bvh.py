@@ -1,0 +1,284 @@
+"""Pallas TPU wide-BVH traversal kernels.
+
+The XLA packet traversal (intersect.py:_traverse) pays a ~60us floor per
+`while_loop` iteration (kernel-boundary overhead) and per-lane gather costs;
+at ~2000 lockstep iterations that capped closest-hit at ~0.5 Mray/s on an
+88k-triangle scene. Here the whole traversal runs INSIDE one Pallas kernel:
+per-packet traversal state in SMEM/registers, node/prim tables resident in
+VMEM (built by scene/widebvh.py), and every box/triangle test shaped
+(8, 128) = children-or-prims x rays, the native VPU tile. The grid iterates
+packets of 128 rays.
+
+Per-visit cost engineering (Mosaic constraints in parentheses):
+- entities are selected from their 128-aligned (8, 128) block with a
+  traced-shift `pltpu.roll` + static 16-lane slice (dynamic lane offsets
+  must be 128-aligned, but roll shifts are unrestricted);
+- the stack holds one BITMASK entry per visited node (hit-children bits +
+  a direction bit); child metas live in a parallel VMEM stack written as an
+  (8, 1) column per push, so only ONE vector->scalar reduction happens per
+  visit (pop-time meta extract) instead of eight;
+- t_best / slot ride the while_loop carry (vector registers, no VMEM
+  round-trip per visit).
+
+Semantic reference: src/accelerators/bvh.rs:705-814 (stack traversal with
+dir-sign child ordering); triangle test = the watertight shear test of
+triangle.rs:136-399 (per-ray permutation/shear constants precomputed in
+pack_rays) so shared-edge hits can never fall through a crack, matching the
+XLA path (intersect.ray_triangle). The kernel returns (t, slot);
+barycentrics are recomputed by the XLA wrapper on the single hit prim.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+I32 = jnp.int32
+PACKET = 512
+STACK = 72  # >= wide-tree depth (~8 for 1M prims) x safety; slot STACK-1 is sacrificial
+EPS = 1e-4  # matches intersect.SHADOW_EPS
+
+
+def _low_bit_index(m):
+    """Index of the lowest set bit of 8-bit m (scalar, branch-free)."""
+    low = m & (-m)
+    k = jnp.where((low & 0xAA) != 0, 1, 0)
+    k = k + jnp.where((low & 0xCC) != 0, 2, 0)
+    return k + jnp.where((low & 0xF0) != 0, 4, 0)
+
+
+def _high_bit_index(m):
+    """Index of the highest set bit of 8-bit m (scalar, branch-free)."""
+    k4 = jnp.where((m & 0xF0) != 0, 4, 0)
+    m1 = jnp.where(k4 > 0, m >> 4, m) & 0xF
+    k2 = jnp.where((m1 & 0xC) != 0, 2, 0)
+    m2 = jnp.where(k2 > 0, m1 >> 2, m1) & 0x3
+    return k4 + k2 + jnp.where((m2 & 0x2) != 0, 1, 0)
+
+
+def _traverse_kernel(nodes_ref, prims_ref, rays_ref, out_ref, stack_ref, vstack_ref,
+                     *, root: int, any_hit: bool):
+    """One packet (128 rays) against the wide BVH.
+
+    rays_ref block: (1, 16, 128): rows 0-2 o, 3-5 d, 6-8 inv_d, 9 t_max,
+    10-12 per-packet majority sign of d (broadcast), 13 live mask.
+    out block (1, 8, 128): row 0 t_best, row 1 slot (f32, -1 = miss).
+    stack_ref: (STACK,) SMEM i32 entries = hit-children mask | dir << 8.
+    vstack_ref: (STACK*8, 128) VMEM f32; col 0 of group s = child metas of
+    the stack entry at slot s (meta > 0 interior id, < 0 -(octet+1)).
+    """
+    rr = rays_ref[0]
+    ox, oy, oz = rr[0:1, :], rr[1:2, :], rr[2:3, :]
+    dx, dy, dz = rr[3:4, :], rr[4:5, :], rr[5:6, :]
+    sx, sy, sz = rr[6:7, :], rr[7:8, :], rr[8:9, :]
+    t_max = rr[9:10, :]
+    live = rr[13:14, :] > 0
+    k0 = rr[14:15, :] > 0  # watertight permutation: max |d| axis == x
+    k1 = rr[15:16, :] > 0  # == y
+
+    def _inv(c):
+        return 1.0 / jnp.where(jnp.abs(c) < 1e-30, jnp.where(c < 0, -1e-30, 1e-30), c)
+
+    ix, iy, iz = _inv(dx), _inv(dy), _inv(dz)
+
+    iota8 = jax.lax.broadcasted_iota(I32, (8, PACKET), 0)
+    iota8c = jax.lax.broadcasted_iota(I32, (8, 1), 0)
+    pw2 = (1 << iota8c).astype(F32)  # (8,1): 1,2,4,...
+
+    # seed: a one-child group holding the root
+    stack_ref[0] = 1  # mask = bit 0, dir = 0
+    vstack_ref[pl.ds(0, 8), 0:1] = jnp.where(iota8c == 0, jnp.float32(root), 0.0)
+
+    def cond(state):
+        return state[0] > 0
+
+    def body(state):
+        sp, t_best, slot = state
+        top = stack_ref[sp - 1]
+        m = top & 255
+        dirb = top >> 8
+        k = jnp.where(dirb > 0, _high_bit_index(m), _low_bit_index(m))
+        m2 = m & (~(1 << k))
+        stack_ref[sp - 1] = m2 | (dirb << 8)
+        sp_pop = jnp.where(m2 == 0, sp - 1, sp)
+
+        # extract this child's meta from the vstack group of the popped slot
+        mv = vstack_ref[pl.ds((sp - 1) * 8, 8), 0:1]  # (8,1)
+        e = jnp.sum(jnp.where(iota8c == k, mv, 0.0)).astype(I32)
+        is_int = e > 0
+
+        # ---- interior: test 8 child boxes ----
+        nid = jnp.where(is_int, e, 1)
+        nblk = nodes_ref[pl.ds((nid // 8) * 8, 8), :]
+        nsub = pltpu.roll(nblk, -16 * (nid % 8), axis=1)[:, 0:16]
+        t0x = (nsub[:, 0:1] - ox) * ix
+        t1x = (nsub[:, 3:4] - ox) * ix
+        t0y = (nsub[:, 1:2] - oy) * iy
+        t1y = (nsub[:, 4:5] - oy) * iy
+        t0z = (nsub[:, 2:3] - oz) * iz
+        t1z = (nsub[:, 5:6] - oz) * iz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)), jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)), jnp.maximum(t0z, t1z)) * 1.0000004
+        bhit = (tn <= tf) & (tf > 0) & (tn < t_best)
+        # empty child slots (meta == 0) must never enter the mask: their NaN
+        # boxes compare false under IEEE, but TPU vmin/vmax may drop NaNs,
+        # so gate on the meta explicitly
+        meta_col = nsub[:, 6:7]
+        anyc = jnp.max(jnp.where(bhit, 1.0, 0.0), axis=1, keepdims=True) * jnp.where(meta_col != 0, 1.0, 0.0)
+        meta_hit = anyc * meta_col
+        mask_new = jnp.sum(anyc * pw2).astype(I32)
+
+        # direction bit: children ascend along `axis`; majority-negative d
+        # consumes highest-first (bvh.rs:705-760 dir-sign ordering)
+        axis_i = jnp.sum(nsub[0:1, 7:8]).astype(I32)
+        m0 = jnp.sum(rr[10:11, 0:1])
+        m1 = jnp.sum(rr[11:12, 0:1])
+        m2f = jnp.sum(rr[12:13, 0:1])
+        maj = jnp.where(axis_i == 0, m0, jnp.where(axis_i == 1, m1, m2f))
+        dir_new = jnp.where(maj > 0, 0, 1)
+
+        # branch-free push: non-pushes land in the sacrificial top slot
+        do_push = is_int & (mask_new != 0)
+        wslot = jnp.where(do_push, sp_pop, STACK - 1)
+        vstack_ref[pl.ds(wslot * 8, 8), 0:1] = meta_hit
+        stack_ref[wslot] = mask_new | (dir_new << 8)
+        sp_next = sp_pop + jnp.where(do_push, 1, 0)
+
+        # ---- leaf: watertight shear test (triangle.rs:136-399) ----
+        o_ = jnp.maximum(jnp.where(is_int, 0, -e - 1), 0)
+        pblk = prims_ref[pl.ds((o_ // 8) * 8, 8), :]
+        psub = pltpu.roll(pblk, -16 * (o_ % 8), axis=1)[:, 0:16]
+        valid = psub[:, 9:10] > 0
+
+        def _shear(j):
+            # translate vert j to ray origin, permute by kz, shear to +z
+            vx = psub[:, 3 * j:3 * j + 1] - ox
+            vy = psub[:, 3 * j + 1:3 * j + 2] - oy
+            vz = psub[:, 3 * j + 2:3 * j + 3] - oz
+            px = jnp.where(k0, vy, jnp.where(k1, vz, vx))
+            py = jnp.where(k0, vz, jnp.where(k1, vx, vy))
+            pz = jnp.where(k0, vx, jnp.where(k1, vy, vz))
+            return px + sx * pz, py + sy * pz, sz * pz
+
+        x0, y0, z0 = _shear(0)
+        x1, y1, z1 = _shear(1)
+        x2, y2, z2 = _shear(2)
+        e0 = x1 * y2 - y1 * x2
+        e1_ = x2 * y0 - y2 * x0
+        e2_ = x0 * y1 - y0 * x1
+        same = ((e0 >= 0) & (e1_ >= 0) & (e2_ >= 0)) | ((e0 <= 0) & (e1_ <= 0) & (e2_ <= 0))
+        det = e0 + e1_ + e2_
+        dok = det != 0
+        inv = 1.0 / jnp.where(dok, det, 1.0)
+        t = (e0 * z0 + e1_ * z1 + e2_ * z2) * inv
+        phit = valid & same & dok & (t > EPS) & (t < t_best)
+        tc = jnp.where(phit, t, jnp.float32(1e30))
+        tmin = jnp.min(tc, axis=0, keepdims=True)  # (1, 128)
+        improved = (~is_int) & (tmin < t_best)
+        slotf = (o_ * 8 + iota8).astype(F32)
+        snew = jnp.max(jnp.where(tc == tmin, slotf, -1.0), axis=0, keepdims=True)
+        t_best = jnp.where(improved, tmin, t_best)
+        slot = jnp.where(improved, snew, slot)
+
+        if any_hit:
+            # stop once every live lane has an occluder
+            missing = jnp.max(jnp.where(live & (slot < 0), 1.0, 0.0))
+            sp_next = jnp.where(missing > 0, sp_next, 0)
+        return sp_next, t_best, slot
+
+    init = (jnp.int32(1), t_max, jnp.full((1, PACKET), -1.0, F32))
+    _, t_best, slot = jax.lax.while_loop(cond, body, init)
+    out_ref[0, 0:1, :] = t_best
+    out_ref[0, 1:2, :] = slot
+
+
+@functools.partial(jax.jit, static_argnames=("root", "any_hit", "interpret"))
+def _run(nodes, prims, rays, root, any_hit, interpret):
+    B = rays.shape[0]
+    kernel = functools.partial(_traverse_kernel, root=root, any_hit=any_hit)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, 8, PACKET), F32),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, PACKET), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, PACKET), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((STACK,), jnp.int32),
+            pltpu.VMEM((STACK * 8, 128), F32),
+        ],
+        interpret=interpret,
+    )(nodes, prims, rays)
+
+
+def pack_rays(o, d, t_max, live=None):
+    """(R, 3) rays -> (B, 16, 128) packet blocks (R padded to 128B)."""
+    R = o.shape[0]
+    B = (R + PACKET - 1) // PACKET
+    pad = B * PACKET - R
+
+    def padto(x, fill):
+        if pad == 0:
+            return x
+        return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], 0)
+
+    o_p = padto(o, 0.0)
+    d_p = padto(d, 1.0)
+    tm = padto(jnp.broadcast_to(jnp.asarray(t_max, F32), (R,)), -1.0)
+    lv = padto(jnp.broadcast_to(jnp.asarray(1.0 if live is None else live, F32), (R,)), 0.0)
+    dm = d_p.reshape(B, PACKET, 3)
+    # per-packet majority sign of d per axis: > 0 means most lanes positive
+    maj = jnp.where(jnp.sum(jnp.where(dm < 0, -1.0, 1.0), axis=1) >= 0, 1.0, -1.0)  # (B, 3)
+    # watertight shear constants (triangle.rs permute + shear): kz = argmax
+    # |d|; kx/ky cyclic; sx = -d_kx/d_kz, sy = -d_ky/d_kz, sz = 1/d_kz
+    ad = jnp.abs(d_p)
+    kz = jnp.argmax(ad, axis=-1)
+    k0 = (kz == 0).astype(F32)
+    k1 = (kz == 1).astype(F32)
+
+    def _sel(i0, i1, i2):
+        return jnp.where(kz == 0, d_p[:, i0], jnp.where(kz == 1, d_p[:, i1], d_p[:, i2]))
+
+    dkx = _sel(1, 2, 0)
+    dky = _sel(2, 0, 1)
+    dkz = _sel(0, 1, 2)
+    inv_dkz = 1.0 / jnp.where(jnp.abs(dkz) < 1e-30, jnp.where(dkz < 0, -1e-30, 1e-30), dkz)
+    shear = jnp.stack([-dkx * inv_dkz, -dky * inv_dkz, inv_dkz], axis=1)  # (BP, 3)
+    # assemble (B, 16, PACKET) directly: one reshape per attribute row
+    # avoids a (B, PACKET, 16) minor-dim transpose, which lowers to slow
+    # sublane/lane shuffles on TPU
+    def row(x):
+        return x.reshape(B, 1, PACKET)
+
+    blocks = jnp.concatenate(
+        [row(o_p[:, 0]), row(o_p[:, 1]), row(o_p[:, 2]),
+         row(d_p[:, 0]), row(d_p[:, 1]), row(d_p[:, 2]),
+         row(shear[:, 0]), row(shear[:, 1]), row(shear[:, 2]),
+         row(tm),
+         jnp.broadcast_to(maj[:, :, None], (B, 3, PACKET)),
+         row(lv), row(k0), row(k1)], axis=1
+    )  # (B, 16, PACKET)
+    return blocks, R, B
+
+
+def wide_intersect(sa, static, o, d, t_max, any_hit=False, interpret=False):
+    """Closest-hit (or any-hit) against the wide BVH tables.
+
+    Returns (t (R,), slot (R,) i32, hit (R,)) — slot indexes
+    ``sa.wslot_prim``."""
+    live = None
+    if any_hit:
+        live = jnp.where(jnp.asarray(t_max) > 0, 1.0, 0.0)
+    blocks, R, B = pack_rays(o, d, t_max, live)
+    out = _run(sa.wnode_tab, sa.wprim_tab, blocks, static.wide_root, any_hit, interpret)
+    t = out[:, 0, :].reshape(-1)[:R]
+    slot = out[:, 1, :].reshape(-1)[:R].astype(jnp.int32)
+    hit = slot >= 0
+    return jnp.where(hit, t, jnp.float32(jnp.inf)), slot, hit

@@ -150,6 +150,11 @@ class SceneArrays:
     env_cond_cdf: jax.Array | None = None  # (H, W+1)
     env_marg_cdf: jax.Array | None = None  # (H+1,)
     env_w2l: jax.Array | None = None  # (3, 4) world-to-light rotation
+    # --- wide BVH tables for the Pallas traversal (scene/widebvh.py);
+    # None unless static.has_wide ---
+    wnode_tab: jax.Array | None = None  # (ceil(Nw/8)*8, 128) f32
+    wprim_tab: jax.Array | None = None  # (ceil(n_oct/8)*8, 128) f32
+    wslot_prim: jax.Array | None = None  # (n_oct*8,) i32 slot -> prim row
 
 
 @dataclass
@@ -201,6 +206,8 @@ class SceneStatic:
     light_kinds: tuple = ()  # static LIGHT_* per light row
     has_fourier: bool = False  # scene has readable tabulated (fourier) BSDFs
     has_motion: bool = False  # any primitive carries shutter-close keyframes
+    has_wide: bool = False  # wide-BVH tables built (Pallas traversal eligible)
+    wide_root: int = 1  # wide-BVH root node id
 
 
 def scene_byte_size(sa: SceneArrays) -> int:

@@ -550,6 +550,10 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         prim_flags = _perm(prim_flags)
         prim_area = _perm(prim_area)
         prim_medium = _perm(prim_medium)
+        # keep the AABB lists aligned with the permuted prim rows (the wide
+        # BVH build below pairs them with per-prim verts via prim_geom)
+        prim_lo = _perm(prim_lo)
+        prim_hi = _perm(prim_hi)
         # remap prim references held by lights
         lights = [(k, p_, (int(inv[pr]) if pr >= 0 else -1)) for (k, p_, pr) in lights]
         bvh.prim_ids = np.arange(n_prims, dtype=np.int32)
@@ -649,6 +653,26 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
 
     fourier_dev = _stack_fourier_tables(fourier_tables)
 
+    # --- wide BVH for the Pallas traversal kernel (device/pallas_bvh.py) ---
+    # eligible: triangle-only static scenes big enough that the BVH matters.
+    has_wide = False
+    wide = None
+    if (
+        n_prims > BRUTE_FORCE_MAX_PRIMS
+        and not any_motion
+        and len(sph_o2w) == 0
+        and bool(np.all(np.asarray(prim_kind) == GEOM_TRI))
+    ):
+        from .widebvh import build_wide_bvh
+
+        pg_all = np.asarray(prim_geom)
+        tv = tri_p_cat[pg_all]  # (P, 3, 3) per-prim triangle verts
+        wide = build_wide_bvh(
+            np.asarray(prim_lo), np.asarray(prim_hi),
+            tv[:, 0], tv[:, 1], tv[:, 2],
+        )
+        has_wide = True
+
     arrays = SceneArrays(
         tri_p=jnp.asarray(tri_p_cat),
         tri_n=jnp.asarray(_cat(tri_n, (3, 3))),
@@ -698,6 +722,9 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         env_marg_cdf=env_marg,
         env_w2l=env_w2l,
         fourier=fourier_dev,
+        wnode_tab=jnp.asarray(wide.node_tab) if has_wide else None,
+        wprim_tab=jnp.asarray(wide.prim_tab) if has_wide else None,
+        wslot_prim=jnp.asarray(wide.slot_prim) if has_wide else None,
     )
     static = SceneStatic(
         n_tris=len(tri_p_cat),
@@ -725,6 +752,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         light_kinds=tuple(int(l[0]) for l in lights),
         has_fourier=bool(fourier_dev),
         has_motion=any_motion,
+        has_wide=has_wide,
+        wide_root=wide.root if has_wide else 1,
     )
     return CompiledScene(arrays=arrays, static=static, description=desc)
 
