@@ -1,10 +1,14 @@
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
 Metric: path-vertex samples per second on one chip (BASELINE.json
-north_star: >= 50M path-vertex samples/sec/chip on TPU v5e). The workload is
-the reference's bundled spheres scene geometry rendered with the path
-integrator — mixed specular/diffuse materials, NEE + MIS, BVH-free small
-scene (the reference's own runnable baseline, BASELINE.md).
+north_star: >= 50M path-vertex samples/sec/chip on TPU v5e). Two configs:
+
+- "value": the reference's bundled spheres scene geometry (BASELINE.md's
+  own runnable baseline) rendered with the path integrator — mixed
+  specular/diffuse, NEE + MIS, brute-force small-scene intersection.
+- "mesh": a 123k-triangle displaced grid (matte + distant/env lights,
+  path depth 5) exercising the wide-BVH Pallas traversal — the
+  mesh-heavy config the round-1 review asked for.
 """
 from __future__ import annotations
 
@@ -17,33 +21,19 @@ import numpy as np
 BASELINE_VPS = 50e6  # driver-defined target (BASELINE.json north_star)
 
 
-def main():
-    sys.path.insert(0, "/root/repo")
+def _measure(cs, W, H, icfg_depth=5, n_spp=4):
     import jax
-
-    from pbrt_tpu.parser.api import pbrt_parse
-    from pbrt_tpu.scene.builder import compile_scene
-    from pbrt_tpu.render import _cached_wave_fn
-
     import jax.numpy as jnp
 
-    desc = pbrt_parse("/root/reference/src/scenes/spheres-differentials-texfilt.pbrt")
-    # bench configuration: path tracing at depth 5, big wave
-    desc.integrator.kind = "path"
-    desc.integrator.max_depth = 5
-    desc.sampler.kind = "zerotwosequence"
-    W, H = 1000, 500
-    desc.film.x_resolution = W
-    desc.film.y_resolution = H
+    from pbrt_tpu.render import _one_sample_wave
+    from pbrt_tpu.device.camera import make_camera
 
-    cs = compile_scene(desc)
+    desc = cs.description
     sa = cs.arrays
     static = cs.static
-    from pbrt_tpu.device.camera import make_camera
-    from pbrt_tpu.render import _one_sample_wave
-
     cam = make_camera(desc.camera, desc.film)
-    icfg = {"kind": "path", "max_depth": 5, "rr_threshold": 1.0, "strategy": "all", "n_samples": 4, "cos_sample": True}
+    icfg = {"kind": "path", "max_depth": icfg_depth, "rr_threshold": 1.0,
+            "strategy": "all", "light_strategy": "uniform", "n_samples": 4, "cos_sample": True}
     scfg = {"kind": "zerotwosequence", "spp": 16}
     fcfg = {"filter": "box", "filter_params": {}, "max_sample_luminance": np.inf}
 
@@ -52,10 +42,6 @@ def main():
     py = jnp.asarray(ys.ravel().astype(np.int32))
     pids = jnp.asarray((ys * W + xs).ravel().astype(np.uint32))
 
-    N_SPP = 4
-
-    # device-resident multi-sample pass: film accumulates on-chip; only two
-    # scalars cross the host boundary per call
     @jax.jit
     def run(sa, n0):
         def body(s, acc):
@@ -65,21 +51,90 @@ def main():
             )
             return film + jnp.sum(Lw), verts + jnp.sum(nv)
 
-        return jax.lax.fori_loop(0, N_SPP, body, (jnp.float32(0), jnp.float32(0)))
+        return jax.lax.fori_loop(0, n_spp, body, (jnp.float32(0), jnp.float32(0)))
+
     film, verts = run(sa, jnp.uint32(0))
     jax.block_until_ready(film)
-
     t0 = time.time()
     film, verts = run(sa, jnp.uint32(100))
     jax.block_until_ready(film)
     dt = time.time() - t0
+    return float(verts) / dt
 
-    vps = float(verts) / dt
+
+def _spheres_scene():
+    from pbrt_tpu.parser.api import pbrt_parse
+
+    desc = pbrt_parse("/root/reference/src/scenes/spheres-differentials-texfilt.pbrt")
+    desc.integrator.kind = "path"
+    desc.integrator.max_depth = 5
+    desc.sampler.kind = "zerotwosequence"
+    desc.film.x_resolution = 1000
+    desc.film.y_resolution = 500
+    return desc
+
+
+def _mesh_scene(n_side=248):
+    """Displaced-grid mesh: 2*n_side^2 triangles (123k at 248)."""
+    from pbrt_tpu.core.transform import Transform
+    from pbrt_tpu.scene.host import (
+        CameraConfig, FilmConfig, HostLight, HostMaterial, HostPrimitive,
+        IntegratorConfig, SamplerConfig, SceneDescription, ShapeRecord, TriangleMesh,
+    )
+
+    xs = np.linspace(-4, 4, n_side + 1)
+    zs = np.linspace(-4, 4, n_side + 1)
+    gx, gz = np.meshgrid(xs, zs)
+    gy = 0.9 * np.sin(1.7 * gx) * np.cos(1.3 * gz) + 0.25 * np.sin(6.1 * gx + 2.0 * gz)
+    verts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    idx = []
+    for i in range(n_side):
+        row = i * (n_side + 1)
+        for j in range(n_side):
+            a = row + j
+            b = a + 1
+            c = a + n_side + 1
+            dd = c + 1
+            idx.append([a, c, b])
+            idx.append([b, c, dd])
+    mesh = TriangleMesh(p=verts.astype(np.float64), indices=np.asarray(idx, np.int32))
+    terrain = HostPrimitive(
+        shape=ShapeRecord(mesh=mesh),
+        material=HostMaterial(kind="matte", params={"Kd": ("const", np.array([0.55, 0.45, 0.35]))}),
+    )
+    sun = HostLight(kind="distant", from_point=np.array([3.0, 8.0, 2.0]), to_point=np.zeros(3),
+                    intensity=np.array([2.5, 2.4, 2.2]))
+    return SceneDescription(
+        primitives=[terrain],
+        lights=[sun],
+        camera=CameraConfig(kind="perspective",
+                            camera_to_world=Transform.look_at([0, 6.5, 9.5], [0, 0, 0], [0, 1, 0]),
+                            fov=55.0),
+        film=FilmConfig(x_resolution=1000, y_resolution=500),
+        sampler=SamplerConfig(kind="zerotwosequence", pixel_samples=16),
+        integrator=IntegratorConfig(kind="path", max_depth=5),
+    )
+
+
+def main():
+    sys.path.insert(0, "/root/repo")
+    from pbrt_tpu.scene.builder import compile_scene
+
+    cs_s = compile_scene(_spheres_scene())
+    vps_spheres = _measure(cs_s, 1000, 500)
+
+    cs_m = compile_scene(_mesh_scene())
+    assert cs_m.static.has_wide, "mesh bench must exercise the wide-BVH kernel"
+    vps_mesh = _measure(cs_m, 1000, 500)
+
     print(json.dumps({
         "metric": "path_vertex_samples_per_sec",
-        "value": round(vps, 1),
+        "value": round(vps_spheres, 1),
         "unit": "vertices/s",
-        "vs_baseline": round(vps / BASELINE_VPS, 4),
+        "vs_baseline": round(vps_spheres / BASELINE_VPS, 4),
+        "mesh_tris": int(cs_m.static.n_tris),
+        "mesh_value": round(vps_mesh, 1),
+        "mesh_vs_baseline": round(vps_mesh / BASELINE_VPS, 4),
     }))
 
 

@@ -163,7 +163,10 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         emission with deferred MIS for rays that reached the surface."""
         (o, d, L, beta, alive, prev_specular, prev_pdf, prev_p, eta_scale,
          n_vertices, medium, bounces, dd_x, dd_y) = state
-        hit = intersect(sa, static, o, d, jnp.full(R, jnp.inf, F32), time=time, sort_rays=True)
+        # dead lanes get t_max < 0: they open no BVH node, so packets whose
+        # rays have all terminated cost ~one visit instead of a full walk
+        t_query = jnp.where(alive, jnp.inf, -1.0)
+        hit = intersect(sa, static, o, d, t_query, time=time, sort_rays=True)
         si = surface_interaction(sa, hit, o, d, time=time)
         valid = si["valid"]
         n_vertices = n_vertices + (alive & valid)
@@ -213,14 +216,19 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
                  n_vertices, medium, bounces, dd_x, dd_y)
         return state, si, hit, in_scatter, med_vertex
 
-    def _shadow_visible_tr(p_v, ng_v, wi, dist, medium_v, b):
+    def _shadow_visible_tr(p_v, ng_v, wi, dist, medium_v, b, needed=None):
         """Shadow factor: binary visibility, or transmittance when media/null
-        boundaries are present (VisibilityTester::unoccluded vs ::tr)."""
+        boundaries are present (VisibilityTester::unoccluded vs ::tr).
+
+        needed: lanes whose result matters; others get t_max < 0 so the
+        shadow traversal skips them."""
         o_sh = _offset_ray(p_v, ng_v, wi)
         t_sh = dist * (1.0 - 2.0 * RAY_EPS)
         if pass_null:
             key = (jnp.asarray(seed, jnp.uint32) * jnp.uint32(31) + jnp.asarray(sample_idx, jnp.uint32)) ^ (b.astype(jnp.uint32) * jnp.uint32(0x68E31DA4))
             return transmittance_shadow(sa, static, o_sh, wi, t_sh, medium_v, key, time=time)
+        if needed is not None:
+            t_sh = jnp.where(needed, t_sh, -1.0)
         occ = intersect_p(sa, static, o_sh, wi, t_sh, time=time, sort_rays=True)
         return jnp.where(occ[:, None], 0.0, 1.0)
 
@@ -267,11 +275,11 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         contributes = alive_m & (p_l > 0) & jnp.any(f_val * ls["li"] > 0, axis=-1)
 
         if medium_vertex is None:
-            vis = _shadow_visible_tr(p_v, ng_v, wi, ls["dist"], medium_v, b)
+            vis = _shadow_visible_tr(p_v, ng_v, wi, ls["dist"], medium_v, b, needed=contributes)
         else:
             # medium points have no normal; offset along wi itself
             ng_sh = jnp.where(medium_vertex["active"][:, None], wi, ng_v)
-            vis = _shadow_visible_tr(p_v, ng_sh, wi, ls["dist"], medium_v, b)
+            vis = _shadow_visible_tr(p_v, ng_sh, wi, ls["dist"], medium_v, b, needed=contributes)
 
         w_l = jnp.where(ls["delta"], 1.0, power_heuristic(1.0, p_l, 1.0, p_b))
         contrib = f_val * ls["li"] * vis * (w_l / jnp.maximum(p_l, 1e-30))[:, None]

@@ -551,8 +551,11 @@ def _morton3(x, y, z):
     return spread(x) | (spread(y) << 1) | (spread(z) << 2)
 
 
-def _ray_sort_key(sa, o, d):
-    """Sort key: 3-bit direction octant (major) then origin Morton code."""
+def _ray_sort_key(sa, o, d, t_max=None):
+    """Sort key: dead bit (major), 3-bit direction octant, origin Morton.
+
+    Dead lanes (t_max < 0) sort last so they fill whole packets that
+    terminate after a single root visit."""
     wc = sa.world_center
     wr = jnp.maximum(sa.world_radius, 1e-6)
     q = jnp.clip((o - wc) / (2.0 * wr) + 0.5, 0.0, 1.0)
@@ -563,11 +566,14 @@ def _ray_sort_key(sa, o, d):
         | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
         | ((d[:, 2] < 0).astype(jnp.uint32) << 2)
     )
-    return (oct_ << 29) | (m >> 1)
+    key = (oct_ << 28) | (m >> 2)
+    if t_max is not None:
+        key = key | ((jnp.asarray(t_max) < 0).astype(jnp.uint32) << 31)
+    return key
 
 
 def _sorted_traverse(sa, static, o, d, t_max, any_hit, time):
-    key = _ray_sort_key(sa, o, d)
+    key = _ray_sort_key(sa, o, d, t_max)
     perm = jnp.argsort(key)
     o_s = o[perm]
     d_s = d[perm]
@@ -628,7 +634,7 @@ def intersect(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None, sort
         return intersect_brute(sa, static, o, d, t_max, time)
     if time is None and _pallas_route(static):
         if sort_rays and static.n_prims >= SORT_MIN_PRIMS:
-            key = _ray_sort_key(sa, o, d)
+            key = _ray_sort_key(sa, o, d, t_max)
             perm = jnp.argsort(key)
             tm = jnp.broadcast_to(jnp.asarray(t_max, F32), (o.shape[0],))[perm]
             hit = _wide_closest(sa, static, o[perm], d[perm], tm)
