@@ -219,6 +219,107 @@ def ggx_pdf(wo, wh, ax, ay):
 
 
 # ---------------------------------------------------------------------------
+# Beckmann distribution (src/core/microfacet.rs:150-316). Selected per lobe
+# by data[..., 12] > 0 ("distribution" "beckmann"); sampling uses the full-D
+# form (pdf = D |cos wh|) rather than the reference's visible-normal variant
+# — a variance-only deviation, pdf-consistent with the sampler below.
+# ---------------------------------------------------------------------------
+
+
+def beckmann_d(wh, ax, ay):
+    c2 = wh[..., 2] * wh[..., 2]
+    tan2 = jnp.where(
+        c2 > 1e-12,
+        (wh[..., 0] * wh[..., 0] / jnp.maximum(ax * ax, 1e-12)
+         + wh[..., 1] * wh[..., 1] / jnp.maximum(ay * ay, 1e-12)) / jnp.maximum(c2, 1e-12),
+        1e12,
+    )
+    d = jnp.exp(-tan2) / jnp.maximum(jnp.pi * ax * ay * c2 * c2, 1e-20)
+    return jnp.where(c2 > 1e-12, d, 0.0)
+
+
+def beckmann_lambda(w, ax, ay):
+    """microfacet.rs BeckmannDistribution::lambda (rational approximation)."""
+    c = jnp.abs(w[..., 2])
+    sin2 = jnp.maximum(1.0 - c * c, 0.0)
+    # alpha along this direction's azimuth
+    denom = jnp.maximum(sin2, 1e-12)
+    cos2p = jnp.where(sin2 > 1e-12, w[..., 0] * w[..., 0] / denom, 1.0)
+    sin2p = jnp.where(sin2 > 1e-12, w[..., 1] * w[..., 1] / denom, 0.0)
+    alpha = jnp.sqrt(jnp.maximum(cos2p * ax * ax + sin2p * ay * ay, 1e-12))
+    abs_tan = jnp.sqrt(sin2) / jnp.maximum(c, 1e-9)
+    a = 1.0 / jnp.maximum(alpha * abs_tan, 1e-12)
+    lam = jnp.where(
+        a >= 1.6, 0.0,
+        (1.0 - 1.259 * a + 0.396 * a * a) / jnp.maximum(3.535 * a + 2.181 * a * a, 1e-12),
+    )
+    return jnp.where(jnp.abs(w[..., 2]) > 1e-6, lam, 1e6)
+
+
+def beckmann_g(wo, wi, ax, ay):
+    return 1.0 / (1.0 + beckmann_lambda(wo, ax, ay) + beckmann_lambda(wi, ax, ay))
+
+
+def beckmann_sample_wh(wo, u1, u2, ax, ay):
+    """Full-distribution sampling (microfacet.rs beckmann_sample, the
+    sample_visible_area=false branch), anisotropic."""
+    log_s = jnp.log(jnp.maximum(1.0 - u1, 1e-12))
+    iso = jnp.abs(ax - ay) < 1e-7
+    phi_i = 2.0 * jnp.pi * u2
+    phi_a = jnp.arctan(ay / jnp.maximum(ax, 1e-9) * jnp.tan(2.0 * jnp.pi * u2 + 0.5 * jnp.pi))
+    phi_a = jnp.where(u2 > 0.5, phi_a + jnp.pi, phi_a)
+    phi = jnp.where(iso, phi_i, phi_a)
+    cp = jnp.cos(phi)
+    sp = jnp.sin(phi)
+    tan2 = jnp.where(
+        iso,
+        -log_s * ax * ax,
+        -log_s / jnp.maximum(cp * cp / jnp.maximum(ax * ax, 1e-12) + sp * sp / jnp.maximum(ay * ay, 1e-12), 1e-12),
+    )
+    c = 1.0 / jnp.sqrt(1.0 + tan2)
+    s = jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+    wh = jnp.stack([s * cp, s * sp, c], axis=-1)
+    return jnp.where(same_hemisphere(wo, wh)[..., None], wh, -wh)
+
+
+def beckmann_pdf(wo, wh, ax, ay):
+    return beckmann_d(wh, ax, ay) * jnp.abs(wh[..., 2])
+
+
+def _is_beck(kind, data):
+    """Per-lobe Beckmann flag (micro lobes store it in data[..., 12])."""
+    return ((kind == LOBE_MICRO_R) | (kind == LOBE_MICRO_T)) & (data[..., 12] > 0)
+
+
+def micro_d(kind, data, wh, ax, ay, beck: bool):
+    if not beck:
+        return ggx_d(wh, ax, ay)
+    return jnp.where(_is_beck(kind, data), beckmann_d(wh, ax, ay), ggx_d(wh, ax, ay))
+
+
+def micro_g(kind, data, wo, wi, ax, ay, beck: bool):
+    if not beck:
+        return ggx_g(wo, wi, ax, ay)
+    return jnp.where(_is_beck(kind, data), beckmann_g(wo, wi, ax, ay), ggx_g(wo, wi, ax, ay))
+
+
+def micro_sample_wh(kind, data, wo, u1, u2, ax, ay, beck: bool):
+    if not beck:
+        return ggx_sample_wh(wo, u1, u2, ax, ay)
+    return jnp.where(
+        _is_beck(kind, data)[..., None],
+        beckmann_sample_wh(wo, u1, u2, ax, ay),
+        ggx_sample_wh(wo, u1, u2, ax, ay),
+    )
+
+
+def micro_pdf_wh(kind, data, wo, wh, ax, ay, beck: bool):
+    if not beck:
+        return ggx_pdf(wo, wh, ax, ay)
+    return jnp.where(_is_beck(kind, data), beckmann_pdf(wo, wh, ax, ay), ggx_pdf(wo, wh, ax, ay))
+
+
+# ---------------------------------------------------------------------------
 # Sampling helpers (src/core/sampling.rs)
 # ---------------------------------------------------------------------------
 
@@ -238,7 +339,7 @@ def cosine_sample_hemisphere(u1, u2):
 _DIFFUSE_LIKE = frozenset({LOBE_LAMBERT_R, LOBE_LAMBERT_T, LOBE_OREN_NAYAR})
 
 
-def _lobe_f(kind, data, wo, wi, possible: frozenset, fourier_ft=None):
+def _lobe_f(kind, data, wo, wi, possible: frozenset, fourier_ft=None, beck=False):
     """f for one lobe slot, vectorized. Non-specular kinds only."""
     R = wo.shape[0]
     color = data[..., 0:3]
@@ -272,11 +373,11 @@ def _lobe_f(kind, data, wo, wi, possible: frozenset, fourier_ft=None):
         wh = wi + wo
         wh_len = jnp.linalg.norm(wh, axis=-1)
         wh_n = wh / jnp.maximum(wh_len, 1e-30)[..., None]
-        d_val = ggx_d(wh_n, ax, ay)
+        d_val = micro_d(kind, data, wh_n, ax, ay, beck)
 
     if LOBE_MICRO_R in possible:
         fr = lobe_fresnel(data, jnp.sum(wi * jnp.where((wh_n[..., 2] < 0)[..., None], -wh_n, wh_n), axis=-1))
-        g_val = ggx_g(wo, wi, ax, ay)
+        g_val = micro_g(kind, data, wo, wi, ax, ay, beck)
         denom = 4.0 * abs_co * abs_ci
         f_mr = color * fr * (d_val * g_val / jnp.maximum(denom, 1e-12))[..., None]
         ok_mr = refl_hemi & (wh_len > 1e-12) & (abs_ci > 0) & (abs_co > 0)
@@ -291,8 +392,8 @@ def _lobe_f(kind, data, wo, wi, possible: frozenset, fourier_ft=None):
         wh_t = jnp.where((wh_t[..., 2] < 0)[..., None], -wh_t, wh_t)
         sqrt_denom = jnp.sum(wo * wh_t, axis=-1) + eta_t * jnp.sum(wi * wh_t, axis=-1)
         fr_t = fresnel_dielectric(jnp.sum(wo * wh_t, axis=-1), 1.0, eta)
-        d_t = ggx_d(wh_t, ax, ay)
-        g_t = ggx_g(wo, wi, ax, ay)
+        d_t = micro_d(kind, data, wh_t, ax, ay, beck)
+        g_t = micro_g(kind, data, wo, wi, ax, ay, beck)
         f_mt_val = (1.0 - fr_t) * jnp.abs(
             d_t * g_t * eta_t * eta_t * jnp.abs(jnp.sum(wi * wh_t, axis=-1)) * jnp.abs(jnp.sum(wo * wh_t, axis=-1))
             / jnp.maximum(abs_ci * abs_co * sqrt_denom * sqrt_denom, 1e-12)
@@ -373,7 +474,7 @@ def _lobe_matches(kind, refl):
     return jnp.where(refl, is_refl, is_trans) | is_both
 
 
-def _lobe_pdf(kind, data, wo, wi, possible: frozenset, fourier_ft=None):
+def _lobe_pdf(kind, data, wo, wi, possible: frozenset, fourier_ft=None, beck=False):
     """Solid-angle pdf for one lobe (0 for specular kinds)."""
     refl_hemi = same_hemisphere(wo, wi)
     abs_ci = abs_cos_theta(wi)
@@ -399,7 +500,7 @@ def _lobe_pdf(kind, data, wo, wi, possible: frozenset, fourier_ft=None):
         ax = data[..., 9]
         ay = data[..., 10]
         wh = _norm(wo + wi)
-        p_mr = ggx_pdf(wo, wh, ax, ay) / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * wh, axis=-1)), 1e-12)
+        p_mr = micro_pdf_wh(kind, data, wo, wh, ax, ay, beck) / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * wh, axis=-1)), 1e-12)
         pdf = jnp.where((kind == LOBE_MICRO_R) & refl_hemi, p_mr, pdf)
         if LOBE_FRESNEL_BLEND in possible:
             p_fb = 0.5 * (cos_pdf + p_mr)
@@ -414,7 +515,7 @@ def _lobe_pdf(kind, data, wo, wi, possible: frozenset, fourier_ft=None):
         sqrt_denom = jnp.sum(wo * wh_t, axis=-1) + eta_t * jnp.sum(wi * wh_t, axis=-1)
         dwh_dwi = jnp.abs(eta_t * eta_t * jnp.sum(wi * wh_t, axis=-1) / jnp.maximum(sqrt_denom * sqrt_denom, 1e-12))
         same_side = jnp.sum(wo * wh_t, axis=-1) * jnp.sum(wi * wh_t, axis=-1) > 0
-        p_mt = ggx_pdf(wo, wh_t, ax, ay) * dwh_dwi
+        p_mt = micro_pdf_wh(kind, data, wo, wh_t, ax, ay, beck) * dwh_dwi
         pdf = jnp.where((kind == LOBE_MICRO_T) & ~refl_hemi & ~same_side, p_mt, pdf)
 
     if LOBE_FOURIER in possible and fourier_ft is not None:
@@ -442,6 +543,7 @@ def _slot_possible(lobes, s):
 def bsdf_f(lobes, wo, wi, refl):
     """Sum of lobe f values matching the reflect/transmit geometry bit."""
     kinds = lobes["kind"]
+    beck = bool(lobes.get("has_beckmann", False))
     total = jnp.zeros((wo.shape[0], 3), F32)
     for s in range(kinds.shape[1]):
         poss = _slot_possible(lobes, s) - SPECULAR_KINDS
@@ -449,7 +551,7 @@ def bsdf_f(lobes, wo, wi, refl):
             continue
         k = kinds[:, s]
         match = _lobe_matches(k, refl) & ~_is_specular(k)
-        f_s = _lobe_f(k, lobes["data"][:, s], wo, wi, poss, lobes.get("fourier"))
+        f_s = _lobe_f(k, lobes["data"][:, s], wo, wi, poss, lobes.get("fourier"), beck)
         total = total + jnp.where(match[:, None], f_s, 0.0)
     return total
 
@@ -470,7 +572,7 @@ def bsdf_pdf(lobes, wo, wi):
         k = kinds[:, s]
         active = k != LOBE_NONE
         if poss - SPECULAR_KINDS:
-            total = total + jnp.where(active, _lobe_pdf(k, lobes["data"][:, s], wo, wi, poss, lobes.get("fourier")), 0.0)
+            total = total + jnp.where(active, _lobe_pdf(k, lobes["data"][:, s], wo, wi, poss, lobes.get("fourier"), bool(lobes.get("has_beckmann", False))), 0.0)
         n = n + active
     return jnp.where(n > 0, total / jnp.maximum(n, 1.0), 0.0)
 
@@ -531,7 +633,7 @@ def bsdf_sample(lobes, wo, u_lobe, u1, u2):
             wi = jnp.where((k == LOBE_LAMBERT_T)[:, None], wi_diff_t, wi)
 
     if union & {LOBE_MICRO_R, LOBE_MICRO_T}:
-        wh = ggx_sample_wh(wo, u1, u2, ax, ay)
+        wh = micro_sample_wh(k, dat, wo, u1, u2, ax, ay, bool(lobes.get("has_beckmann", False)))
         if LOBE_MICRO_R in union:
             wi_mr = reflect_dir(wo, wh)
             m = k == LOBE_MICRO_R

@@ -115,11 +115,12 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
     sel_pdf = _light_select_pdf(static)
     nee_on = ikind in ("path", "volpath", "directlighting")
     # light-selection distribution (lightdistrib.rs create_light_sample_
-    # distribution): "uniform" or power-proportional; "spatial" currently
-    # maps to "power" (the voxel-grid variant is a further refinement —
-    # power already captures the dominant many-light effect)
+    # distribution): "uniform", power-proportional, or the voxel-grid
+    # "spatial" distribution (precomputed table passed via icfg)
     strategy = str(icfg.get("light_strategy", "uniform"))
-    use_power = strategy in ("power", "spatial") and static.n_lights > 1 and (nee_on or ikind == "whitted")
+    spatial = icfg.get("spatial_distribution") if strategy == "spatial" else None
+    use_spatial = spatial is not None and static.n_lights > 1 and nee_on
+    use_power = (not use_spatial) and strategy in ("power", "spatial") and static.n_lights > 1 and (nee_on or ikind == "whitted")
     if use_power:
         from .lights import compute_power
 
@@ -127,16 +128,32 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         _pmf = jnp.maximum(_pw / jnp.maximum(_pw.sum(), 1e-20), 1e-6)
         _pmf = _pmf / _pmf.sum()  # every light stays selectable (unbiased)
         _cdf = jnp.cumsum(_pmf)
+    if use_spatial:
+        from .lightdistrib import spatial_pmf_of, spatial_select
 
-    def _sel_pmf_of(lid):
-        """Selection pmf of given light rows (for MIS at emission hits)."""
-        if not use_power:
+    def _sel_pmf_of(lid, p_at=None):
+        """Selection pmf of given light rows (for MIS at emission hits).
+
+        p_at: shading points (required for the spatial strategy — the pmf
+        depends on the voxel of the vertex that did NEE, i.e. the PREVIOUS
+        path vertex for emission-hit MIS, lightdistrib.rs lookup)."""
+        if use_spatial and p_at is not None:
+            return spatial_pmf_of(spatial, p_at, lid)
+        if not (use_power or use_spatial):
+            return jnp.full(lid.shape, sel_pdf, F32)
+        if use_spatial:
+            # no position context: fall back to uniform (conservative MIS)
             return jnp.full(lid.shape, sel_pdf, F32)
         oh = jnp.arange(static.n_lights)[None, :] == lid[:, None]
         return jnp.sum(jnp.where(oh, _pmf[None, :], 0.0), axis=1)
 
-    def _select_light(u_sel):
-        if not use_power:
+    def _select_light(u_sel, p_at=None):
+        if use_spatial and p_at is not None:
+            return spatial_select(spatial, p_at, u_sel)
+        if not (use_power or use_spatial):
+            lid = jnp.minimum((u_sel * static.n_lights).astype(jnp.int32), static.n_lights - 1)
+            return lid, jnp.full(u_sel.shape, sel_pdf, F32)
+        if use_spatial:
             lid = jnp.minimum((u_sel * static.n_lights).astype(jnp.int32), static.n_lights - 1)
             return lid, jnp.full(u_sel.shape, sel_pdf, F32)
         lid = jnp.sum((u_sel[:, None] > _cdf[None, :-1]).astype(jnp.int32), axis=1) if static.n_lights > 1 else jnp.zeros(u_sel.shape, jnp.int32)
@@ -191,7 +208,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
             le = env_le(sa, static, d)
             if nee_on:
                 env_row = jnp.full(R, max(static.infinite_light_index, 0), jnp.int32)
-                p_l = env_pdf_li(sa, static, d) * _sel_pmf_of(env_row)
+                p_l = env_pdf_li(sa, static, d) * _sel_pmf_of(env_row, prev_p)
                 w = jnp.where(prev_specular, 1.0, power_heuristic(1.0, prev_pdf, 1.0, p_l))
             else:
                 w = jnp.ones(R, F32)
@@ -204,7 +221,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
             le = area_light_emission(sa, lid, si["ng"], si["wo"])
             if nee_on:
                 area = gather_rows(sa.prim_area, jnp.maximum(si["prim"], 0))
-                p_l = pdf_li_area_hit(sa, prev_p, si["p"], si["ng"], lid, area) * _sel_pmf_of(jnp.maximum(lid, 0))
+                p_l = pdf_li_area_hit(sa, prev_p, si["p"], si["ng"], lid, area) * _sel_pmf_of(jnp.maximum(lid, 0), prev_p)
                 w = jnp.where(prev_specular, 1.0, power_heuristic(1.0, prev_pdf, 1.0, p_l))
             else:
                 w = jnp.ones(R, F32)
@@ -244,7 +261,9 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         u1, u2 = sample_2d(kind_s, seed, pixel, sample_idx, dim_base + 1 + 131 * dim_salt, spp)
 
         if light_index is None:
-            lid, spdf = _select_light(u_sel)
+            p_sel = si["p"] if medium_vertex is None else jnp.where(
+                medium_vertex["active"][:, None], medium_vertex["p"], si["p"])
+            lid, spdf = _select_light(u_sel, p_sel)
         else:
             lid = jnp.full(R, light_index, jnp.int32)
             spdf = 1.0

@@ -621,11 +621,8 @@ def _wide_closest(sa, static, o, d, t_max):
     }
 
 
-def intersect(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None, sort_rays=False):
-    """Closest-hit query. Returns hit dict {t, prim, b1, b2}.
-
-    sort_rays: opt-in wave reordering for incoherent bounces on big scenes
-    (integrator sets it for bounce >= 1)."""
+def _intersect_once(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None, sort_rays=False):
+    """Single closest-hit pass (no alpha cutout handling)."""
     if not static.has_motion:
         time = None
     if static.n_prims == 0:
@@ -648,8 +645,8 @@ def intersect(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None, sort
     return hit
 
 
-def intersect_p(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None, sort_rays=False):
-    """Any-hit (shadow) query -> bool (R,). (scene.rs intersect_p)"""
+def _intersect_p_once(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None, sort_rays=False):
+    """Single any-hit pass (no alpha cutout handling)."""
     if not static.has_motion:
         time = None
     if static.n_prims == 0:
@@ -661,3 +658,79 @@ def intersect_p(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None, so
         return hit_any
     _, hit_any = _traverse(sa, static, o, d, t_max, any_hit=True, time=time)
     return hit_any
+
+
+# ---------------------------------------------------------------------------
+# Alpha cutouts (triangle.rs:29-30 alpha_mask / shadow_alpha_mask): hits on
+# prims whose alpha texture evaluates to 0 are ignored. The reference tests
+# alpha inside Triangle::intersect; the wavefront equivalent re-casts the
+# ray from just past each cut hit, a bounded number of times (cut lanes are
+# masked with t_max < 0 in the re-cast, so extra passes are nearly free).
+# ---------------------------------------------------------------------------
+
+ALPHA_PASSES = 4
+
+
+def _alpha_cut_mask(sa: SceneArrays, static: SceneStatic, hit, o, d, shadow: bool):
+    """True where the hit lands on a zero-alpha point of a masked prim."""
+    prim = jnp.maximum(hit["prim"], 0)
+    tex = (sa.prim_shadow_alpha_tex if shadow else sa.prim_alpha_tex)[prim]
+    geom = sa.prim_geom[prim]
+    is_tri = sa.prim_kind[prim] == GEOM_TRI
+    uvv = sa.tri_uv[jnp.where(is_tri, geom, 0)]
+    b1 = hit["b1"][:, None]
+    b2 = hit["b2"][:, None]
+    uv = (1.0 - b1 - b2) * uvv[:, 0] + b1 * uvv[:, 1] + b2 * uvv[:, 2]
+    p_hit = o + d * hit["t"][:, None]
+    from .texture import eval_textures
+
+    vals = eval_textures(sa, static.tex_programs, uv, p_hit)
+    a = jnp.ones(uv.shape[0], F32)
+    for xi in range(len(static.tex_programs)):
+        a = jnp.where(tex == xi, vals[xi][:, 0], a)
+    return (hit["prim"] >= 0) & is_tri & (tex >= 0) & (a == 0.0)
+
+
+def _intersect_alpha(sa, static, o, d, t_max, time, sort_rays, shadow: bool):
+    """Closest non-cut hit. Returns hit dict with t relative to `o`."""
+    R = o.shape[0]
+    tm0 = jnp.broadcast_to(jnp.asarray(t_max, F32), (R,))
+    o_cur = o
+    acc = jnp.zeros(R, F32)
+    hit = _intersect_once(sa, static, o_cur, d, tm0, time, sort_rays)
+    for _ in range(ALPHA_PASSES):
+        cut = _alpha_cut_mask(sa, static, hit, o_cur, d, shadow)
+        adv = hit["t"] * (1.0 + 1e-4) + 1e-4
+        o_cur = jnp.where(cut[:, None], o_cur + d * adv[:, None], o_cur)
+        acc = acc + jnp.where(cut, adv, 0.0)
+        tq = jnp.where(cut, tm0 - acc, -1.0)
+        h2 = _intersect_once(sa, static, o_cur, d, tq, time, sort_rays)
+        hit = {k: jnp.where(cut if v.ndim == 1 else cut, h2[k], v) for k, v in hit.items()}
+    # residual cut hits after the pass budget: drop (conservative)
+    cut = _alpha_cut_mask(sa, static, hit, o_cur, d, shadow)
+    t_final = jnp.where(cut, INF, hit["t"]) + acc
+    prim = jnp.where(cut | (hit["prim"] < 0), -1, hit["prim"])
+    return {
+        "t": jnp.where(prim >= 0, t_final, INF),
+        "prim": prim,
+        "b1": hit["b1"],
+        "b2": hit["b2"],
+    }
+
+
+def intersect(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None, sort_rays=False):
+    """Closest-hit query. Returns hit dict {t, prim, b1, b2}.
+
+    sort_rays: opt-in wave reordering for incoherent bounces on big scenes
+    (integrator sets it for bounce >= 1)."""
+    if getattr(static, "has_alpha", False) and static.n_prims > 0:
+        return _intersect_alpha(sa, static, o, d, t_max, time, sort_rays, shadow=False)
+    return _intersect_once(sa, static, o, d, t_max, time, sort_rays)
+
+
+def intersect_p(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None, sort_rays=False):
+    """Any-hit (shadow) query -> bool (R,). (scene.rs intersect_p)"""
+    if getattr(static, "has_alpha", False) and static.n_prims > 0:
+        hit = _intersect_alpha(sa, static, o, d, t_max, time, sort_rays, shadow=True)
+        return hit["prim"] >= 0
+    return _intersect_p_once(sa, static, o, d, t_max, time, sort_rays)

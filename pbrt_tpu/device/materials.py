@@ -188,7 +188,13 @@ def make_bsdf(sa: SceneArrays, static: SceneStatic, mat_ids, uv, p, duvdx=None, 
     else:
         is_mix = None
 
-    remap = gather_rows(sa.mat_remap, mat_ids) != 0
+    remap_row = gather_rows(sa.mat_remap, mat_ids)
+    remap = (remap_row & 1) != 0
+    # bit 1 of mat_remap selects the Beckmann microfacet distribution
+    # ("distribution" "beckmann", microfacet.rs:150); stored per micro lobe
+    # in data slot 12
+    beck_f = ((remap_row >> 1) & 1).astype(F32)
+    zero_r = jnp.zeros(R, F32)
 
     kd = jnp.clip(param(P_KD), 0.0, 1.0)
     sigma = param(P_SIGMA)[:, 0]
@@ -239,19 +245,19 @@ def make_bsdf(sa: SceneArrays, static: SceneStatic, mat_ids, uv, p, duvdx=None, 
         w.put(4, m & smooth & both, LOBE_FRESNEL_SPEC, krg, eta=eta, k_or_t=ktg)
         w.put(4, m & smooth & ~both & _nonblack(krg), LOBE_SPEC_R, krg, eta=eta, fresnel=FR_DIELECTRIC)
         w.put(5, m & smooth & ~both & _nonblack(ktg), LOBE_SPEC_T, ktg, eta=eta)
-        w.put(2, m & ~smooth & _nonblack(krg), LOBE_MICRO_R, krg, eta=eta, ax=ax, ay=ay, fresnel=FR_DIELECTRIC)
-        w.put(3, m & ~smooth & _nonblack(ktg), LOBE_MICRO_T, ktg, eta=eta, ax=ax, ay=ay)
+        w.put(2, m & ~smooth & _nonblack(krg), LOBE_MICRO_R, krg, eta=eta, ax=ax, ay=ay, fresnel=FR_DIELECTRIC, ab=(beck_f, zero_r))
+        w.put(3, m & ~smooth & _nonblack(ktg), LOBE_MICRO_T, ktg, eta=eta, ax=ax, ay=ay, ab=(beck_f, zero_r))
 
     if MAT_PLASTIC in kinds:
         m = kind == MAT_PLASTIC
         # plastic defaults Kd=0.25 Ks=0.25 rough=0.1 (plastic.rs)
         w.put(0, m & _nonblack(kd), LOBE_LAMBERT_R, kd)
-        w.put(2, m & _nonblack(ks), LOBE_MICRO_R, ks, eta=1.5, ax=ax, ay=ay, fresnel=FR_DIELECTRIC)
+        w.put(2, m & _nonblack(ks), LOBE_MICRO_R, ks, eta=1.5, ax=ax, ay=ay, fresnel=FR_DIELECTRIC, ab=(beck_f, zero_r))
 
     if MAT_METAL in kinds:
         m = kind == MAT_METAL
         one = jnp.ones((R, 3), F32)
-        w.put(2, m, LOBE_MICRO_R, one, eta=eta3, k_or_t=kcond, ax=ax, ay=ay, fresnel=FR_CONDUCTOR)
+        w.put(2, m, LOBE_MICRO_R, one, eta=eta3, k_or_t=kcond, ax=ax, ay=ay, fresnel=FR_CONDUCTOR, ab=(beck_f, zero_r))
 
     if MAT_UBER in kinds:
         m = kind == MAT_UBER
@@ -259,7 +265,7 @@ def make_bsdf(sa: SceneArrays, static: SceneStatic, mat_ids, uv, p, duvdx=None, 
         inv_op = 1.0 - op
         w.put(6, m & _nonblack(inv_op), LOBE_SPEC_T, inv_op, eta=1.0 + 1e-5)
         w.put(0, m & _nonblack(op * kd), LOBE_LAMBERT_R, op * kd)
-        w.put(2, m & _nonblack(op * ks), LOBE_MICRO_R, op * ks, eta=eta, ax=ax, ay=ay, fresnel=FR_DIELECTRIC)
+        w.put(2, m & _nonblack(op * ks), LOBE_MICRO_R, op * ks, eta=eta, ax=ax, ay=ay, fresnel=FR_DIELECTRIC, ab=(beck_f, zero_r))
         w.put(4, m & _nonblack(op * kr), LOBE_SPEC_R, op * kr, eta=eta, fresnel=FR_DIELECTRIC)
         w.put(5, m & _nonblack(op * kt), LOBE_SPEC_T, op * kt, eta=eta)
 
@@ -271,8 +277,8 @@ def make_bsdf(sa: SceneArrays, static: SceneStatic, mat_ids, uv, p, duvdx=None, 
         m = kind == MAT_TRANSLUCENT
         w.put(0, m & _nonblack(refl_c * kd), LOBE_LAMBERT_R, refl_c * kd)
         w.put(1, m & _nonblack(trans_c * kd), LOBE_LAMBERT_T, trans_c * kd)
-        w.put(2, m & _nonblack(refl_c * ks), LOBE_MICRO_R, refl_c * ks, eta=1.5, ax=ax, ay=ay, fresnel=FR_DIELECTRIC)
-        w.put(3, m & _nonblack(trans_c * ks), LOBE_MICRO_T, trans_c * ks, eta=1.5, ax=ax, ay=ay)
+        w.put(2, m & _nonblack(refl_c * ks), LOBE_MICRO_R, refl_c * ks, eta=1.5, ax=ax, ay=ay, fresnel=FR_DIELECTRIC, ab=(beck_f, zero_r))
+        w.put(3, m & _nonblack(trans_c * ks), LOBE_MICRO_T, trans_c * ks, eta=1.5, ax=ax, ay=ay, ab=(beck_f, zero_r))
 
     if MAT_DISNEY in kinds:
         m = kind == MAT_DISNEY
@@ -346,6 +352,8 @@ def make_bsdf(sa: SceneArrays, static: SceneStatic, mat_ids, uv, p, duvdx=None, 
 
     kind_arr, data_arr = w.finalize()
     out = {"kind": kind_arr, "data": data_arr, "possible": tuple(frozenset(p) for p in w.possible)}
+    if getattr(static, "has_beckmann", False):
+        out["has_beckmann"] = True
     if static.has_fourier:
         out["fourier"] = sa.fourier
     return out

@@ -42,7 +42,7 @@ from .shading import surface_interaction
 log = logging.getLogger(__name__)
 F32 = jnp.float32
 
-KMAX = 32  # visible points examined per photon deposit (cell scan cap)
+KMAX = 64  # visible points examined per photon deposit (cell scan cap)
 GAMMA = 2.0 / 3.0
 
 
@@ -284,6 +284,7 @@ def _photon_pass(sa, static, icfg, seed, it, n_photons, power_cdf, vp, radius,
                 contrib_m.append(close)
             idx = jnp.concatenate(contrib_idx)
             phv = jnp.concatenate(contrib_phi)
+            phv = jnp.where(jnp.isfinite(phv), phv, 0.0)
             mv = jnp.concatenate(contrib_m)
             phi = phi + jax.ops.segment_sum(phv, idx, num_segments=R + 1)[:R]
             m_cnt = m_cnt + jax.ops.segment_sum(mv.astype(F32), idx, num_segments=R + 1)[:R]
@@ -367,7 +368,8 @@ def render_sppm(cs, seed: int = 0, progress=None):
         it_j = jnp.uint32(it)
         seed_j = jnp.uint32(seed + it * 9781)
         ld_add, vp = camera_jit(it_j, jnp.uint32(seed))
-        ld = ld + ld_add
+        ld = ld + jnp.where(jnp.isfinite(ld_add), ld_add, 0.0)
+        vp["beta"] = jnp.where(jnp.isfinite(vp["beta"]), vp["beta"], 0.0)
 
         max_r = float(jnp.max(jnp.where(vp["valid"], radius, 0.0)))
         cell = max(2.0 * max_r, 1e-6)

@@ -46,9 +46,14 @@ def render_sharded_step(cs, desc, mesh: Mesh, spp: int | None = None, seed: int 
         "max_depth": max(int(desc.integrator.max_depth), 1),
         "rr_threshold": desc.integrator.rr_threshold,
         "strategy": desc.integrator.strategy,
+        "light_strategy": desc.integrator.light_strategy,
         "n_samples": desc.integrator.n_samples,
         "cos_sample": desc.integrator.cos_sample,
     }
+    if str(desc.integrator.light_strategy) == "spatial" and static.n_lights > 1:
+        from ..device.lightdistrib import build_spatial_distribution
+
+        icfg["spatial_distribution"] = build_spatial_distribution(cs.arrays, static)
     scfg = {"kind": desc.sampler.kind, "spp": spp}
     fcfg = {"filter": desc.film.filter_name, "filter_params": dict(desc.film.filter_params), "max_sample_luminance": desc.film.max_sample_luminance}
 

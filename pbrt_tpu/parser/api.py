@@ -369,9 +369,24 @@ class API:
             try:
                 t.image = imageio.read_image(fname, gamma=gamma)
             except (OSError, ValueError) as e:
-                log.warning("imagemap '%s' unreadable (%s); using constant 0.5", fname, e)
-                t.kind = "constant"
-                t.value = np.array([0.5])
+                # fallback search path for assets missing from the scene's
+                # own tree (PBRT_TPU_TEXTURE_PATH, colon-separated)
+                loaded = False
+                for root in os.environ.get("PBRT_TPU_TEXTURE_PATH", "").split(":"):
+                    if not root:
+                        continue
+                    alt = os.path.join(root, os.path.basename(fname))
+                    try:
+                        t.image = imageio.read_image(alt, gamma=gamma)
+                        log.warning("imagemap '%s' resolved from fallback '%s'", fname, alt)
+                        loaded = True
+                        break
+                    except (OSError, ValueError):
+                        continue
+                if not loaded:
+                    log.warning("imagemap '%s' unreadable (%s); using constant 0.5", fname, e)
+                    t.kind = "constant"
+                    t.value = np.array([0.5])
             self._mapping_params(t, tp)
         elif tex_class == "uv":
             self._mapping_params(t, tp)
@@ -463,11 +478,13 @@ class API:
             flt("uroughness", 0.0)
             flt("vroughness", 0.0)
             p["remaproughness"] = ("const", tp.find_one_bool("remaproughness", True))
+            p["distribution"] = ("const", tp.find_one_string("distribution", "trowbridgereitz"))
         elif name == "plastic":
             spec("Kd", [0.25, 0.25, 0.25])
             spec("Ks", [0.25, 0.25, 0.25])
             flt("roughness", 0.1)
             p["remaproughness"] = ("const", tp.find_one_bool("remaproughness", True))
+            p["distribution"] = ("const", tp.find_one_string("distribution", "trowbridgereitz"))
         elif name == "metal":
             cu_eta, cu_k = copper_eta_k_rgb()
             spec("eta", list(cu_eta))
@@ -480,6 +497,7 @@ class API:
             if vr is not None:
                 p["vroughness"] = vr
             p["remaproughness"] = ("const", tp.find_one_bool("remaproughness", True))
+            p["distribution"] = ("const", tp.find_one_string("distribution", "trowbridgereitz"))
         elif name == "uber":
             spec("Kd", [0.25, 0.25, 0.25])
             spec("Ks", [0.25, 0.25, 0.25])
@@ -498,12 +516,14 @@ class API:
             p["eta"] = eta
             spec("opacity", [1.0, 1.0, 1.0])
             p["remaproughness"] = ("const", tp.find_one_bool("remaproughness", True))
+            p["distribution"] = ("const", tp.find_one_string("distribution", "trowbridgereitz"))
         elif name == "substrate":
             spec("Kd", [0.5, 0.5, 0.5])
             spec("Ks", [0.5, 0.5, 0.5])
             flt("uroughness", 0.1)
             flt("vroughness", 0.1)
             p["remaproughness"] = ("const", tp.find_one_bool("remaproughness", True))
+            p["distribution"] = ("const", tp.find_one_string("distribution", "trowbridgereitz"))
         elif name == "translucent":
             spec("Kd", [0.25, 0.25, 0.25])
             spec("Ks", [0.25, 0.25, 0.25])
@@ -511,6 +531,7 @@ class API:
             spec("reflect", [0.5, 0.5, 0.5])
             spec("transmit", [0.5, 0.5, 0.5])
             p["remaproughness"] = ("const", tp.find_one_bool("remaproughness", True))
+            p["distribution"] = ("const", tp.find_one_string("distribution", "trowbridgereitz"))
         elif name == "mix":
             m1 = tp.find_one_string("namedmaterial1", "")
             m2 = tp.find_one_string("namedmaterial2", "")
@@ -558,6 +579,7 @@ class API:
             flt("uroughness", 0.0)
             flt("vroughness", 0.0)
             p["remaproughness"] = ("const", tp.find_one_bool("remaproughness", True))
+            p["distribution"] = ("const", tp.find_one_string("distribution", "trowbridgereitz"))
         elif name == "fourier":
             # tabulated BSDF (SCATFUN file, loaded at scene compile)
             s = tp.find_one_filename("bsdffile", "")
@@ -898,10 +920,24 @@ class API:
                 fuv = params.find_floats("st")
             if fuv is not None:
                 uv = np.asarray(fuv, dtype=np.float64).reshape(-1, 2)
-        alpha = None
-        atex = params.find_texture_name("alpha")
-        if atex is not None:
-            alpha = self.graphics_state.float_textures.get(atex)
+        # alpha / shadow-alpha cutout masks (triangle.rs:728-755): texture
+        # by name, or a constant-0 float makes the mesh fully cut out
+        def _alpha_tex(pname):
+            tex = params.find_texture_name(pname)
+            if tex is not None:
+                t = self.graphics_state.float_textures.get(tex)
+                if t is None:
+                    log.error("couldn't find float texture '%s' for '%s'", tex, pname)
+                return t
+            fval = params.find_one_float(pname, 1.0)
+            if fval == 0.0:
+                from ..scene.host import HostTexture
+
+                return HostTexture(kind="constant", is_float=True, value=np.array([0.0]))
+            return None
+
+        alpha = _alpha_tex("alpha")
+        shadow_alpha = _alpha_tex("shadowalpha")
         mesh = TriangleMesh(
             p=o2w.xpoint(p),
             indices=np.asarray(indices, dtype=np.int32).reshape(-1, 3),
@@ -909,6 +945,7 @@ class API:
             s=o2w.xvector(s) if s is not None else None,
             uv=uv,
             alpha_texture=alpha,
+            shadow_alpha_texture=shadow_alpha,
             reverse_orientation=rev,
             transform_swaps_handedness=o2w.swaps_handedness(),
         )

@@ -195,6 +195,12 @@ def make_wave_fn(cs: CompiledScene, cam=None):
         "n_samples": desc.integrator.n_samples,
         "cos_sample": desc.integrator.cos_sample,
     }
+    if str(desc.integrator.light_strategy) == "spatial" and cs.static.n_lights > 1:
+        # precompute the voxel-grid light distribution once per scene
+        # (lightdistrib.rs SpatialLightDistribution; device/lightdistrib.py)
+        from .device.lightdistrib import build_spatial_distribution
+
+        icfg["spatial_distribution"] = build_spatial_distribution(cs.arrays, cs.static)
     scfg = {"kind": desc.sampler.kind, "spp": int(desc.sampler.pixel_samples)}
     if desc.sampler.kind == "halton":
         from .device.sampler import halton_tables

@@ -150,6 +150,10 @@ class SceneArrays:
     env_cond_cdf: jax.Array | None = None  # (H, W+1)
     env_marg_cdf: jax.Array | None = None  # (H+1,)
     env_w2l: jax.Array | None = None  # (3, 4) world-to-light rotation
+    # --- alpha cutout masks (triangle.rs:29-30): per-prim float texture id
+    # into tex_programs, or -1 ---
+    prim_alpha_tex: jax.Array | None = None  # (P,) i32
+    prim_shadow_alpha_tex: jax.Array | None = None  # (P,) i32
     # --- wide BVH tables for the Pallas traversal (scene/widebvh.py);
     # None unless static.has_wide ---
     wnode_tab: jax.Array | None = None  # (ceil(Nw/8)*8, 128) f32
@@ -206,6 +210,8 @@ class SceneStatic:
     light_kinds: tuple = ()  # static LIGHT_* per light row
     has_fourier: bool = False  # scene has readable tabulated (fourier) BSDFs
     has_motion: bool = False  # any primitive carries shutter-close keyframes
+    has_beckmann: bool = False  # any material selects the Beckmann distribution
+    has_alpha: bool = False  # any prim carries an alpha/shadow-alpha cutout mask
     has_wide: bool = False  # wide-BVH tables built (Pallas traversal eligible)
     wide_root: int = 1  # wide-BVH root node id
 

@@ -182,6 +182,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     prim_kind, prim_geom, prim_mat, prim_light, prim_flags, prim_area = [], [], [], [], [], []
     prim_lo, prim_hi = [], []
     prim_medium = []
+    prim_alpha, prim_shadow_alpha = [], []  # float texture ids or -1 (cutouts)
 
     # --- media table -----------------------------------------------------------
     med_names = list(desc.media.keys())
@@ -446,6 +447,11 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             prim_lo.extend(np.minimum(pv.min(axis=1), pv_end.min(axis=1)))
             prim_hi.extend(np.maximum(pv.max(axis=1), pv_end.max(axis=1)))
             prim_medium.extend([[medium_id(prim.inside_medium), medium_id(prim.outside_medium)]] * t)
+            # alpha / shadow-alpha cutout masks (triangle.rs:29-30)
+            a_id = tex_reg.register(mesh.alpha_texture) if mesh.alpha_texture is not None else -1
+            sa_id = tex_reg.register(mesh.shadow_alpha_texture) if mesh.shadow_alpha_texture is not None else a_id
+            prim_alpha.extend([a_id] * t)
+            prim_shadow_alpha.extend([sa_id] * t)
         elif sh.sphere is not None:
             sph = sh.sphere
             o2w = sph.object_to_world
@@ -486,6 +492,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             prim_light.append(light_id)
             prim_flags.append(flags)
             prim_area.append(_sphere_area(sph))
+            prim_alpha.append(-1)
+            prim_shadow_alpha.append(-1)
             lo, hi = o2w.xbounds([-sph.radius] * 3, [sph.radius] * 3)
             if sph.object_to_world_end is not None:
                 lo2, hi2 = sph.object_to_world_end.xbounds([-sph.radius] * 3, [sph.radius] * 3)
@@ -512,6 +520,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         prim_lo.append(np.full(3, 1e30))
         prim_hi.append(np.full(3, 1e30))
         prim_medium.append([-1, -1])
+        prim_alpha.append(-1)
+        prim_shadow_alpha.append(-1)
         n_prims = 1
 
     # --- world bounds (exclude the never-hit padding row) ----------------------
@@ -550,6 +560,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         prim_flags = _perm(prim_flags)
         prim_area = _perm(prim_area)
         prim_medium = _perm(prim_medium)
+        prim_alpha = _perm(prim_alpha)
+        prim_shadow_alpha = _perm(prim_shadow_alpha)
         # keep the AABB lists aligned with the permuted prim rows (the wide
         # BVH build below pairs them with per-prim verts via prim_geom)
         prim_lo = _perm(prim_lo)
@@ -722,6 +734,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         env_marg_cdf=env_marg,
         env_w2l=env_w2l,
         fourier=fourier_dev,
+        prim_alpha_tex=jnp.asarray(np.asarray(prim_alpha, dtype=np.int32)),
+        prim_shadow_alpha_tex=jnp.asarray(np.asarray(prim_shadow_alpha, dtype=np.int32)),
         wnode_tab=jnp.asarray(wide.node_tab) if has_wide else None,
         wprim_tab=jnp.asarray(wide.prim_tab) if has_wide else None,
         wslot_prim=jnp.asarray(wide.slot_prim) if has_wide else None,
@@ -752,6 +766,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         light_kinds=tuple(int(l[0]) for l in lights),
         has_fourier=bool(fourier_dev),
         has_motion=any_motion,
+        has_beckmann=bool(np.any((mat_remap & 2) != 0)),
+        has_alpha=any(a >= 0 for a in prim_alpha) or any(a >= 0 for a in prim_shadow_alpha),
         has_wide=has_wide,
         wide_root=wide.root if has_wide else 1,
     )
@@ -899,6 +915,8 @@ def _compile_material(mat: HostMaterial, tex_reg: _TextureRegistry, register_mat
     if not put_src(P_VROUGH, v_src):
         put_src(P_VROUGH, r_src)
 
+    dist = mat.params.get("distribution")
+    beckmann = dist is not None and str(dist[1]).lower() == "beckmann"
     rm = mat.params.get("remaproughness")
     if rm is not None and rm[0] == "const":
         remap = 1 if rm[1] else 0
@@ -996,4 +1014,4 @@ def _compile_material(mat: HostMaterial, tex_reg: _TextureRegistry, register_mat
         if not np.any(const[P_KT]):
             const[P_KT] = 1.0
 
-    return kind, const, tex, remap
+    return kind, const, tex, remap | (2 if beckmann else 0)

@@ -34,7 +34,8 @@ class TriangleMesh:
     n: np.ndarray | None = None  # (V, 3) shading normals (world space)
     s: np.ndarray | None = None  # (V, 3) shading tangents
     uv: np.ndarray | None = None  # (V, 2)
-    alpha_texture: object | None = None
+    alpha_texture: object | None = None  # float HostTexture: 0 => hit ignored
+    shadow_alpha_texture: object | None = None  # same, for shadow rays
     reverse_orientation: bool = False
     transform_swaps_handedness: bool = False
     p_end: np.ndarray | None = None  # (V, 3) shutter-close positions (motion blur)
