@@ -629,6 +629,9 @@ def _intersect_once(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None
         return Hit.none((o.shape[0],))
     if static.use_brute_force:
         return intersect_brute(sa, static, o, d, t_max, time)
+    if static.accel_kind == "kdtree":
+        hit, _ = _traverse_kd(sa, static, o, d, t_max, any_hit=False, time=time)
+        return hit
     if time is None and _pallas_route(static):
         if sort_rays and static.n_prims >= SORT_MIN_PRIMS:
             key = _ray_sort_key(sa, o, d, t_max)
@@ -653,11 +656,178 @@ def _intersect_p_once(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=No
         return jnp.zeros(o.shape[0], bool)
     if static.use_brute_force:
         return intersect_p_brute(sa, static, o, d, t_max, time)
+    if static.accel_kind == "kdtree":
+        _, hit_any = _traverse_kd(sa, static, o, d, t_max, any_hit=True, time=time)
+        return hit_any
     if sort_rays and static.n_prims >= SORT_MIN_PRIMS:
         _, hit_any = _sorted_traverse(sa, static, o, d, t_max, True, time)
         return hit_any
     _, hit_any = _traverse(sa, static, o, d, t_max, any_hit=True, time=time)
     return hit_any
+
+
+
+
+# ---------------------------------------------------------------------------
+# Kd-tree packet traversal (kdtreeaccel.rs:411-524 KdToDo stack walk).
+# Packets of PACKET rays share one (node, tmin, tmax) stack; the child
+# intervals are per-packet conservative (min/max of the per-lane split
+# crossings; mixed-direction packets push both children with the full
+# interval), so no lane can miss a hit. Chosen by `Accelerator "kdtree"` —
+# parity with the reference; the BVH remains the performance default.
+# ---------------------------------------------------------------------------
+
+KD_STACK = 96
+
+
+def _traverse_kd(sa: SceneArrays, static: SceneStatic, o, d, t_max, any_hit: bool, time=None):
+    R = o.shape[0]
+    K = static.kd_max_leaf
+    B = (R + PACKET - 1) // PACKET
+    Rp = B * PACKET
+    pad = Rp - R
+
+    def pad_to(x, fill):
+        if pad == 0:
+            return x
+        return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0)
+
+    o_p = pad_to(o, 0.0).reshape(B, PACKET, 3)
+    d_p = pad_to(d, 1.0).reshape(B, PACKET, 3)
+    tm0 = jnp.broadcast_to(jnp.asarray(t_max, F32), (R,))
+    tm_p = pad_to(tm0, -1.0).reshape(B, PACKET)
+    time_p = None if time is None else pad_to(jnp.broadcast_to(jnp.asarray(time, F32), (R,)), 0.0).reshape(B, PACKET)
+    inv_d = 1.0 / jnp.where(jnp.abs(d_p) < 1e-30, jnp.where(d_p < 0, -1e-30, 1e-30), d_p)
+
+    # root interval per lane, conservative per packet
+    lo = jnp.asarray(sa.kd_lo, F32)
+    hi = jnp.asarray(sa.kd_hi, F32)
+    t0l = (lo[None, None, :] - o_p) * inv_d
+    t1l = (hi[None, None, :] - o_p) * inv_d
+    tn_l = jnp.max(jnp.minimum(t0l, t1l), axis=-1)
+    tf_l = jnp.min(jnp.maximum(t0l, t1l), axis=-1) * 1.0000004
+    lane_ok = (tn_l <= tf_l) & (tf_l > 0) & (tm_p > 0)
+    root_tmin = jnp.min(jnp.where(lane_ok, jnp.maximum(tn_l, 0.0), jnp.inf), axis=1)
+    root_tmax = jnp.max(jnp.where(lane_ok, jnp.minimum(tf_l, tm_p), -jnp.inf), axis=1)
+    any_lane = jnp.any(lane_ok, axis=1)
+
+    stack_n = jnp.zeros((B, KD_STACK), jnp.int32)
+    stack_lo = jnp.zeros((B, KD_STACK), F32)
+    stack_hi = jnp.zeros((B, KD_STACK), F32)
+    stack_lo = stack_lo.at[:, 0].set(jnp.where(any_lane, root_tmin, 1.0))
+    stack_hi = stack_hi.at[:, 0].set(jnp.where(any_lane, root_tmax, 0.0))
+    sp = jnp.where(any_lane, 1, 0)
+
+    t_best = tm_p
+    prim_best = jnp.full((B, PACKET), -1, jnp.int32)
+    b1_best = jnp.zeros((B, PACKET), F32)
+    b2_best = jnp.zeros((B, PACKET), F32)
+    hit_any = jnp.zeros((B, PACKET), bool)
+    rows_b = jnp.arange(B)
+
+    flags = sa.kd_flags
+    split = sa.kd_split
+    abv = sa.kd_above
+    nprim = sa.kd_nprims
+    pids_tab = sa.kd_prim_ids
+
+    def cond(state):
+        return jnp.any(state[0] > 0)
+
+    def body(state):
+        (sp, stack_n, stack_lo, stack_hi, t_best, prim_best, b1_best, b2_best, hit_any) = state
+        active = sp > 0
+        spm = jnp.maximum(sp - 1, 0)
+        node = stack_n[rows_b, spm]
+        tmn = stack_lo[rows_b, spm]
+        tmx = stack_hi[rows_b, spm]
+        sp = jnp.where(active, spm, sp)
+
+        fl = flags[node]
+        is_leaf = fl == 3
+        # prune: nothing in this interval can beat any lane's current best
+        worth = tmn <= jnp.max(jnp.where(tm_p > 0, t_best, -jnp.inf), axis=1) + 1e-5
+        go = active & worth & (tmn <= tmx + 1e-5)
+
+        # --- leaf: test up to K listed prims ---
+        do_leaf = go & is_leaf
+        off = abv[node]
+        n_l = nprim[node]
+        kk = jnp.arange(K, dtype=jnp.int32)[None, :]
+        ids = pids_tab[jnp.clip(off[:, None] + kk, 0, max(pids_tab.shape[0] - 1, 0))]  # (B, K)
+        valid = do_leaf[:, None] & (kk < n_l[:, None])
+        ids_f = jnp.broadcast_to(ids[:, None, :], (B, PACKET, K)).reshape(B * PACKET, K)
+        val_f = jnp.broadcast_to(valid[:, None, :], (B, PACKET, K)).reshape(B * PACKET, K)
+        t_k, b1_k, b2_k = _test_prims(
+            sa, o_p.reshape(-1, 3), d_p.reshape(-1, 3), t_best.reshape(-1), ids_f, val_f,
+            time=None if time_p is None else time_p.reshape(-1),
+        )
+        t_k = t_k.reshape(B, PACKET, K)
+        b1_k = b1_k.reshape(B, PACKET, K)
+        b2_k = b2_k.reshape(B, PACKET, K)
+        t_new = jnp.min(t_k, axis=2)
+        sel = (t_k == t_new[:, :, None]) & jnp.isfinite(t_k)
+        first = jnp.cumsum(sel.astype(jnp.int32), axis=2) == 1
+        sel = sel & first
+        better = t_new < t_best
+        pid_k = jnp.broadcast_to(ids[:, None, :].astype(F32), t_k.shape)
+        prim_new = jnp.sum(jnp.where(sel, pid_k, 0.0), axis=2).astype(jnp.int32)
+        t_best = jnp.where(better, t_new, t_best)
+        prim_best = jnp.where(better, prim_new, prim_best)
+        b1_best = jnp.where(better, jnp.sum(jnp.where(sel, b1_k, 0.0), axis=2), b1_best)
+        b2_best = jnp.where(better, jnp.sum(jnp.where(sel, b2_k, 0.0), axis=2), b2_best)
+        hit_any = hit_any | better
+
+        # --- interior: split-plane crossings ---
+        do_int = go & ~is_leaf
+        ax = jnp.clip(fl, 0, 2)
+        o_a = jnp.take_along_axis(o_p, jnp.broadcast_to(ax[:, None, None], (B, PACKET, 1)), axis=2)[:, :, 0]
+        i_a = jnp.take_along_axis(inv_d, jnp.broadcast_to(ax[:, None, None], (B, PACKET, 1)), axis=2)[:, :, 0]
+        tp = (split[node][:, None] - o_a) * i_a  # (B, PACKET)
+        below_first_l = (o_a < split[node][:, None]) | ((o_a == split[node][:, None]) & (jnp.take_along_axis(d_p, jnp.broadcast_to(ax[:, None, None], (B, PACKET, 1)), axis=2)[:, :, 0] <= 0))
+        n_below = jnp.sum(below_first_l & (tm_p > 0), axis=1)
+        n_lanes = jnp.maximum(jnp.sum(tm_p > 0, axis=1), 1)
+        mixed = (n_below > 0) & (n_below < n_lanes)
+        below_first = n_below * 2 >= n_lanes
+        tp_lo = jnp.min(jnp.where(tm_p > 0, tp, jnp.inf), axis=1)
+        tp_hi = jnp.max(jnp.where(tm_p > 0, tp, -jnp.inf), axis=1)
+        # conservative child intervals (full interval when signs are mixed)
+        near_hi = jnp.where(mixed, tmx, jnp.minimum(tmx, tp_hi))
+        far_lo = jnp.where(mixed, tmn, jnp.maximum(tmn, tp_lo))
+        below = jnp.where(below_first, node + 1, abv[node])
+        above_c = jnp.where(below_first, abv[node], node + 1)
+        # push far then near (near pops first)
+        push_far = do_int & (far_lo <= tmx + 1e-5)
+        spc = jnp.clip(sp, 0, KD_STACK - 1)
+        stack_n = stack_n.at[rows_b, spc].set(jnp.where(push_far, above_c, stack_n[rows_b, spc]))
+        stack_lo = stack_lo.at[rows_b, spc].set(jnp.where(push_far, far_lo, stack_lo[rows_b, spc]))
+        stack_hi = stack_hi.at[rows_b, spc].set(jnp.where(push_far, tmx, stack_hi[rows_b, spc]))
+        sp = jnp.where(push_far, jnp.minimum(sp + 1, KD_STACK), sp)
+        push_near = do_int & (tmn <= near_hi + 1e-5)
+        spc = jnp.clip(sp, 0, KD_STACK - 1)
+        stack_n = stack_n.at[rows_b, spc].set(jnp.where(push_near, below, stack_n[rows_b, spc]))
+        stack_lo = stack_lo.at[rows_b, spc].set(jnp.where(push_near, tmn, stack_lo[rows_b, spc]))
+        stack_hi = stack_hi.at[rows_b, spc].set(jnp.where(push_near, near_hi, stack_hi[rows_b, spc]))
+        sp = jnp.where(push_near, jnp.minimum(sp + 1, KD_STACK), sp)
+
+        if any_hit:
+            all_done = jnp.all(hit_any | (tm_p <= 0), axis=1)
+            sp = jnp.where(all_done, 0, sp)
+        return (sp, stack_n, stack_lo, stack_hi, t_best, prim_best, b1_best, b2_best, hit_any)
+
+    state = (sp, stack_n, stack_lo, stack_hi, t_best, prim_best, b1_best, b2_best, hit_any)
+    state = jax.lax.while_loop(cond, body, state)
+    (_sp, _sn, _sl, _sh, t_best, prim_best, b1_best, b2_best, hit_any) = state
+
+    t_flat = t_best.reshape(Rp)[:R]
+    prim_flat = prim_best.reshape(Rp)[:R]
+    ha_flat = hit_any.reshape(Rp)[:R]
+    return {
+        "t": jnp.where(ha_flat, t_flat, INF),
+        "prim": jnp.where(ha_flat, prim_flat, -1),
+        "b1": b1_best.reshape(Rp)[:R],
+        "b2": b2_best.reshape(Rp)[:R],
+    }, ha_flat
 
 
 # ---------------------------------------------------------------------------

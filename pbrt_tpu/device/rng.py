@@ -135,7 +135,7 @@ def radical_inverse(base_index: int, index):
     b = int(PRIMES[base_index])
     if b == 2:
         return u32_to_float(reverse_bits_32(index))
-    index = jnp.asarray(index).astype(jnp.int32)
+    index = jnp.asarray(index).astype(jnp.uint32)
     n_digits = int(np.floor(np.log(2.0 ** 32) / np.log(b))) + 1
     inv_base = np.float32(1.0 / b)
     # accumulate in f32: early (low) digits land in the high bits of the
@@ -156,7 +156,7 @@ def scrambled_radical_inverse(base_index: int, index, perm):
     """Scrambled radical inverse: perm is a (base,) int32 digit permutation
     (lowdiscrepancy.rs scrambled_radical_inverse; tests/sampling.rs:23-45)."""
     b = int(PRIMES[base_index])
-    index = jnp.asarray(index).astype(jnp.int32)
+    index = jnp.asarray(index).astype(jnp.uint32)
     n_digits = int(np.floor(np.log(2.0 ** 32) / np.log(b))) + 1
     inv_base = np.float32(1.0 / b)
     reversed_digits = jnp.zeros(index.shape, jnp.float32)

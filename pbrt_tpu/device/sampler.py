@@ -50,6 +50,8 @@ def sample_2d(kind: str, seed, pixel, sample_idx, dim, spp: int):
     so traced dims fall through to the hash-scrambled (0,2) family."""
     if kind in ("halton", "sobol") and not isinstance(dim, int):
         kind = "zerotwosequence"
+    if kind == "maxmindist" and isinstance(dim, int) and dim == 0:
+        return maxmin_2d_dim0(seed, pixel, sample_idx, spp)
     if kind in ("random", "stratified"):
         u1 = rng.uniform_1d(seed, pixel, sample_idx, 2 * dim)
         u2 = rng.uniform_1d(seed, pixel, sample_idx, 2 * dim + 1)
@@ -160,7 +162,11 @@ def halton_tables(width: int, height: int):
     off %= stride
 
     return {
-        "offset": jnp.asarray(off.reshape(height, width).ravel().astype(np.int64)),
+        # uint32 index arithmetic: exact up to 2^32 / stride samples per
+        # pixel (~138k spp at the 128x243 max tiling) — the reference uses
+        # u64 (halton.rs get_index_for_sample); jax x64 is disabled, and
+        # renders beyond 138k spp per wave are out of scope
+        "offset": jnp.asarray(off.reshape(height, width).ravel().astype(np.uint32)),
         "stride": int(stride),
         "sx": sx,
         "sy": sy,
@@ -187,7 +193,7 @@ def _ext(a, b):
 def halton_index(aux, pixel_linear, sample_idx):
     """Global Halton index of sample `sample_idx` at a pixel (linear id)."""
     off = aux["offset"][pixel_linear]
-    return off + jnp.asarray(sample_idx, jnp.int64) * aux["stride"]
+    return off + jnp.asarray(sample_idx).astype(jnp.uint32) * jnp.uint32(aux["stride"])
 
 
 def halton_film_jitter(aux, pixel_linear, sample_idx):
@@ -211,3 +217,179 @@ def halton_dim_2d(aux, pixel_linear, sample_idx, dim: int):
         rng.scrambled_radical_inverse(b0, idx, p0),
         rng.scrambled_radical_inverse(b1, idx, p1),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sobol global film enumeration (sobol.rs:61-75 sobol_interval_to_index).
+# The reference ships precomputed VdCSobolMatrices (+inverses) as constant
+# data; here the (index low bits) -> (pixel x,y bits) GF(2) map is built
+# from our algorithmic generator matrices and inverted with Gaussian
+# elimination at table-build time.
+# ---------------------------------------------------------------------------
+
+
+def _gf2_invert(cols, n):
+    """cols: list of n ints, column j = output bits for input bit j (bit i of
+    cols[j] = row i). Returns inverse columns, or None if singular."""
+    # build rows as ints over inputs
+    rows = [0] * n
+    for j in range(n):
+        for i in range(n):
+            if (cols[j] >> i) & 1:
+                rows[i] |= 1 << j
+    # augment with identity, eliminate
+    aug = [(rows[i], 1 << i) for i in range(n)]
+    for c in range(n):
+        piv = None
+        for r in range(c, n):
+            if (aug[r][0] >> c) & 1:
+                piv = r
+                break
+        if piv is None:
+            return None
+        aug[c], aug[piv] = aug[piv], aug[c]
+        for r in range(n):
+            if r != c and (aug[r][0] >> c) & 1:
+                aug[r] = (aug[r][0] ^ aug[c][0], aug[r][1] ^ aug[c][1])
+    inv_rows = [aug[i][1] for i in range(n)]
+    inv_cols = [0] * n
+    for i in range(n):
+        for j in range(n):
+            if (inv_rows[i] >> j) & 1:
+                inv_cols[j] |= 1 << i
+    return inv_cols
+
+
+def sobol_tables(width: int, height: int, spp: int):
+    """Global-Sobol film enumeration tables, or None when the index would
+    overflow 32 bits (fallback: per-pixel scrambled sequences)."""
+    from ..core.sobolmat import matrix
+
+    m = 0
+    while (1 << m) < max(width, height):
+        m += 1
+    n_frame_bits = max(int(np.ceil(np.log2(max(spp, 1)))), 1) + 2
+    if 2 * m + n_frame_bits > 31 or m == 0:
+        return None
+    cols0 = matrix(0)
+    cols1 = matrix(1)
+
+    def outbits(j):
+        # concat: x-pixel bits (low m) | y-pixel bits (high m)
+        xb = int(cols0[j]) >> (32 - m)
+        yb = int(cols1[j]) >> (32 - m)
+        return xb | (yb << m)
+
+    a_cols = [outbits(j) for j in range(2 * m)]
+    inv = _gf2_invert(a_cols, 2 * m)
+    if inv is None:
+        return None
+    delta_cols = [outbits(2 * m + c) for c in range(n_frame_bits)]
+    return {
+        "m": m,
+        "res": 1 << m,
+        "inv_cols": tuple(inv),
+        "delta_cols": tuple(delta_cols),
+        "n_frame_bits": n_frame_bits,
+    }
+
+
+def sobol_global_index(aux, px, py, sample_idx):
+    """Global Sobol index whose dims (0,1) land in pixel (px,py) at frame
+    sample_idx (the TPU-vectorized sobol_interval_to_index)."""
+    m = aux["m"]
+    frame = jnp.asarray(sample_idx).astype(jnp.uint32)
+    delta = jnp.zeros_like(frame) if frame.ndim else jnp.uint32(0)
+    for c in range(aux["n_frame_bits"]):
+        delta = delta ^ jnp.where(((frame >> c) & 1) > 0, jnp.uint32(aux["delta_cols"][c]), jnp.uint32(0))
+    b = (px.astype(jnp.uint32) | (py.astype(jnp.uint32) << m)) ^ delta
+    low = jnp.zeros_like(b)
+    for j in range(2 * m):
+        low = low ^ jnp.where(((b >> j) & 1) > 0, jnp.uint32(aux["inv_cols"][j]), jnp.uint32(0))
+    return (frame << (2 * m)) | low
+
+
+def sobol_film_jitter(aux, px, py, sample_idx):
+    """In-pixel offsets of the global Sobol point for (pixel, frame)."""
+    idx = sobol_global_index(aux, px, py, sample_idx)
+    res = float(aux["res"])
+    x = sobol_dim(idx, 0, 0) * res - px.astype(F32)
+    y = sobol_dim(idx, 1, 0) * res - py.astype(F32)
+    return jnp.clip(x, 0.0, 1.0 - 1e-6), jnp.clip(y, 0.0, 1.0 - 1e-6)
+
+
+def sobol_dim_2d(aux, px, py, sample_idx, dim: int):
+    """2D sample from the GLOBAL Sobol sequence at static dim pair >= 1."""
+    idx = sobol_global_index(aux, px, py, sample_idx)
+    return sobol_dim(idx, 2 * dim, 0), sobol_dim(idx, 2 * dim + 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# MaxMinDist sampler (samplers/maxmindist.rs + lowdiscrepancy.rs:220).
+# The reference ships 17 precomputed CMaxMinDist generator matrices; here
+# equivalent matrices are SEARCHED at build time: random invertible GF(2)
+# maps scored by the exact objective (min toroidal point distance of
+# (i/n, y(i))), cached per log2(spp).
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def maxmin_matrix(log2spp: int):
+    """(log2spp,) uint32 generator columns for the y coordinate."""
+    k = max(min(log2spp, 16), 0)
+    n = 1 << k
+    if k == 0:
+        return (np.uint32(0x80000000),)
+    rs = np.random.RandomState(0xC0FFEE + k)
+    i = np.arange(n)
+    x = (i + 0.5) / n
+
+    def points_of(cols):
+        y = np.zeros(n, np.uint64)
+        for j in range(k):
+            y = y ^ np.where((i >> j) & 1 > 0, np.uint64(cols[j]), np.uint64(0))
+        return (y.astype(np.float64) / 2**32 + 0.5 / n) % 1.0
+
+    def min_dist(y):
+        dx = np.abs(x[:, None] - x[None, :])
+        dx = np.minimum(dx, 1.0 - dx)
+        dy = np.abs(y[:, None] - y[None, :])
+        dy = np.minimum(dy, 1.0 - dy)
+        d2 = dx * dx + dy * dy
+        np.fill_diagonal(d2, np.inf)
+        return float(np.sqrt(d2.min()))
+
+    n_cand = 600 if k <= 6 else (120 if k <= 9 else 24)
+    best, best_d = None, -1.0
+    for _ in range(n_cand):
+        # random invertible k x k bit matrix on the top k output bits
+        while True:
+            mat = [int(rs.randint(0, n)) for _ in range(k)]
+            if _gf2_invert([m_ & (n - 1) for m_ in mat], k) is not None:
+                break
+        cols = tuple(np.uint32((m_ & (n - 1)) << (32 - k)) for m_ in mat)
+        d = min_dist(points_of(cols))
+        if d > best_d:
+            best, best_d = cols, d
+    return best
+
+
+def maxmin_2d_dim0(seed, pixel, sample_idx, spp: int):
+    """Film-dimension pair of the MaxMinDist sampler: x = i/n (Cranley-
+    Patterson rotated per pixel), y from the searched generator matrix
+    (XOR-scrambled per pixel; both preserve the min-distance structure)."""
+    import math
+
+    k = max(int(math.ceil(math.log2(max(spp, 1)))), 0)
+    cols = maxmin_matrix(k)
+    n = 1 << k
+    i = jnp.asarray(sample_idx).astype(jnp.uint32) % jnp.uint32(n)
+    y = jnp.zeros_like(i)
+    for j in range(len(cols)):
+        y = y ^ jnp.where(((i >> j) & 1) > 0, jnp.uint32(int(cols[j])), jnp.uint32(0))
+    y = y ^ rng.hash_combine(seed, pixel, jnp.uint32(0x51D))
+    u1 = (i.astype(F32) + 0.5) / n + rng.u32_to_float(rng.hash_combine(seed, pixel, jnp.uint32(0xC9)))
+    u1 = jnp.where(u1 >= 1.0, u1 - 1.0, u1)
+    return u1, rng.u32_to_float(y)

@@ -1,11 +1,21 @@
 """Multi-chip rendering: shard the pixel/ray axis over a device mesh.
 
 TPU-native equivalent of the reference's rayon tile parallelism
-(src/core/integrator.rs:276-396): pixels are sharded across devices with
-`shard_map`, the read-only SceneArrays are replicated, and each device
-renders its own disjoint film slice — film assembly is a pure all-gather
-(the analog of the main thread's merge_film_tile loop), the only cross-chip
-communication in the whole pipeline.
+(src/core/integrator.rs:276-396), built on EXPLICIT `shard_map` (not GSPMD
+propagation): each device traces its own disjoint pixel slice, so every
+per-wave sort (ray-coherence Morton ordering, SPPM cell sorts) is
+device-local BY CONSTRUCTION — no accidental cross-chip all-to-alls from a
+global argsort. Read-only SceneArrays are replicated (closure capture). The
+only collectives are the film/photon reductions:
+
+- sampler-integrator family: none during the wave; the film is returned
+  sharded along "rays" (the analog of merge_film_tile).
+- SPPM: visible points are all-gathered so every device's photon shard can
+  deposit on any pixel, then phi/M are psum-reduced (sppm.rs lock-free grid
+  + AtomicFloat -> all_gather + psum). For scenes whose VP set exceeds
+  replicated HBM the grid itself would need sharding with an all-to-all of
+  photons by cell — out of scope until a baseline scene demands it
+  (SURVEY.md §2.12).
 """
 from __future__ import annotations
 
@@ -17,6 +27,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+try:
+    from jax.experimental.shard_map import shard_map
+except ImportError:  # newer jax
+    from jax import shard_map  # type: ignore[attr-defined]
+
 from ..device.camera import make_camera
 from ..render import _one_sample_wave
 
@@ -27,19 +42,7 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def render_sharded_step(cs, desc, mesh: Mesh, spp: int | None = None, seed: int = 0):
-    """One full sharded render pass (all pixels x spp samples).
-
-    Returns the film image (H*W, 3) as a replicated array.
-    """
-    from ..scene.builder import CompiledScene  # noqa: F401 (typing only)
-
-    n_dev = math.prod(mesh.devices.shape)
-    W = desc.film.x_resolution
-    H = desc.film.y_resolution
-    spp = int(spp if spp is not None else desc.sampler.pixel_samples)
-
-    cam = make_camera(desc.camera, desc.film)
+def _configs(cs, desc, spp):
     static = cs.static
     icfg = {
         "kind": desc.integrator.kind,
@@ -55,8 +58,12 @@ def render_sharded_step(cs, desc, mesh: Mesh, spp: int | None = None, seed: int 
 
         icfg["spatial_distribution"] = build_spatial_distribution(cs.arrays, static)
     scfg = {"kind": desc.sampler.kind, "spp": spp}
-    fcfg = {"filter": desc.film.filter_name, "filter_params": dict(desc.film.filter_params), "max_sample_luminance": desc.film.max_sample_luminance}
+    fcfg = {"filter": desc.film.filter_name, "filter_params": dict(desc.film.filter_params),
+            "max_sample_luminance": desc.film.max_sample_luminance}
+    return icfg, scfg, fcfg
 
+
+def _pixel_arrays(W, H, n_dev):
     R = W * H
     Rp = _round_up(R, n_dev)
     ys, xs = np.mgrid[0:H, 0:W]
@@ -66,27 +73,142 @@ def render_sharded_step(cs, desc, mesh: Mesh, spp: int | None = None, seed: int 
     px[:R] = xs.ravel()
     py[:R] = ys.ravel()
     pids[:R] = (ys * W + xs).ravel()
+    return px, py, pids, R, Rp
 
-    ray_sharding = NamedSharding(mesh, P("rays"))
-    repl = NamedSharding(mesh, P())
-    px = jax.device_put(jnp.asarray(px), ray_sharding)
-    py = jax.device_put(jnp.asarray(py), ray_sharding)
-    pids = jax.device_put(jnp.asarray(pids), ray_sharding)
-    sa = jax.device_put(cs.arrays, repl)
 
-    @jax.jit
-    def step(sa, px, py, pids, seed):
+def render_sharded_step(cs, desc, mesh: Mesh, spp: int | None = None, seed: int = 0):
+    """One full sharded render pass (all pixels x spp samples).
+
+    Returns the film image (H*W, 3), sharded along "rays"."""
+    n_dev = math.prod(mesh.devices.shape)
+    W = desc.film.x_resolution
+    H = desc.film.y_resolution
+    spp = int(spp if spp is not None else desc.sampler.pixel_samples)
+
+    cam = make_camera(desc.camera, desc.film)
+    static = cs.static
+    icfg, scfg, fcfg = _configs(cs, desc, spp)
+
+    px, py, pids, R, Rp = _pixel_arrays(W, H, n_dev)
+    ray_sh = NamedSharding(mesh, P("rays"))
+    px = jax.device_put(jnp.asarray(px), ray_sh)
+    py = jax.device_put(jnp.asarray(py), ray_sh)
+    pids = jax.device_put(jnp.asarray(pids), ray_sh)
+    sa = cs.arrays  # replicated by closure capture inside shard_map
+
+    def local_step(px_l, py_l, pids_l, seed_l):
+        # runs per device on its pixel slice; sorts stay device-local
         def one(s, acc):
-            Lw, w, _nv = _one_sample_wave(sa, static, icfg, scfg, fcfg, cam, px, py, pids, s.astype(jnp.uint32), seed)
+            Lw, w, _nv = _one_sample_wave(sa, static, icfg, scfg, fcfg, cam, px_l, py_l, pids_l, s.astype(jnp.uint32), seed_l)
             return acc[0] + Lw, acc[1] + w
 
-        acc0 = (jnp.zeros((Rp, 3), F32), jnp.zeros((Rp,), F32))
-        Lsum, wsum = jax.lax.fori_loop(0, spp, one, acc0) if spp > 1 else one(jnp.uint32(0), acc0)
+        acc0 = (jnp.zeros((px_l.shape[0], 3), F32), jnp.zeros((px_l.shape[0],), F32))
+        Lsum, wsum = jax.lax.fori_loop(0, spp, one, acc0)
         return Lsum / jnp.maximum(wsum, 1e-9)[:, None]
 
-    # NOTE: fori over samples requires traced sample_idx; the samplers accept
-    # traced indices for the hash/(0,2) families. (Unrolled-dim samplers like
-    # halton radical-inverse also accept traced indices — bases are static.)
-    out_sharding = NamedSharding(mesh, P("rays"))
-    img = jax.jit(step, out_shardings=out_sharding)(sa, px, py, pids, jnp.uint32(seed))
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("rays"), P("rays"), P("rays"), P()),
+        out_specs=P("rays"),
+        check_rep=False,
+    )
+    img = jax.jit(sharded)(px, py, pids, jnp.uint32(seed))
     return img[:R]
+
+
+def render_sppm_sharded_step(cs, desc, mesh: Mesh, n_iters: int = 1, seed: int = 0,
+                             n_photons: int | None = None):
+    """Sharded SPPM iterations: camera pass sharded over pixels, photon pass
+    sharded over photons against all-gathered visible points, phi/M psum.
+
+    Returns the progressive image ((H*W, 3) ndarray)."""
+    from ..device import sppm as dsppm
+    from ..device.lights import compute_power
+    from ..device.materials import make_bsdf
+
+    n_dev = math.prod(mesh.devices.shape)
+    sa = cs.arrays
+    static = cs.static
+    cam = make_camera(desc.camera, desc.film)
+    W = desc.film.x_resolution
+    H = desc.film.y_resolution
+    icfg = {"max_depth": max(int(desc.integrator.max_depth), 1)}
+    scfg = {"kind": "zerotwosequence", "spp": max(n_iters, 1)}
+    P_ph = int(n_photons if n_photons is not None else _round_up(W * H, n_dev))
+    P_ph = _round_up(P_ph, n_dev)
+
+    px, py, pids, R, Rp = _pixel_arrays(W, H, n_dev)
+    ray_sh = NamedSharding(mesh, P("rays"))
+    px_j = jax.device_put(jnp.asarray(px), ray_sh)
+    py_j = jax.device_put(jnp.asarray(py), ray_sh)
+    pids_j = jax.device_put(jnp.asarray(pids), ray_sh)
+
+    power = compute_power(sa, static)
+    cdf = jnp.cumsum(power)
+    cdf = cdf / jnp.maximum(cdf[-1], 1e-12)
+    _probe = make_bsdf(sa, static, jnp.zeros(1, jnp.int32), jnp.zeros((1, 2), F32), jnp.zeros((1, 3), F32))
+    vp_possible = _probe["possible"]
+
+    wc = np.asarray(sa.world_center)
+    wr = float(sa.world_radius)
+    grid_min = jnp.asarray(wc - wr, F32)
+
+    r0 = float(desc.integrator.initial_radius)
+    radius0 = jnp.full(Rp, r0, F32)
+
+    def one_iter(it, seed_l, px_l, py_l, pids_l, radius_l):
+        # --- camera pass on the local pixel slice ---
+        ld_l, vp_l = dsppm._camera_pass(sa, static, icfg, scfg, cam, seed_l, px_l, py_l, pids_l, it)
+        # --- gather ALL visible points to every device ---
+        vp = {k: jax.lax.all_gather(v, "rays", tiled=True) for k, v in vp_l.items()}
+        radius = jax.lax.all_gather(radius_l, "rays", tiled=True)
+        # --- grid + local photon shard ---
+        cell = jnp.maximum(2.0 * jnp.max(jnp.where(vp["valid"], radius, 0.0)), 1e-6)
+        inv_cell = 1.0 / cell
+        sc, sv = dsppm._build_grid(vp, radius, grid_min, inv_cell, Rp)
+        idx = jax.lax.axis_index("rays")
+        ph_seed = seed_l ^ (idx.astype(jnp.uint32) * jnp.uint32(0x9E3779B1))
+        phi, m_cnt, _ov = dsppm._photon_pass(
+            sa, static, icfg, ph_seed, it, P_ph // n_dev, cdf, vp, radius,
+            sc, sv, grid_min, inv_cell, Rp, vp_possible,
+        )
+        # --- reduce photon deposits across devices, keep local slice ---
+        phi = jax.lax.psum(phi, "rays")
+        m_cnt = jax.lax.psum(m_cnt, "rays")
+        n_loc = radius_l.shape[0]
+        start = idx * n_loc
+        phi_l = jax.lax.dynamic_slice(phi, (start, 0), (n_loc, 3))
+        m_l = jax.lax.dynamic_slice(m_cnt, (start,), (n_loc,))
+        return ld_l, vp_l, phi_l, m_l
+
+    def local_loop(px_l, py_l, pids_l, seed_l):
+        n_loc = px_l.shape[0]
+        radius_l = jnp.full(n_loc, r0, F32)
+        n_eff = jnp.zeros(n_loc, F32)
+        tau = jnp.zeros((n_loc, 3), F32)
+        ld = jnp.zeros((n_loc, 3), F32)
+        for it in range(n_iters):
+            ld_a, vp_l, phi_l, m_l = one_iter(jnp.uint32(it), seed_l + jnp.uint32(it * 9781), px_l, py_l, pids_l, radius_l)
+            ld = ld + jnp.where(jnp.isfinite(ld_a), ld_a, 0.0)
+            has = m_l > 0
+            n_new = n_eff + dsppm.GAMMA * m_l
+            r_new = jnp.where(has, radius_l * jnp.sqrt(n_new / jnp.maximum(n_eff + m_l, 1e-12)), radius_l)
+            tau = jnp.where(
+                has[:, None],
+                (tau + vp_l["beta"] * phi_l) * ((r_new * r_new) / jnp.maximum(radius_l * radius_l, 1e-20))[:, None],
+                tau,
+            )
+            radius_l = jnp.where(has, r_new, radius_l)
+            n_eff = jnp.where(has, n_new, n_eff)
+        np_total = float(max(n_iters, 1)) * P_ph
+        img_l = ld / max(n_iters, 1) + tau / (np_total * jnp.pi * jnp.maximum(radius_l * radius_l, 1e-20))[:, None]
+        return img_l
+
+    sharded = shard_map(
+        local_loop, mesh=mesh,
+        in_specs=(P("rays"), P("rays"), P("rays"), P()),
+        out_specs=P("rays"),
+        check_rep=False,
+    )
+    img = jax.jit(sharded)(px_j, py_j, pids_j, jnp.uint32(seed))
+    return np.asarray(img[:R])

@@ -135,6 +135,14 @@ def _one_sample_wave(sa, static, icfg, scfg, fcfg, cam, px_base, py_base, pixel_
         aux = scfg["halton"]
         u1, u2 = halton_film_jitter(aux, pixel_ids, sample_idx)
         ul1, ul2 = halton_dim_2d(aux, pixel_ids, sample_idx, 1)
+    elif kind == "sobol" and scfg.get("sobol") is not None:
+        # global Sobol sequence over the pow2-padded film
+        # (sobol.rs:61-75 interval-to-index enumeration)
+        from .device.sampler import sobol_dim_2d, sobol_film_jitter
+
+        aux = scfg["sobol"]
+        u1, u2 = sobol_film_jitter(aux, px_base, py_base, sample_idx)
+        ul1, ul2 = sobol_dim_2d(aux, px_base, py_base, sample_idx, 1)
     else:
         u1, u2 = sample_2d(kind, seed, pixel_ids, sample_idx, 0, spp)
         ul1, ul2 = sample_2d(kind, seed, pixel_ids, sample_idx, 1, spp)
@@ -206,6 +214,10 @@ def make_wave_fn(cs: CompiledScene, cam=None):
         from .device.sampler import halton_tables
 
         scfg["halton"] = halton_tables(desc.film.x_resolution, desc.film.y_resolution)
+    elif desc.sampler.kind == "sobol":
+        from .device.sampler import sobol_tables
+
+        scfg["sobol"] = sobol_tables(desc.film.x_resolution, desc.film.y_resolution, int(desc.sampler.pixel_samples))
     fcfg = {
         "filter": desc.film.filter_name,
         "filter_params": dict(desc.film.filter_params),

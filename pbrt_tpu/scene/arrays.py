@@ -154,6 +154,15 @@ class SceneArrays:
     # into tex_programs, or -1 ---
     prim_alpha_tex: jax.Array | None = None  # (P,) i32
     prim_shadow_alpha_tex: jax.Array | None = None  # (P,) i32
+    # --- kd-tree accelerator tables (scene/kdtree.py); None unless
+    # static.accel_kind == "kdtree" ---
+    kd_flags: jax.Array | None = None  # (N,) i32: 0-2 axis, 3 leaf
+    kd_split: jax.Array | None = None  # (N,) f32
+    kd_above: jax.Array | None = None  # (N,) i32 above-child / prim offset
+    kd_nprims: jax.Array | None = None  # (N,) i32
+    kd_prim_ids: jax.Array | None = None  # (M,) i32
+    kd_lo: jax.Array | None = None  # (3,)
+    kd_hi: jax.Array | None = None  # (3,)
     # --- wide BVH tables for the Pallas traversal (scene/widebvh.py);
     # None unless static.has_wide ---
     wnode_tab: jax.Array | None = None  # (ceil(Nw/8)*8, 128) f32
@@ -212,6 +221,8 @@ class SceneStatic:
     has_motion: bool = False  # any primitive carries shutter-close keyframes
     has_beckmann: bool = False  # any material selects the Beckmann distribution
     has_alpha: bool = False  # any prim carries an alpha/shadow-alpha cutout mask
+    accel_kind: str = "bvh"  # "bvh" | "kdtree" (Accelerator directive)
+    kd_max_leaf: int = 1  # longest kd leaf list (device scan bound)
     has_wide: bool = False  # wide-BVH tables built (Pallas traversal eligible)
     wide_root: int = 1  # wide-BVH root node id
 

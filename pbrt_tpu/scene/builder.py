@@ -665,12 +665,26 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
 
     fourier_dev = _stack_fourier_tables(fourier_tables)
 
+    # --- kd-tree accelerator (Accelerator "kdtree"; scene/kdtree.py) ------
+    accel_kind = str(getattr(desc, "accelerator", "bvh") or "bvh")
+    if accel_kind not in ("bvh", "kdtree"):
+        log.warning("unknown accelerator '%s'; using bvh", accel_kind)
+        accel_kind = "bvh"
+    kd = None
+    if accel_kind == "kdtree" and not use_brute and n_prims:
+        from .kdtree import build_kdtree
+
+        kd = build_kdtree(np.asarray(prim_lo), np.asarray(prim_hi))
+    elif accel_kind == "kdtree":
+        accel_kind = "bvh"  # tiny scenes use the brute-force path anyway
+
     # --- wide BVH for the Pallas traversal kernel (device/pallas_bvh.py) ---
     # eligible: triangle-only static scenes big enough that the BVH matters.
     has_wide = False
     wide = None
     if (
         n_prims > BRUTE_FORCE_MAX_PRIMS
+        and accel_kind == "bvh"
         and not any_motion
         and len(sph_o2w) == 0
         and bool(np.all(np.asarray(prim_kind) == GEOM_TRI))
@@ -734,6 +748,13 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         env_marg_cdf=env_marg,
         env_w2l=env_w2l,
         fourier=fourier_dev,
+        kd_flags=jnp.asarray(kd.flags) if kd is not None else None,
+        kd_split=jnp.asarray(kd.split) if kd is not None else None,
+        kd_above=jnp.asarray(kd.above) if kd is not None else None,
+        kd_nprims=jnp.asarray(kd.nprims) if kd is not None else None,
+        kd_prim_ids=jnp.asarray(kd.prim_ids) if kd is not None else None,
+        kd_lo=jnp.asarray(kd.bounds_lo.astype(np.float32)) if kd is not None else None,
+        kd_hi=jnp.asarray(kd.bounds_hi.astype(np.float32)) if kd is not None else None,
         prim_alpha_tex=jnp.asarray(np.asarray(prim_alpha, dtype=np.int32)),
         prim_shadow_alpha_tex=jnp.asarray(np.asarray(prim_shadow_alpha, dtype=np.int32)),
         wnode_tab=jnp.asarray(wide.node_tab) if has_wide else None,
@@ -768,6 +789,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         has_motion=any_motion,
         has_beckmann=bool(np.any((mat_remap & 2) != 0)),
         has_alpha=any(a >= 0 for a in prim_alpha) or any(a >= 0 for a in prim_shadow_alpha),
+        accel_kind=accel_kind if kd is not None else "bvh",
+        kd_max_leaf=int(kd.max_leaf) if kd is not None else 1,
         has_wide=has_wide,
         wide_root=wide.root if has_wide else 1,
     )
