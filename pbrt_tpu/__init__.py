@@ -13,4 +13,15 @@ Public entry points:
 
 __version__ = "0.1.0"
 
+# Geometry correctness requires true f32 matmuls: TPU MXU default precision
+# rounds einsum/dot inputs to bfloat16 (~0.4% relative error), which put
+# sphere hit points up to 1.5% off the surface (ring-shaped self-intersection
+# acne through the 1e-3 ray-offset epsilon) and truncated every one-hot-matmul
+# table gather (device/gather.py). Pallas kernels are unaffected (they set
+# their own precision); anything that deliberately wants bf16 must opt down
+# per-op with precision=jax.lax.Precision.DEFAULT.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 __all__ = ["render", "parser", "scene", "device", "core", "utils", "parallel"]
