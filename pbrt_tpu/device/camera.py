@@ -113,14 +113,7 @@ def make_camera(cfg: CameraConfig, film: FilmConfig):
     }
 
 
-def _apply44_point(m, p):
-    r = jnp.einsum("ij,...j->...i", m[:3, :3], p) + m[:3, 3]
-    w = jnp.einsum("j,...j->...", m[3, :3], p) + m[3, 3]
-    return r / w[..., None]
-
-
-def _apply44_vector(m, v):
-    return jnp.einsum("ij,...j->...i", m[:3, :3], v)
+from .affine import apply44_point as _apply44_point, xf_vector as _apply44_vector, xf_vector_t as _xf_vec_t, xf_vector as _xf_vec
 
 
 def _normalize(v):
@@ -222,10 +215,10 @@ def generate_rays(cam, p_film_x, p_film_y, u_lens1, u_lens2, time_frac=None):
 
     if cam.get("anim") is not None and time_frac is not None:
         m3, trans = _anim_c2w(cam["anim"], time_frac)
-        o_w = jnp.einsum("rij,rj->ri", m3, o_cam) + trans
-        d_w = _normalize(jnp.einsum("rij,rj->ri", m3, d_cam))
+        o_w = _xf_vec(m3, o_cam) + trans
+        d_w = _normalize(_xf_vec(m3, d_cam))
         return o_w, d_w
-    o_w = jnp.einsum("ij,...j->...i", c2w[:3, :3], o_cam) + c2w[:3, 3]
+    o_w = _xf_vec(c2w[:3, :3], o_cam) + c2w[:3, 3]
     d_w = _normalize(_apply44_vector(c2w, d_cam))
     return o_w, d_w
 
@@ -253,15 +246,13 @@ def camera_we(cam, p_from, w):
     c2w = cam["camera_to_world"]
     # world -> camera rotation transpose
     rot = c2w[:3, :3]
-    d_cam = jnp.einsum("ji,...j->...i", rot, w)
+    d_cam = _xf_vec_t(rot, w)
     cos_theta = d_cam[..., 2]
     valid = cos_theta > 1e-4
     # project the point along the ray to the z=1 plane, then to raster
     p_z1 = d_cam / jnp.maximum(cos_theta, 1e-6)[..., None]
     r2c_inv = jnp.asarray(np.linalg.inv(np.asarray(cam["raster_to_camera"])), jnp.float32)
-    pr = jnp.einsum("ij,...j->...i", r2c_inv[:3, :3], p_z1) + r2c_inv[:3, 3]
-    wq = jnp.einsum("j,...j->...", r2c_inv[3, :3], p_z1) + r2c_inv[3, 3]
-    pr = pr / wq[..., None]
+    pr = _apply44_point(r2c_inv, p_z1)
     W, H = cam["resolution"]
     inside = valid & (pr[..., 0] >= 0) & (pr[..., 0] < W) & (pr[..., 1] >= 0) & (pr[..., 1] < H)
     a = cam["screen_area"]
@@ -276,7 +267,7 @@ def camera_pdf_we(cam, w):
     1/(A cos^3 theta)."""
     c2w = cam["camera_to_world"]
     rot = c2w[:3, :3]
-    d_cam = jnp.einsum("ji,...j->...i", rot, w)
+    d_cam = _xf_vec_t(rot, w)
     cos_theta = jnp.maximum(d_cam[..., 2], 1e-6)
     a = cam["screen_area"]
     pdf_dir = 1.0 / (a * cos_theta ** 3)
@@ -297,7 +288,7 @@ def camera_sample_wi(cam, p_ref):
     # area -> delta); fold into the returned importance weight
     c2w = cam["camera_to_world"]
     rot = c2w[:3, :3]
-    d_cam = jnp.einsum("ji,...j->...i", rot, -wi)
+    d_cam = _xf_vec_t(rot, -wi)
     cos_theta = jnp.maximum(d_cam[..., 2], 1e-6)
     pdf = d2 / cos_theta
     return {"wi": wi, "dist": dist, "we": we, "px": px, "py": py, "valid": valid, "pdf": pdf}

@@ -117,13 +117,7 @@ def ray_triangle(o, d, p0, p1, p2, t_max):
 # ---------------------------------------------------------------------------
 
 
-def _xform_point(m, p):
-    """m: (..., 3, 4) affine, p: (..., 3)."""
-    return jnp.einsum("...ij,...j->...i", m[..., :3], p) + m[..., 3]
-
-
-def _xform_vector(m, v):
-    return jnp.einsum("...ij,...j->...i", m[..., :3], v)
+from .affine import xf_point as _xform_point, xf_vector as _xform_vector
 
 
 def ray_sphere(o, d, w2o, params, t_max):
@@ -604,11 +598,11 @@ def _pallas_route(static) -> bool:
     return True
 
 
-def _wide_closest(sa, static, o, d, t_max):
+def _wide_closest(sa, static, o, d, t_max, sort=False):
     from .pallas_bvh import wide_intersect
 
     interp = jax.default_backend() == "cpu"
-    t, slot, hitm = wide_intersect(sa, static, o, d, t_max, interpret=interp)
+    t, slot, hitm = wide_intersect(sa, static, o, d, t_max, interpret=interp, sort=sort)
     prim = jnp.where(hitm, sa.wslot_prim[jnp.maximum(slot, 0)], -1)
     # barycentrics for the single hit prim via the same watertight test
     rows = sa.prim_test_data[jnp.maximum(prim, 0)]
@@ -633,14 +627,8 @@ def _intersect_once(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None
         hit, _ = _traverse_kd(sa, static, o, d, t_max, any_hit=False, time=time)
         return hit
     if time is None and _pallas_route(static):
-        if sort_rays and static.n_prims >= SORT_MIN_PRIMS:
-            key = _ray_sort_key(sa, o, d, t_max)
-            perm = jnp.argsort(key)
-            tm = jnp.broadcast_to(jnp.asarray(t_max, F32), (o.shape[0],))[perm]
-            hit = _wide_closest(sa, static, o[perm], d[perm], tm)
-            inv = jnp.argsort(perm)
-            return {k: v[inv] for k, v in hit.items()}
-        return _wide_closest(sa, static, o, d, t_max)
+        sort = sort_rays and static.n_prims >= SORT_MIN_PRIMS
+        return _wide_closest(sa, static, o, d, t_max, sort=sort)
     if sort_rays and static.n_prims >= SORT_MIN_PRIMS:
         hit, _ = _sorted_traverse(sa, static, o, d, t_max, False, time)
         return hit
@@ -658,6 +646,15 @@ def _intersect_p_once(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=No
         return intersect_p_brute(sa, static, o, d, t_max, time)
     if static.accel_kind == "kdtree":
         _, hit_any = _traverse_kd(sa, static, o, d, t_max, any_hit=True, time=time)
+        return hit_any
+    if time is None and _pallas_route(static):
+        from .pallas_bvh import wide_intersect
+
+        interp = jax.default_backend() == "cpu"
+        sort = sort_rays and static.n_prims >= SORT_MIN_PRIMS
+        _t, _slot, hit_any = wide_intersect(
+            sa, static, o, d, t_max, any_hit=True, interpret=interp, sort=sort
+        )
         return hit_any
     if sort_rays and static.n_prims >= SORT_MIN_PRIMS:
         _, hit_any = _sorted_traverse(sa, static, o, d, t_max, True, time)

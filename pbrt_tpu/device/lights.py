@@ -24,6 +24,7 @@ from ..scene.arrays import (
     SceneStatic,
 )
 from .gather import gather_rows
+from .affine import xf_vector, xf_vector_t
 from .intersect import _xform_point
 
 F32 = jnp.float32
@@ -59,7 +60,7 @@ def uniform_sample_triangle(u1, u2):
 def _env_dir_to_uv(sa: SceneArrays, d):
     """World direction -> env map (u, v) in [0,1)^2."""
     if sa.env_w2l is not None:
-        dl = jnp.einsum("ij,...j->...i", sa.env_w2l[:, :3], d)
+        dl = xf_vector(sa.env_w2l[:3, :3], d)
     else:
         dl = d
     dl = _norm(dl)
@@ -115,7 +116,7 @@ def _env_sample(sa: SceneArrays, u1, u2):
     dl = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), jnp.cos(theta)], axis=-1)
     if sa.env_w2l is not None:
         # light-to-world = transpose of the rotation part of w2l
-        dw = jnp.einsum("ji,...j->...i", sa.env_w2l[:, :3], dl)
+        dw = xf_vector_t(sa.env_w2l[:3, :3], dl)
     else:
         dw = dl
     img = sa.env_image
@@ -168,7 +169,7 @@ def _image_light_scale(sa: SceneArrays, static: SceneStatic, lid, kind, w_from_l
             continue
         img = sa.light_images[key]
         w2l = sa.light_w2l[i]
-        wl = _norm(jnp.einsum("ij,rj->ri", w2l[:, :3], w_from_light))
+        wl = _norm(xf_vector(w2l[:3, :3], w_from_light))
         is_this = lid == i
         if static.light_kinds[i] == LIGHT_GONIO:
             # spherical (theta, phi) -> (u, v) (goniometric.rs scale())
@@ -230,7 +231,7 @@ def _sample_prim_point(sa: SceneArrays, prim_ids, u1, u2):
         d = uniform_sample_sphere(u1, u2)
         p_obj = d * radius[:, None]
         ps = _xform_point(o2w, p_obj)
-        ns = _norm(jnp.einsum("rji,rj->ri", w2o[:, :, :3], d))
+        ns = _norm(xf_vector_t(w2o[:, :, :3], d))
         ns = jnp.where(((flags & 1) != 0)[:, None], -ns, ns)
         p = jnp.where(is_tri[:, None], p, ps)
         n = jnp.where(is_tri[:, None], n, ns)

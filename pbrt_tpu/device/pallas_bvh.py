@@ -2,23 +2,36 @@
 
 The XLA packet traversal (intersect.py:_traverse) pays a ~60us floor per
 `while_loop` iteration (kernel-boundary overhead) and per-lane gather costs;
-at ~2000 lockstep iterations that capped closest-hit at ~0.5 Mray/s on an
-88k-triangle scene. Here the whole traversal runs INSIDE one Pallas kernel:
-per-packet traversal state in SMEM/registers, node/prim tables resident in
-VMEM (built by scene/widebvh.py), and every box/triangle test shaped
-(8, 128) = children-or-prims x rays, the native VPU tile. The grid iterates
-packets of 128 rays.
+here the whole traversal runs INSIDE one Pallas kernel: per-packet traversal
+state in SMEM, node/prim tables resident in VMEM (built by scene/widebvh.py),
+and every box/triangle test shaped (8, PACKET) — multiples of the native
+(8, 128) VPU tile.
 
-Per-visit cost engineering (Mosaic constraints in parentheses):
-- entities are selected from their 128-aligned (8, 128) block with a
-  traced-shift `pltpu.roll` + static 16-lane slice (dynamic lane offsets
-  must be 128-aligned, but roll shifts are unrestricted);
-- the stack holds one BITMASK entry per visited node (hit-children bits +
-  a direction bit); child metas live in a parallel VMEM stack written as an
-  (8, 1) column per push, so only ONE vector->scalar reduction happens per
-  visit (pop-time meta extract) instead of eight;
-- t_best / slot ride the while_loop carry (vector registers, no VMEM
-  round-trip per visit).
+Per-visit cost engineering (measured on v5e; Mosaic constraints in
+parentheses):
+- entities are selected from their 128-aligned (8, 128) block with an 8-way
+  static-slice `lax.switch` (dynamic lane offsets must be 128-aligned);
+- interior (8-child box test) and leaf (8-triangle watertight test) phases
+  are PREDICATED on the popped entry's type via `pl.when` — the type is
+  packet-uniform (one shared stack), so each iteration runs exactly one
+  phase instead of both;
+- vector->scalar transfers cost ~90ns each (the dominant per-visit cost),
+  so the kernel does exactly one per pop (the child-meta extract) plus one
+  per interior push (the hit-mask). Per-packet constants (direction
+  majorities) are hoisted; the visited node's split axis rides inside the
+  meta value (bits 21-22) instead of being re-read from vector memory;
+- best-hit state (t_best, slot) and the stack pointer live in VMEM/SMEM
+  scratch refs so the predicated phases update them in place; `sp` is also
+  mirrored through the while_loop carry for the loop condition;
+- each grid step processes GRID_G packets in an inner loop: a grid step
+  whose body is a data-dependent while_loop cannot be software-pipelined,
+  costing ~13us of fixed overhead — batching packets amortizes it.
+
+Ray coherence: packets share ONE stack, so a packet's cost is the union of
+its lanes' traversal paths. `wide_intersect(sort=True)` sorts rays by
+direction octant + origin Morton code before packetizing (one packed row
+gather each way; argsort itself is ~1ms per 500k rays) — measured 1.7x on
+incoherent bounce waves.
 
 Semantic reference: src/accelerators/bvh.rs:705-814 (stack traversal with
 dir-sign child ordering); triangle test = the watertight shear test of
@@ -38,7 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 F32 = jnp.float32
 I32 = jnp.int32
-PACKET = 512
+PACKET = 256
+GRID_G = 8  # packets per grid step
 STACK = 72  # >= wide-tree depth (~8 for 1M prims) x safety; slot STACK-1 is sacrificial
 EPS = 1e-4  # matches intersect.SHADOW_EPS
 
@@ -60,168 +74,208 @@ def _high_bit_index(m):
     return k4 + k2 + jnp.where((m2 & 0x2) != 0, 1, 0)
 
 
-def _traverse_kernel(nodes_ref, prims_ref, rays_ref, out_ref, stack_ref, vstack_ref,
+def _traverse_kernel(nodes_ref, prims_ref, rays_ref, out_ref,
+                     stack_ref, vstack_ref, sp_ref, best_ref,
                      *, root: int, any_hit: bool):
-    """One packet (128 rays) against the wide BVH.
+    """GRID_G packets (PACKET rays each) against the wide BVH.
 
-    rays_ref block: (1, 16, 128): rows 0-2 o, 3-5 d, 6-8 inv_d, 9 t_max,
-    10-12 per-packet majority sign of d (broadcast), 13 live mask.
-    out block (1, 8, 128): row 0 t_best, row 1 slot (f32, -1 = miss).
+    rays_ref block (GRID_G, 16, PACKET): rows 0-2 o, 3-5 d, 6-8 shear
+    consts, 9 t_max, 10-12 per-packet majority sign of d (broadcast),
+    13 live mask, 14/15 watertight permutation flags.
+    out block (GRID_G, 8, PACKET): row 0 t_best, row 1 slot (f32, -1=miss).
     stack_ref: (STACK,) SMEM i32 entries = hit-children mask | dir << 8.
     vstack_ref: (STACK*8, 128) VMEM f32; col 0 of group s = child metas of
-    the stack entry at slot s (meta > 0 interior id, < 0 -(octet+1)).
+    the stack entry at slot s (meta > 0 packed interior id | axis << 21,
+    < 0 -(octet+1)). sp_ref: (1,) SMEM stack pointer.
+    best_ref: (8, PACKET) VMEM scratch, row 0 = t_best, row 1 = slot.
     """
-    rr = rays_ref[0]
-    ox, oy, oz = rr[0:1, :], rr[1:2, :], rr[2:3, :]
-    dx, dy, dz = rr[3:4, :], rr[4:5, :], rr[5:6, :]
-    sx, sy, sz = rr[6:7, :], rr[7:8, :], rr[8:9, :]
-    t_max = rr[9:10, :]
-    live = rr[13:14, :] > 0
-    k0 = rr[14:15, :] > 0  # watertight permutation: max |d| axis == x
-    k1 = rr[15:16, :] > 0  # == y
-
-    def _inv(c):
-        return 1.0 / jnp.where(jnp.abs(c) < 1e-30, jnp.where(c < 0, -1e-30, 1e-30), c)
-
-    ix, iy, iz = _inv(dx), _inv(dy), _inv(dz)
-
     iota8 = jax.lax.broadcasted_iota(I32, (8, PACKET), 0)
     iota8c = jax.lax.broadcasted_iota(I32, (8, 1), 0)
     pw2 = (1 << iota8c).astype(F32)  # (8,1): 1,2,4,...
 
-    # seed: a one-child group holding the root
-    stack_ref[0] = 1  # mask = bit 0, dir = 0
-    vstack_ref[pl.ds(0, 8), 0:1] = jnp.where(iota8c == 0, jnp.float32(root), 0.0)
+    def _sel16(blk, j):
+        """Static-slice 16-lane group select via an 8-way scalar branch."""
+        return jax.lax.switch(j, tuple(
+            (lambda ss: (lambda: blk[:, ss * 16:(ss + 1) * 16]))(sl) for sl in range(8)
+        ))
 
-    def cond(state):
-        return state[0] > 0
+    def run_packet(g, _):
+        rr = rays_ref[g]
+        ox, oy, oz = rr[0:1, :], rr[1:2, :], rr[2:3, :]
+        dx, dy, dz = rr[3:4, :], rr[4:5, :], rr[5:6, :]
+        sx, sy, sz = rr[6:7, :], rr[7:8, :], rr[8:9, :]
+        t_max = rr[9:10, :]
+        live = rr[13:14, :] > 0
+        k0 = rr[14:15, :] > 0  # watertight permutation: max |d| axis == x
+        k1 = rr[15:16, :] > 0  # == y
 
-    def body(state):
-        sp, t_best, slot = state
-        top = stack_ref[sp - 1]
-        m = top & 255
-        dirb = top >> 8
-        k = jnp.where(dirb > 0, _high_bit_index(m), _low_bit_index(m))
-        m2 = m & (~(1 << k))
-        stack_ref[sp - 1] = m2 | (dirb << 8)
-        sp_pop = jnp.where(m2 == 0, sp - 1, sp)
+        def _inv(c):
+            return 1.0 / jnp.where(jnp.abs(c) < 1e-30, jnp.where(c < 0, -1e-30, 1e-30), c)
 
-        # extract this child's meta from the vstack group of the popped slot
-        mv = vstack_ref[pl.ds((sp - 1) * 8, 8), 0:1]  # (8,1)
-        e = jnp.sum(jnp.where(iota8c == k, mv, 0.0)).astype(I32)
-        is_int = e > 0
+        ix, iy, iz = _inv(dx), _inv(dy), _inv(dz)
 
-        # ---- interior: test 8 child boxes ----
-        nid = jnp.where(is_int, e, 1)
-        nblk = nodes_ref[pl.ds((nid // 8) * 8, 8), :]
-        nsub = pltpu.roll(nblk, -16 * (nid % 8), axis=1)[:, 0:16]
-        t0x = (nsub[:, 0:1] - ox) * ix
-        t1x = (nsub[:, 3:4] - ox) * ix
-        t0y = (nsub[:, 1:2] - oy) * iy
-        t1y = (nsub[:, 4:5] - oy) * iy
-        t0z = (nsub[:, 2:3] - oz) * iz
-        t1z = (nsub[:, 5:6] - oz) * iz
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)), jnp.minimum(t0z, t1z))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)), jnp.maximum(t0z, t1z)) * 1.0000004
-        bhit = (tn <= tf) & (tf > 0) & (tn < t_best)
-        # empty child slots (meta == 0) must never enter the mask: their NaN
-        # boxes compare false under IEEE, but TPU vmin/vmax may drop NaNs,
-        # so gate on the meta explicitly
-        meta_col = nsub[:, 6:7]
-        anyc = jnp.max(jnp.where(bhit, 1.0, 0.0), axis=1, keepdims=True) * jnp.where(meta_col != 0, 1.0, 0.0)
-        meta_hit = anyc * meta_col
-        mask_new = jnp.sum(anyc * pw2).astype(I32)
-
-        # direction bit: children ascend along `axis`; majority-negative d
-        # consumes highest-first (bvh.rs:705-760 dir-sign ordering)
-        axis_i = jnp.sum(nsub[0:1, 7:8]).astype(I32)
+        # per-packet majority sign of d per axis, hoisted to scalars once
         m0 = jnp.sum(rr[10:11, 0:1])
         m1 = jnp.sum(rr[11:12, 0:1])
         m2f = jnp.sum(rr[12:13, 0:1])
-        maj = jnp.where(axis_i == 0, m0, jnp.where(axis_i == 1, m1, m2f))
-        dir_new = jnp.where(maj > 0, 0, 1)
 
-        # branch-free push: non-pushes land in the sacrificial top slot
-        do_push = is_int & (mask_new != 0)
-        wslot = jnp.where(do_push, sp_pop, STACK - 1)
-        vstack_ref[pl.ds(wslot * 8, 8), 0:1] = meta_hit
-        stack_ref[wslot] = mask_new | (dir_new << 8)
-        sp_next = sp_pop + jnp.where(do_push, 1, 0)
+        # seed: a one-child group holding the (packed) root meta
+        stack_ref[0] = 1  # mask = bit 0, dir = 0
+        vstack_ref[pl.ds(0, 8), 0:1] = jnp.where(iota8c == 0, jnp.float32(root), 0.0)
+        sp_ref[0] = 1
+        best_ref[0:1, :] = t_max
+        best_ref[1:2, :] = jnp.full((1, PACKET), -1.0, F32)
 
-        # ---- leaf: watertight shear test (triangle.rs:136-399) ----
-        o_ = jnp.maximum(jnp.where(is_int, 0, -e - 1), 0)
-        pblk = prims_ref[pl.ds((o_ // 8) * 8, 8), :]
-        psub = pltpu.roll(pblk, -16 * (o_ % 8), axis=1)[:, 0:16]
-        valid = psub[:, 9:10] > 0
+        # sp is mirrored through the loop carry: a cond() that reads the
+        # SMEM ref directly never observes the predicated-phase updates in
+        # interpret mode (the carried value costs nothing compiled). The
+        # iteration cap is a safety valve only.
+        def cond(state):
+            it, sp = state
+            return (sp > 0) & (it < 1_000_000)
 
-        def _shear(j):
-            # translate vert j to ray origin, permute by kz, shear to +z
-            vx = psub[:, 3 * j:3 * j + 1] - ox
-            vy = psub[:, 3 * j + 1:3 * j + 2] - oy
-            vz = psub[:, 3 * j + 2:3 * j + 3] - oz
-            px = jnp.where(k0, vy, jnp.where(k1, vz, vx))
-            py = jnp.where(k0, vz, jnp.where(k1, vx, vy))
-            pz = jnp.where(k0, vx, jnp.where(k1, vy, vz))
-            return px + sx * pz, py + sy * pz, sz * pz
+        def body(state):
+            it, _sp_in = state
+            sp = sp_ref[0]
+            top = stack_ref[sp - 1]
+            m = top & 255
+            dirb = top >> 8
+            k = jnp.where(dirb > 0, _high_bit_index(m), _low_bit_index(m))
+            m2 = m & (~(1 << k))
+            stack_ref[sp - 1] = m2 | (dirb << 8)
+            sp_pop = jnp.where(m2 == 0, sp - 1, sp)
+            sp_ref[0] = sp_pop
 
-        x0, y0, z0 = _shear(0)
-        x1, y1, z1 = _shear(1)
-        x2, y2, z2 = _shear(2)
-        e0 = x1 * y2 - y1 * x2
-        e1_ = x2 * y0 - y2 * x0
-        e2_ = x0 * y1 - y0 * x1
-        same = ((e0 >= 0) & (e1_ >= 0) & (e2_ >= 0)) | ((e0 <= 0) & (e1_ <= 0) & (e2_ <= 0))
-        det = e0 + e1_ + e2_
-        dok = det != 0
-        inv = 1.0 / jnp.where(dok, det, 1.0)
-        t = (e0 * z0 + e1_ * z1 + e2_ * z2) * inv
-        phit = valid & same & dok & (t > EPS) & (t < t_best)
-        tc = jnp.where(phit, t, jnp.float32(1e30))
-        tmin = jnp.min(tc, axis=0, keepdims=True)  # (1, 128)
-        improved = (~is_int) & (tmin < t_best)
-        slotf = (o_ * 8 + iota8).astype(F32)
-        snew = jnp.max(jnp.where(tc == tmin, slotf, -1.0), axis=0, keepdims=True)
-        t_best = jnp.where(improved, tmin, t_best)
-        slot = jnp.where(improved, snew, slot)
+            # this child's meta, from the vstack group of the popped slot
+            mv = vstack_ref[pl.ds((sp - 1) * 8, 8), 0:1]  # (8,1)
+            e = jnp.sum(jnp.where(iota8c == k, mv, 0.0)).astype(I32)
+            is_int = e > 0
 
-        if any_hit:
-            # stop once every live lane has an occluder
-            missing = jnp.max(jnp.where(live & (slot < 0), 1.0, 0.0))
-            sp_next = jnp.where(missing > 0, sp_next, 0)
-        return sp_next, t_best, slot
+            @pl.when(is_int)
+            def _interior():
+                nid = e & 0x1FFFFF  # low 21 bits; axis rides in bits 21-22
+                axis_i = e >> 21
+                t_best = best_ref[0:1, :]
+                nblk = nodes_ref[pl.ds((nid // 8) * 8, 8), :]
+                nsub = _sel16(nblk, nid % 8)
+                t0x = (nsub[:, 0:1] - ox) * ix
+                t1x = (nsub[:, 3:4] - ox) * ix
+                t0y = (nsub[:, 1:2] - oy) * iy
+                t1y = (nsub[:, 4:5] - oy) * iy
+                t0z = (nsub[:, 2:3] - oz) * iz
+                t1z = (nsub[:, 5:6] - oz) * iz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                                 jnp.minimum(t0z, t1z))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                                 jnp.maximum(t0z, t1z)) * 1.0000004
+                bhit = (tn <= tf) & (tf > 0) & (tn < t_best)
+                # empty child slots (meta == 0) must never enter the mask:
+                # their NaN boxes compare false under IEEE, but TPU vmin/vmax
+                # may drop NaNs, so gate on the meta explicitly
+                meta_col = nsub[:, 6:7]
+                anyc = jnp.max(jnp.where(bhit, 1.0, 0.0), axis=1, keepdims=True) * \
+                    jnp.where(meta_col != 0, 1.0, 0.0)
+                meta_hit = anyc * meta_col
+                mask_new = jnp.sum(anyc * pw2).astype(I32)
 
-    init = (jnp.int32(1), t_max, jnp.full((1, PACKET), -1.0, F32))
-    _, t_best, slot = jax.lax.while_loop(cond, body, init)
-    out_ref[0, 0:1, :] = t_best
-    out_ref[0, 1:2, :] = slot
+                # direction bit: children ascend along `axis`;
+                # majority-negative d consumes highest-first
+                # (bvh.rs:705-760 dir-sign ordering)
+                maj = jnp.where(axis_i == 0, m0, jnp.where(axis_i == 1, m1, m2f))
+                dir_new = jnp.where(maj > 0, 0, 1)
+
+                # branch-free push: non-pushes land in the sacrificial slot
+                do_push = mask_new != 0
+                wslot = jnp.where(do_push, sp_pop, STACK - 1)
+                vstack_ref[pl.ds(wslot * 8, 8), 0:1] = meta_hit
+                stack_ref[wslot] = mask_new | (dir_new << 8)
+                sp_ref[0] = sp_pop + jnp.where(do_push, 1, 0)
+
+            @pl.when(jnp.logical_not(is_int))
+            def _leaf():
+                t_best = best_ref[0:1, :]
+                slot = best_ref[1:2, :]
+                o_ = jnp.maximum(-e - 1, 0)
+                pblk = prims_ref[pl.ds((o_ // 8) * 8, 8), :]
+                psub = _sel16(pblk, o_ % 8)
+                valid = psub[:, 9:10] > 0
+
+                def _shear(j):
+                    # translate vert j to ray origin, permute by kz, shear
+                    vx = psub[:, 3 * j:3 * j + 1] - ox
+                    vy = psub[:, 3 * j + 1:3 * j + 2] - oy
+                    vz = psub[:, 3 * j + 2:3 * j + 3] - oz
+                    px = jnp.where(k0, vy, jnp.where(k1, vz, vx))
+                    py = jnp.where(k0, vz, jnp.where(k1, vx, vy))
+                    pz = jnp.where(k0, vx, jnp.where(k1, vy, vz))
+                    return px + sx * pz, py + sy * pz, sz * pz
+
+                x0, y0, z0 = _shear(0)
+                x1, y1, z1 = _shear(1)
+                x2, y2, z2 = _shear(2)
+                e0 = x1 * y2 - y1 * x2
+                e1_ = x2 * y0 - y2 * x0
+                e2_ = x0 * y1 - y0 * x1
+                same = ((e0 >= 0) & (e1_ >= 0) & (e2_ >= 0)) | \
+                    ((e0 <= 0) & (e1_ <= 0) & (e2_ <= 0))
+                det = e0 + e1_ + e2_
+                dok = det != 0
+                inv = 1.0 / jnp.where(dok, det, 1.0)
+                t = (e0 * z0 + e1_ * z1 + e2_ * z2) * inv
+                phit = valid & same & dok & (t > EPS) & (t < t_best)
+                tc = jnp.where(phit, t, jnp.float32(1e30))
+                tmin = jnp.min(tc, axis=0, keepdims=True)  # (1, PACKET)
+                improved = tmin < t_best
+                slotf = (o_ * 8 + iota8).astype(F32)
+                snew = jnp.max(jnp.where(tc == tmin, slotf, -1.0), axis=0, keepdims=True)
+                best_ref[0:1, :] = jnp.where(improved, tmin, t_best)
+                best_ref[1:2, :] = jnp.where(improved, snew, slot)
+
+                if any_hit:
+                    # stop once every live lane has an occluder
+                    missing = jnp.max(jnp.where(live & (best_ref[1:2, :] < 0), 1.0, 0.0))
+                    sp_ref[0] = jnp.where(missing > 0, sp_ref[0], 0)
+
+            return it + 1, sp_ref[0]
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
+        out_ref[g, 0:1, :] = best_ref[0:1, :]
+        out_ref[g, 1:2, :] = best_ref[1:2, :]
+        return 0
+
+    jax.lax.fori_loop(0, GRID_G, run_packet, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("root", "any_hit", "interpret"))
 def _run(nodes, prims, rays, root, any_hit, interpret):
     B = rays.shape[0]
+    assert B % GRID_G == 0
     kernel = functools.partial(_traverse_kernel, root=root, any_hit=any_hit)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, 8, PACKET), F32),
-        grid=(B,),
+        grid=(B // GRID_G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16, PACKET), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GRID_G, 16, PACKET), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, PACKET), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((GRID_G, 8, PACKET), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((STACK,), jnp.int32),
             pltpu.VMEM((STACK * 8, 128), F32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((8, PACKET), F32),
         ],
         interpret=interpret,
     )(nodes, prims, rays)
 
 
 def pack_rays(o, d, t_max, live=None):
-    """(R, 3) rays -> (B, 16, 128) packet blocks (R padded to 128B)."""
+    """(R, 3) rays -> (B, 16, PACKET) packet blocks (R padded to PACKET)."""
     R = o.shape[0]
     B = (R + PACKET - 1) // PACKET
+    B = ((B + GRID_G - 1) // GRID_G) * GRID_G  # whole grid steps
     pad = B * PACKET - R
 
     def padto(x, fill):
@@ -268,17 +322,74 @@ def pack_rays(o, d, t_max, live=None):
     return blocks, R, B
 
 
-def wide_intersect(sa, static, o, d, t_max, any_hit=False, interpret=False):
+def _morton10(q):
+    """Interleave 10-bit ints (R, 3) -> 30-bit Morton codes (vector u32)."""
+    def spread(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+
+
+def coherence_keys(o, d, world_lo, world_inv_extent):
+    """Sort keys grouping rays by direction octant, origin locality, then
+    direction locality.
+
+    Layout (high to low): bit 31 reserved for the dead flag, bits 30..28
+    direction octant, bits 27..12 origin Morton code (16 bits, ~5/axis),
+    bits 11..0 direction Morton code (12 bits, 4/axis). The direction bits
+    matter when origins coincide — camera rays all share the pinhole, so
+    without them a stable argsort leaves packets as 1xPACKET raster strips
+    instead of square pixel blocks (3-5x worse traversal unions)."""
+    oc = ((d[:, 0] > 0).astype(jnp.uint32) * 4 +
+          (d[:, 1] > 0).astype(jnp.uint32) * 2 +
+          (d[:, 2] > 0).astype(jnp.uint32))
+    q = jnp.clip(((o - world_lo) * world_inv_extent * 1024.0), 0.0, 1023.0).astype(jnp.uint32)
+    qd = jnp.clip((jnp.abs(d) * 15.999), 0.0, 15.0).astype(jnp.uint32)
+    dm = _morton10(qd)  # 12 useful bits for 4-bit axes
+    return (oc << 28) | ((_morton10(q) >> 14) << 12) | (dm & 0xFFF)
+
+
+def wide_intersect(sa, static, o, d, t_max, any_hit=False, interpret=False, sort=True):
     """Closest-hit (or any-hit) against the wide BVH tables.
 
     Returns (t (R,), slot (R,) i32, hit (R,)) — slot indexes
-    ``sa.wslot_prim``."""
+    ``sa.wslot_prim``. ``sort=True`` permutes rays into direction-octant +
+    origin-Morton order before packetizing — packets share one traversal
+    stack, so coherence directly sets throughput.
+    """
+    t_arr = jnp.broadcast_to(jnp.asarray(t_max, F32), (o.shape[0],))
+    perm = None
+    if sort and o.shape[0] >= 2 * PACKET:
+        lo = sa.world_center - sa.world_radius
+        inv_ext = 1.0 / jnp.maximum(2.0 * sa.world_radius, 1e-20)
+        keys = coherence_keys(o, d, lo, inv_ext)
+        # dead lanes (t_max <= 0) sort to the back so whole packets retire
+        keys = jnp.where(t_arr > 0, keys, jnp.uint32(0xFFFFFFFF))
+        perm = jnp.argsort(keys)
+        # permute o/d/t with ONE row gather of a packed (R, 8) matrix:
+        # gathers cost per-row, so seven separate (R,) gathers are ~7x the
+        # traffic of one packed one (measured ~80 Mrows/s either way)
+        packed = jnp.concatenate([o, d, t_arr[:, None], jnp.zeros_like(t_arr)[:, None]], axis=1)
+        packed = packed[perm]
+        o = packed[:, 0:3]
+        d = packed[:, 3:6]
+        t_arr = packed[:, 6]
     live = None
     if any_hit:
-        live = jnp.where(jnp.asarray(t_max) > 0, 1.0, 0.0)
-    blocks, R, B = pack_rays(o, d, t_max, live)
+        live = jnp.where(t_arr > 0, 1.0, 0.0)
+    blocks, R, B = pack_rays(o, d, t_arr, live)
     out = _run(sa.wnode_tab, sa.wprim_tab, blocks, static.wide_root, any_hit, interpret)
     t = out[:, 0, :].reshape(-1)[:R]
-    slot = out[:, 1, :].reshape(-1)[:R].astype(jnp.int32)
+    slot = out[:, 1, :].reshape(-1)[:R]
+    if perm is not None:
+        inv = jnp.argsort(perm)
+        res = jnp.stack([t, slot], axis=1)[inv]
+        t = res[:, 0]
+        slot = res[:, 1]
+    slot = slot.astype(jnp.int32)
     hit = slot >= 0
     return jnp.where(hit, t, jnp.float32(jnp.inf)), slot, hit

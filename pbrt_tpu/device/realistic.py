@@ -325,8 +325,9 @@ def realistic_generate_rays(cam, rcam, p_film_x, p_film_y, u1, u2):
     d_cam = jnp.stack([d[:, 0], d[:, 1], -d[:, 2]], axis=-1)
     d_cam = jnp.where(ok[:, None], d_cam, jnp.asarray([0.0, 0.0, 1.0], F32))
     o_cam = jnp.stack([o[:, 0], o[:, 1], -o[:, 2]], axis=-1)
-    o_w = jnp.einsum("ij,rj->ri", c2w[:3, :3], o_cam) + c2w[:3, 3]
-    d_w = jnp.einsum("ij,rj->ri", c2w[:3, :3], d_cam)
+    from .affine import xf_vector
+    o_w = xf_vector(c2w[:3, :3], o_cam) + c2w[:3, 3]
+    d_w = xf_vector(c2w[:3, :3], d_cam)
     d_w = d_w / jnp.maximum(jnp.linalg.norm(d_w, axis=-1, keepdims=True), 1e-30)
     weight = jnp.where(ok, cos0 ** 4, 0.0)
     return o_w, d_w, weight

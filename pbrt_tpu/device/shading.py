@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 from ..scene.arrays import GEOM_TRI, SceneArrays
 from .gather import gather_rows
+from .affine import xf_vector, xf_vector_t
 from .intersect import _xform_point
 
 F32 = jnp.float32
@@ -111,7 +112,7 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
         p_obj = p_obj * (radius / jnp.maximum(jnp.linalg.norm(p_obj, axis=-1), 1e-30))[:, None]
         # normal transform: (w2o)^T on object normal
         n_obj = p_obj / radius[:, None]
-        ng_s = _normalize(jnp.einsum("rji,rj->ri", w2o[:, :, :3], n_obj))
+        ng_s = _normalize(xf_vector_t(w2o[:, :, :3], n_obj))
         flip = (flags & FLAG_FLIP_GEOM_N) != 0
         ng_s = jnp.where(flip[:, None], -ng_s, ng_s)
         # spherical uv (sphere.rs)
@@ -132,8 +133,8 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
         dpdv_o = jnp.stack(
             [p_obj[:, 2] * p_obj[:, 0] / zr, p_obj[:, 2] * p_obj[:, 1] / zr, -radius * jnp.sin(theta)], axis=-1
         ) * dtheta[:, None]
-        dpdu_s = jnp.einsum("rij,rj->ri", o2w[:, :, :3], dpdu_o)
-        dpdv_s = jnp.einsum("rij,rj->ri", o2w[:, :, :3], dpdv_o)
+        dpdu_s = xf_vector(o2w[:, :, :3], dpdu_o)
+        dpdv_s = xf_vector(o2w[:, :, :3], dpdv_o)
         ng = jnp.where(is_tri[:, None], ng, ng_s)
         ns = jnp.where(is_tri[:, None], ns, ng_s)
         uv = jnp.where(is_tri[:, None], uv, uv_s)

@@ -147,8 +147,8 @@ def _mapping_uv(prog: TexProgram, par, uv, p):
     if prog.mapping == "planar":
         v1 = par[4:7]
         v2 = par[7:10]
-        s = par[2] + jnp.einsum("ri,i->r", p, v1)
-        t = par[3] + jnp.einsum("ri,i->r", p, v2)
+        s = par[2] + p[:, 0] * v1[0] + p[:, 1] * v1[1] + p[:, 2] * v1[2]
+        t = par[3] + p[:, 0] * v2[0] + p[:, 1] * v2[1] + p[:, 2] * v2[2]
         return s, t
     if prog.mapping == "spherical":
         d = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-30)

