@@ -24,4 +24,18 @@ import jax as _jax
 
 _jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent compilation cache: the unrolled bounce pipelines compile in
+# minutes on TPU; caching them across processes makes reruns start in
+# seconds. Harmless on CPU test runs.
+import os as _os
+
+_cache_dir = _os.environ.get("PBRT_TPU_COMPILE_CACHE",
+                             _os.path.expanduser("~/.cache/pbrt_tpu_xla"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
 __all__ = ["render", "parser", "scene", "device", "core", "utils", "parallel"]

@@ -43,6 +43,8 @@ LOBE_DISNEY_DIFF = 10  # Burley diffuse + sheen (disney.rs DisneyDiffuse/Sheen)
 LOBE_CLEARCOAT = 11  # GTR1 clearcoat (disney.rs DisneyClearcoat)
 LOBE_FOURIER = 12  # tabulated measured BSDF (reflection.rs FourierBSDF); table id in data[12]
 LOBE_HAIR = 13  # Marschner fiber model (materials/hair.rs); see device/hair.py for slots
+LOBE_SSS_ADAPTER = 14  # BSSRDF exit-point lobe: f = Sw(wi) * eta^2
+                       # (bssrdf.rs SeparableBSSRDFAdapter), cosine-sampled
 
 SPECULAR_KINDS = frozenset({LOBE_SPEC_R, LOBE_SPEC_T, LOBE_FRESNEL_SPEC})
 TRANS_KINDS = frozenset({LOBE_LAMBERT_T, LOBE_MICRO_T, LOBE_SPEC_T})
@@ -353,6 +355,16 @@ def _lobe_f(kind, data, wo, wi, possible: frozenset, fourier_ft=None, beck=False
         m = (kind == LOBE_LAMBERT_R) | (kind == LOBE_LAMBERT_T)
         out = jnp.where(m[:, None], f_lam, out)
 
+    if LOBE_SSS_ADAPTER in possible:
+        # directional BSSRDF term at the exit point, times eta^2 for the
+        # radiance transport mode (bssrdf.rs:593-600)
+        from .bssrdf import sw_factor
+
+        eta_a = jnp.maximum(data[..., 3], 1.0 + 1e-6)
+        f_sw = sw_factor(eta_a, cos_theta(wi)) * eta_a * eta_a
+        out = jnp.where(((kind == LOBE_SSS_ADAPTER) & refl_hemi)[:, None],
+                        f_sw[..., None] * jnp.ones((1, 3), F32), out)
+
     if LOBE_OREN_NAYAR in possible:
         si = jnp.sqrt(jnp.maximum(1.0 - wi[..., 2] ** 2, 0.0))
         so = jnp.sqrt(jnp.maximum(1.0 - wo[..., 2] ** 2, 0.0))
@@ -481,8 +493,8 @@ def _lobe_pdf(kind, data, wo, wi, possible: frozenset, fourier_ft=None, beck=Fal
     pdf = jnp.zeros(wo.shape[0], F32)
     cos_pdf = abs_ci * INV_PI
 
-    if possible & (_DIFFUSE_LIKE | {LOBE_DISNEY_DIFF}):
-        diff_like = (kind == LOBE_LAMBERT_R) | (kind == LOBE_OREN_NAYAR) | (kind == LOBE_DISNEY_DIFF)
+    if possible & (_DIFFUSE_LIKE | {LOBE_DISNEY_DIFF, LOBE_SSS_ADAPTER}):
+        diff_like = (kind == LOBE_LAMBERT_R) | (kind == LOBE_OREN_NAYAR) | (kind == LOBE_DISNEY_DIFF) | (kind == LOBE_SSS_ADAPTER)
         pdf = jnp.where(diff_like & refl_hemi, cos_pdf, pdf)
         pdf = jnp.where((kind == LOBE_LAMBERT_T) & ~refl_hemi, cos_pdf, pdf)
 
@@ -622,11 +634,11 @@ def bsdf_sample(lobes, wo, u_lobe, u1, u2):
     valid = n_act > 0
     specular = _is_specular(k)
 
-    needs_cos = union & {LOBE_LAMBERT_R, LOBE_OREN_NAYAR, LOBE_LAMBERT_T, LOBE_DISNEY_DIFF}
+    needs_cos = union & {LOBE_LAMBERT_R, LOBE_OREN_NAYAR, LOBE_LAMBERT_T, LOBE_DISNEY_DIFF, LOBE_SSS_ADAPTER}
     if needs_cos:
         wi_cos = cosine_sample_hemisphere(u1, u2)
         wi_diff_r = jnp.where(entering[:, None], wi_cos, wi_cos * flip_z)
-        m = (k == LOBE_LAMBERT_R) | (k == LOBE_OREN_NAYAR) | (k == LOBE_DISNEY_DIFF)
+        m = (k == LOBE_LAMBERT_R) | (k == LOBE_OREN_NAYAR) | (k == LOBE_DISNEY_DIFF) | (k == LOBE_SSS_ADAPTER)
         wi = jnp.where(m[:, None], wi_diff_r, wi)
         if LOBE_LAMBERT_T in union:
             wi_diff_t = jnp.where(entering[:, None], wi_cos * flip_z, wi_cos)

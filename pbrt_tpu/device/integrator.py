@@ -304,6 +304,129 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         contrib = f_val * ls["li"] * vis * (w_l / jnp.maximum(p_l, 1e-30))[:, None]
         return jnp.where(contributes[:, None], contrib, 0.0)
 
+    def _sss_event(mask, si, L, new_o, new_d, new_beta, new_alive, new_spec,
+                   new_pdf, new_prev_p, medium_v, b, dim_base):
+        """Tabulated-BSSRDF exit event (bssrdf.rs sample_s/sample_sp).
+
+        For rays that just crossed a subsurface interface via specular
+        transmission: importance-sample an exit point on the same material
+        with the beam-diffusion profile (probe-ray chain of K segments),
+        weight by Sp/pdf_sp, run NEE at the exit with the Sw adapter lobe,
+        then continue with a cosine-sampled direction. Consumes the same
+        path-depth step as the interface bounce (path.rs:177-204)."""
+        from .bsdf import LOBE_SSS_ADAPTER, cosine_sample_hemisphere
+        from .bssrdf import pdf_sp, sample_radial_cdf, sr_eval, sw_factor
+
+        mat = jnp.maximum(si["mat"], 0)
+        sigt3 = gather_rows(sa.sss_sigma_t, mat)
+        prof3 = gather_rows(sa.sss_prof, mat)
+        cdf3 = gather_rows(sa.sss_cdf, mat)
+        rhoeff3 = gather_rows(sa.sss_rhoeff, mat)
+        eta_m = gather_rows(sa.sss_eta, mat)
+        radius = sa.sss_radius
+        ssv, tsv, nsv = si["ss"], si["ts"], si["ns"]
+
+        # axis + channel + chain-select from one dimension (bssrdf.rs:339-350)
+        u_ax = sample_1d(kind_s, seed, pixel, sample_idx, dim_base + 8, spp)
+        u_r, u_phi = sample_2d(kind_s, seed, pixel, sample_idx, dim_base + 9, spp)
+        use0 = u_ax < 0.5
+        use1 = (~use0) & (u_ax < 0.75)
+        vx = jnp.where(use0[:, None], ssv, jnp.where(use1[:, None], tsv, nsv))
+        vy = jnp.where(use0[:, None], tsv, jnp.where(use1[:, None], nsv, ssv))
+        vz = jnp.where(use0[:, None], nsv, jnp.where(use1[:, None], ssv, tsv))
+        u1n = jnp.where(use0, u_ax * 2.0, jnp.where(use1, (u_ax - 0.5) * 4.0, (u_ax - 0.75) * 4.0))
+        ch = jnp.clip((u1n * 3.0).astype(jnp.int32), 0, 2)
+        u1n = u1n * 3.0 - ch.astype(F32)
+        sel3 = (jnp.arange(3, dtype=jnp.int32)[None, :] == ch[:, None]).astype(F32)
+        prof_ch = jnp.sum(prof3 * sel3[:, :, None], axis=1)
+        cdf_ch = jnp.sum(cdf3 * sel3[:, :, None], axis=1)
+        rhoeff_ch = jnp.sum(rhoeff3 * sel3, axis=1)
+        sigt_ch = jnp.sum(sigt3 * sel3, axis=1)
+
+        r_opt = sample_radial_cdf(radius, prof_ch, cdf_ch, rhoeff_ch, u_r)
+        r_w = r_opt / jnp.maximum(sigt_ch, 1e-9)
+        rmax_w = sample_radial_cdf(radius, prof_ch, cdf_ch, rhoeff_ch,
+                                   jnp.full(R, 0.999, F32)) / jnp.maximum(sigt_ch, 1e-9)
+        ok_r = mask & (sigt_ch > 0) & (r_w < rmax_w)
+        l_probe = 2.0 * jnp.sqrt(jnp.maximum(rmax_w * rmax_w - r_w * r_w, 0.0))
+        phi = 2.0 * jnp.pi * u_phi
+        p0 = si["p"] + r_w[:, None] * (jnp.cos(phi)[:, None] * vx + jnp.sin(phi)[:, None] * vy) \
+            - (0.5 * l_probe)[:, None] * vz
+
+        # probe chain: K sequential segments collecting same-material hits
+        K_PROBE = 4
+        base = p0
+        t_rem = jnp.where(ok_r, l_probe, -1.0)
+        recs = []
+        for _k in range(K_PROBE):
+            hk = intersect(sa, static, base, vz, t_rem, sort_rays=True)
+            hv = hk["prim"] >= 0
+            hmat = gather_rows(sa.prim_mat, jnp.maximum(hk["prim"], 0))
+            match = hv & (hmat == si["mat"])
+            recs.append((match, hk, base))
+            step = jnp.where(hv, hk["t"] + RAY_EPS, 0.0)
+            base = base + vz * step[:, None]
+            t_rem = jnp.where(hv, t_rem - step, -1.0)
+        nfound = sum(m.astype(jnp.int32) for m, _h, _b in recs)
+        found = nfound > 0
+        sel_idx = jnp.clip((u1n * nfound.astype(F32)).astype(jnp.int32), 0,
+                           jnp.maximum(nfound - 1, 0))
+        # pick the sel_idx-th matching record (static K, where-chains)
+        run = jnp.zeros(R, jnp.int32)
+        hit_sel = {"t": jnp.zeros(R, F32), "prim": jnp.full(R, -1, jnp.int32),
+                   "b1": jnp.zeros(R, F32), "b2": jnp.zeros(R, F32)}
+        o_sel = p0
+        for m, hk, bs_ in recs:
+            take = m & (run == sel_idx)
+            hit_sel = {kk: jnp.where(take, hk[kk], hit_sel[kk]) for kk in hit_sel}
+            o_sel = jnp.where(take[:, None], bs_, o_sel)
+            run = run + m.astype(jnp.int32)
+        si2 = surface_interaction(sa, hit_sel, o_sel, vz)
+        si2["duvdx"] = jnp.zeros((R, 2), F32)
+        si2["duvdy"] = jnp.zeros((R, 2), F32)
+
+        act = ok_r & found
+        d_vec = si["p"] - si2["p"]
+        dist = jnp.linalg.norm(d_vec, axis=-1)
+        pdf_v = pdf_sp(radius, prof3, rhoeff3, sigt3, d_vec, si2["ng"], ssv, tsv, nsv)
+        pdf_v = pdf_v / jnp.maximum(nfound.astype(F32), 1.0)
+        sp = sr_eval(radius, prof3, sigt3, dist)
+        w_sp = sp / jnp.maximum(pdf_v, 1e-12)[:, None]
+        beta2 = new_beta * jnp.where(act[:, None], w_sp, 1.0)
+        act = act & jnp.any(beta2 > 0, axis=-1)
+
+        # NEE at the exit point with the Sw adapter lobe (wo = +ns,
+        # bssrdf.rs sample_s tail)
+        adapter = {
+            "kind": jnp.where(act, LOBE_SSS_ADAPTER, 0)[:, None],
+            "data": jnp.concatenate(
+                [jnp.zeros((R, 3), F32), eta_m[:, None], jnp.zeros((R, 10), F32)], axis=1
+            )[:, None, :],
+            "possible": (frozenset({LOBE_SSS_ADAPTER}),),
+        }
+        si2_nee = dict(si2)
+        si2_nee["wo"] = si2["ns"]
+        L = L + beta2 * _nee_at(si2_nee, adapter, act, medium_v, b, dim_base, dim_salt=7)
+
+        # continuation: cosine hemisphere about the exit shading normal
+        u1d, u2d = sample_2d(kind_s, seed, pixel, sample_idx, dim_base + 10, spp)
+        wi_loc = cosine_sample_hemisphere(u1d, u2d)
+        wi2 = (wi_loc[:, 0:1] * si2["ss"] + wi_loc[:, 1:2] * si2["ts"]
+               + wi_loc[:, 2:3] * si2["ns"])
+        cos_z = jnp.maximum(wi_loc[:, 2], 1e-6)
+        pdf_dir = cos_z * (1.0 / jnp.pi)
+        f_sw = sw_factor(eta_m, cos_z) * eta_m * eta_m
+        beta2 = beta2 * (f_sw * jnp.pi)[:, None]  # f * cos / (cos/pi)
+
+        new_o = jnp.where(act[:, None], _offset_ray(si2["p"], si2["ng"], wi2), new_o)
+        new_d = jnp.where(act[:, None], wi2, new_d)
+        new_beta = jnp.where(act[:, None], beta2, new_beta)
+        new_alive = jnp.where(mask, act & jnp.any(beta2 > 0, axis=-1), new_alive)
+        new_spec = jnp.where(mask, False, new_spec)
+        new_pdf = jnp.where(act, pdf_dir, new_pdf)
+        new_prev_p = jnp.where(act[:, None], si2["p"], new_prev_p)
+        return L, new_o, new_d, new_beta, new_alive, new_spec, new_pdf, new_prev_p
+
     def bounce_body(b, state):
         state, si, hit, in_scatter, med_vertex = pickup(state, b)
         (o, d, L, beta, alive, prev_specular, prev_pdf, prev_p, eta_scale,
@@ -372,6 +495,21 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         for _mid in static.sss_media:
             scatter_counts = scatter_counts & (medium != _mid)
         new_bounces = bounces + (surf_cont | scatter_counts)
+
+        # --- tabulated BSSRDF: teleport to a sampled exit point on the
+        # same material after a specular transmission through a subsurface
+        # interface (path.rs:177-204 BSSRDF hook) ---
+        if static.has_tab_sss and ikind in ("path", "volpath"):
+            from ..scene.arrays import MAT_KDSUBSURFACE, MAT_SUBSURFACE
+
+            mk_sss = gather_rows(sa.mat_kind, jnp.maximum(si["mat"], 0))
+            is_sss_mat = (mk_sss == MAT_SUBSURFACE) | (mk_sss == MAT_KDSUBSURFACE)
+            crossed = _dot(wi_w, si["ng"]) * _dot(si["wo"], si["ng"]) < 0
+            do_sss = surf_cont & is_sss_mat & bs["specular"] & crossed
+            (L, new_o, new_d, new_beta, new_alive, new_spec, new_pdf,
+             new_prev_p) = _sss_event(
+                do_sss, si, L, new_o, new_d, new_beta, new_alive, new_spec,
+                new_pdf, new_prev_p, medium, b, dim_base)
 
         # medium transition on transmission through a medium-interface surface
         if handle_media or pass_null:

@@ -120,24 +120,32 @@ def ray_triangle(o, d, p0, p1, p2, t_max):
 from .affine import xf_point as _xform_point, xf_vector as _xform_vector
 
 
-def ray_sphere(o, d, w2o, params, t_max):
-    """Sphere intersection in object space.
+def ray_quadric(o, d, w2o, params, qkind, t_max):
+    """Analytic quadric intersection in object space.
 
-    w2o: (..., 3, 4); params: (..., 6) = radius, zmin, zmax, phimax, _, _
-    Returns (hit, t, p_obj) with p_obj the object-space hit point.
+    w2o: (..., 3, 4); qkind selects the shape (arrays.QUADRIC_*):
+    - sphere  (sphere.rs):   params = radius, zmin, zmax, phimax, _, _
+    - cylinder (cylinder.rs): params = radius, zmin, zmax, phimax, _, _
+    - disk    (disk.rs):     params = radius, height, inner_r, phimax, _, _
+    Returns (hit, t, p_obj) with p_obj the (re-projected) object-space hit.
     """
+    from ..scene.arrays import QUADRIC_CYLINDER, QUADRIC_DISK
+
     oo = _xform_point(w2o, o)
     od = _xform_vector(w2o, d)
     radius = params[..., 0]
-    zmin = params[..., 1]
-    zmax = params[..., 2]
+    p1 = params[..., 1]  # zmin | zmin | height
+    p2 = params[..., 2]  # zmax | zmax | inner radius
     phimax = params[..., 3]
+    is_cyl = qkind == QUADRIC_CYLINDER
+    is_disk = qkind == QUADRIC_DISK
 
-    a = _dot(od, od)
-    b = 2.0 * _dot(oo, od)
-    c = _dot(oo, oo) - radius * radius
+    # quadratic: sphere over xyz, cylinder over xy (disk ignores it)
+    a = jnp.where(is_cyl, od[..., 0] * od[..., 0] + od[..., 1] * od[..., 1], _dot(od, od))
+    b = 2.0 * jnp.where(is_cyl, oo[..., 0] * od[..., 0] + oo[..., 1] * od[..., 1], _dot(oo, od))
+    c = jnp.where(is_cyl, oo[..., 0] * oo[..., 0] + oo[..., 1] * oo[..., 1], _dot(oo, oo)) - radius * radius
     disc = b * b - 4.0 * a * c
-    has_root = disc > 0
+    has_root = (disc > 0) & ~is_disk
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     q = jnp.where(b < 0, -0.5 * (b - sq), -0.5 * (b + sq))
     safe = jnp.where(jnp.abs(q) > 1e-30, q, 1.0)
@@ -148,13 +156,19 @@ def ray_sphere(o, d, w2o, params, t_max):
 
     def clip_ok(t):
         p = oo + od * t[..., None]
-        # refine to the surface (sphere.rs re-projects the hit point)
-        pn = p * (radius / jnp.maximum(jnp.linalg.norm(p, axis=-1), 1e-30))[..., None]
+        # refine to the surface (sphere.rs / cylinder.rs re-project the hit)
+        r_s = radius / jnp.maximum(jnp.linalg.norm(p, axis=-1), 1e-30)
+        r_c = radius / jnp.maximum(jnp.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2), 1e-30)
+        scale = jnp.where(is_cyl, r_c, r_s)
+        pn = jnp.stack([p[..., 0] * scale, p[..., 1] * scale,
+                        jnp.where(is_cyl, p[..., 2], p[..., 2] * scale)], axis=-1)
         z = pn[..., 2]
         phi = jnp.arctan2(pn[..., 1], pn[..., 0])
         phi = jnp.where(phi < 0, phi + 2.0 * jnp.pi, phi)
-        full = (zmin <= -radius + 1e-7 * radius) & (zmax >= radius - 1e-7 * radius) & (phimax >= 2.0 * jnp.pi - 1e-6)
-        ok = full | ((z >= zmin) & (z <= zmax) & (phi <= phimax))
+        zlim = jnp.where(is_cyl, jnp.inf, radius)
+        full = (p1 <= -zlim + 1e-7 * radius) & (p2 >= zlim - 1e-7 * radius) & \
+            (phimax >= 2.0 * jnp.pi - 1e-6) & ~is_cyl
+        ok = full | ((z >= p1) & (z <= p2) & (phi <= phimax))
         return ok, pn
 
     okn, pn_near = clip_ok(tn)
@@ -164,7 +178,27 @@ def ray_sphere(o, d, w2o, params, t_max):
     t = jnp.where(near_valid, tn, tf)
     p_obj = jnp.where(near_valid[..., None], pn_near, pn_far)
     hit = near_valid | far_valid
+
+    # disk: plane z = height clipped to the annulus (disk.rs)
+    dz = od[..., 2]
+    td = (p1 - oo[..., 2]) / jnp.where(jnp.abs(dz) > 1e-12, dz, 1.0)
+    pd = oo + od * td[..., None]
+    d2 = pd[..., 0] ** 2 + pd[..., 1] ** 2
+    phi_d = jnp.arctan2(pd[..., 1], pd[..., 0])
+    phi_d = jnp.where(phi_d < 0, phi_d + 2.0 * jnp.pi, phi_d)
+    disk_hit = (jnp.abs(dz) > 1e-12) & (td > SHADOW_EPS) & (td < t_max) & \
+        (d2 <= radius * radius) & (d2 >= p2 * p2) & (phi_d <= phimax)
+    pd = jnp.stack([pd[..., 0], pd[..., 1], jnp.broadcast_to(p1, pd[..., 2].shape)], axis=-1)
+
+    hit = jnp.where(is_disk, disk_hit, hit)
+    t = jnp.where(is_disk, td, t)
+    p_obj = jnp.where(is_disk[..., None], pd, p_obj)
     return hit, t, p_obj
+
+
+def ray_sphere(o, d, w2o, params, t_max):
+    """Sphere-only wrapper around ray_quadric (kept for tests/back-compat)."""
+    return ray_quadric(o, d, w2o, params, jnp.zeros(params.shape[:-1], jnp.int32), t_max)
 
 
 # ---------------------------------------------------------------------------
@@ -234,7 +268,8 @@ def _test_prims(sa: SceneArrays, o, d, t_max, prim_ids, valid, time=None):
         if time is not None and sa.sph_w2o_end is not None:
             w2o = w2o + time[:, None, None, None] * (sa.sph_w2o_end[sph_idx] - w2o)
         par = sa.sph_param[sph_idx]
-        h_s, t_s, p_obj = ray_sphere(o_b, d_b, w2o, par, tm_b)
+        qk = sa.sph_kind[sph_idx]
+        h_s, t_s, p_obj = ray_quadric(o_b, d_b, w2o, par, qk, tm_b)
     else:
         h_s = jnp.zeros_like(h_t)
         t_s = jnp.full_like(t_t, INF)
@@ -298,8 +333,9 @@ def _brute_all(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None):
         if time is not None and sa.sph_w2o_end is not None:
             w2o = w2o + time[:, None, None, None] * (sa.sph_w2o_end[None] - w2o)
         par = sa.sph_param[None, :, :]
+        qk = sa.sph_kind[None, :]
         tm = jnp.asarray(t_max, F32)[:, None]
-        h, t_s, p_obj = ray_sphere(o_b, d_b, w2o, par, tm)
+        h, t_s, p_obj = ray_quadric(o_b, d_b, w2o, par, qk, tm)
         parts_t.append(jnp.where(h, t_s, INF))
         parts_b1.append(p_obj[..., 0])
         parts_b2.append(p_obj[..., 1])
@@ -448,12 +484,14 @@ def _traverse(sa: SceneArrays, static: SceneStatic, o, d, t_max, any_hit: bool, 
                 spar = jnp.concatenate(
                     [rows16L[..., 12:16], jnp.zeros(rows16L.shape[:3] + (2,), F32)], axis=-1
                 )
+                qk = rows16L[..., 16].astype(jnp.int32)
             else:
                 w2o = rows16[:, :, 0:12].reshape(rows16.shape[0], rows16.shape[1], 3, 4)[:, None]
                 spar = jnp.concatenate(
                     [rows16[:, :, 12:16], jnp.zeros(rows16.shape[:2] + (2,), F32)], axis=-1
                 )[:, None]
-            h_s, t_s, p_obj = ray_sphere(ob, db, w2o, spar, tb)
+                qk = rows16[:, :, 16].astype(jnp.int32)[:, None]
+            h_s, t_s, p_obj = ray_quadric(ob, db, w2o, spar, qk, tb)
             hit_k = jnp.where(is_tri[:, None, :], h_t, h_s)
             t_k = jnp.where(is_tri[:, None, :], t_t, t_s)
             b1_k = jnp.where(is_tri[:, None, :], b1_t, p_obj[..., 0])

@@ -224,14 +224,38 @@ def _sample_prim_point(sa: SceneArrays, prim_ids, u1, u2):
         n = jnp.where(is_tri[:, None], nt, n)
 
     if sa.sph_param.shape[0] > 0:
+        from ..scene.arrays import QUADRIC_CYLINDER, QUADRIC_DISK
+
         si = jnp.where(~is_tri, geom, 0)
         o2w = gather_rows(sa.sph_o2w, si)
         w2o = gather_rows(sa.sph_w2o, si)
-        radius = gather_rows(sa.sph_param, si)[:, 0]
+        par = gather_rows(sa.sph_param, si)
+        qk = gather_rows(sa.sph_kind, si)
+        is_cyl = qk == QUADRIC_CYLINDER
+        is_disk = qk == QUADRIC_DISK
+        radius = par[:, 0]
+        phimax = par[:, 3]
+        # sphere: uniform area (sphere.rs sample)
         d = uniform_sample_sphere(u1, u2)
-        p_obj = d * radius[:, None]
+        p_sph = d * radius[:, None]
+        n_sph = d
+        # cylinder: z = lerp(u1, zmin, zmax), phi = u2 * phimax (cylinder.rs)
+        z_c = par[:, 1] + u1 * (par[:, 2] - par[:, 1])
+        phi_c = u2 * phimax
+        cphi = jnp.cos(phi_c)
+        sphi = jnp.sin(phi_c)
+        p_cyl = jnp.stack([radius * cphi, radius * sphi, z_c], axis=-1)
+        n_cyl = jnp.stack([cphi, sphi, jnp.zeros_like(cphi)], axis=-1)
+        # disk: concentric full-disk sample scaled to radius (disk.rs sample)
+        from .camera import concentric_sample_disk
+
+        dx, dy = concentric_sample_disk(u1, u2)
+        p_dsk = jnp.stack([dx * radius, dy * radius, par[:, 1]], axis=-1)
+        n_dsk = jnp.stack([jnp.zeros_like(dx), jnp.zeros_like(dx), jnp.ones_like(dx)], axis=-1)
+        p_obj = jnp.where(is_disk[:, None], p_dsk, jnp.where(is_cyl[:, None], p_cyl, p_sph))
+        n_obj = jnp.where(is_disk[:, None], n_dsk, jnp.where(is_cyl[:, None], n_cyl, n_sph))
         ps = _xform_point(o2w, p_obj)
-        ns = _norm(xf_vector_t(w2o[:, :, :3], d))
+        ns = _norm(xf_vector_t(w2o[:, :, :3], n_obj))
         ns = jnp.where(((flags & 1) != 0)[:, None], -ns, ns)
         p = jnp.where(is_tri[:, None], p, ps)
         n = jnp.where(is_tri[:, None], n, ns)

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..scene.arrays import GEOM_TRI, SceneArrays
+from ..scene.arrays import GEOM_TRI, QUADRIC_CYLINDER, QUADRIC_DISK, SceneArrays
 from .gather import gather_rows
 from .affine import xf_vector, xf_vector_t
 from .intersect import _xform_point
@@ -107,15 +107,29 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
             w2o = w2o + time[:, None, None] * (gather_rows(sa.sph_w2o_end, si) - w2o)
             o2w = o2w + time[:, None, None] * (gather_rows(sa.sph_o2w_end, si) - o2w)
         par = gather_rows(sa.sph_param, si)
+        qk = gather_rows(sa.sph_kind, si)
+        is_cyl = qk == QUADRIC_CYLINDER
+        is_disk = qk == QUADRIC_DISK
         radius = par[:, 0]
         p_obj = _xform_point(w2o, p)
-        p_obj = p_obj * (radius / jnp.maximum(jnp.linalg.norm(p_obj, axis=-1), 1e-30))[:, None]
-        # normal transform: (w2o)^T on object normal
-        n_obj = p_obj / radius[:, None]
+        # re-project to the surface per kind (sphere.rs / cylinder.rs; disks
+        # snap z to the plane height)
+        r_sph = radius / jnp.maximum(jnp.linalg.norm(p_obj, axis=-1), 1e-30)
+        r_cyl = radius / jnp.maximum(jnp.sqrt(p_obj[:, 0] ** 2 + p_obj[:, 1] ** 2), 1e-30)
+        scale = jnp.where(is_disk, 1.0, jnp.where(is_cyl, r_cyl, r_sph))
+        z_new = jnp.where(is_disk, par[:, 1], jnp.where(is_cyl, p_obj[:, 2], p_obj[:, 2] * r_sph))
+        p_obj = jnp.stack([p_obj[:, 0] * scale, p_obj[:, 1] * scale, z_new], axis=-1)
+        # object normal per kind
+        n_sph = p_obj / radius[:, None]
+        zero = jnp.zeros_like(radius)
+        one = jnp.ones_like(radius)
+        n_cyl = jnp.stack([p_obj[:, 0] / radius, p_obj[:, 1] / radius, zero], axis=-1)
+        n_dsk = jnp.stack([zero, zero, one], axis=-1)
+        n_obj = jnp.where(is_disk[:, None], n_dsk, jnp.where(is_cyl[:, None], n_cyl, n_sph))
         ng_s = _normalize(xf_vector_t(w2o[:, :, :3], n_obj))
         flip = (flags & FLAG_FLIP_GEOM_N) != 0
         ng_s = jnp.where(flip[:, None], -ng_s, ng_s)
-        # spherical uv (sphere.rs)
+        # parametric uv per kind (sphere.rs / cylinder.rs / disk.rs)
         phi = jnp.arctan2(p_obj[:, 1], p_obj[:, 0])
         phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
         zc = jnp.clip(p_obj[:, 2] / radius, -1.0, 1.0)
@@ -124,15 +138,23 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
         tmin = par[:, 4]
         tmax = par[:, 5]
         u_s = phi / jnp.maximum(phimax, 1e-9)
-        v_s = (theta - tmin) / jnp.maximum(tmax - tmin, 1e-9)
+        v_sph = (theta - tmin) / jnp.maximum(tmax - tmin, 1e-9)
+        v_cyl = (p_obj[:, 2] - par[:, 1]) / jnp.maximum(par[:, 2] - par[:, 1], 1e-9)
+        r_hit = jnp.sqrt(jnp.maximum(p_obj[:, 0] ** 2 + p_obj[:, 1] ** 2, 1e-20))
+        v_dsk = 1.0 - (r_hit - par[:, 2]) / jnp.maximum(radius - par[:, 2], 1e-9)
+        v_s = jnp.where(is_disk, v_dsk, jnp.where(is_cyl, v_cyl, v_sph))
         uv_s = jnp.stack([u_s, v_s], axis=-1)
-        # analytic dpdu/dpdv in object space -> world (sphere.rs:150-175)
+        # analytic dpdu/dpdv in object space -> world
         zr = jnp.sqrt(jnp.maximum(p_obj[:, 0] ** 2 + p_obj[:, 1] ** 2, 1e-20))
         dpdu_o = jnp.stack([-phimax * p_obj[:, 1], phimax * p_obj[:, 0], jnp.zeros_like(zr)], axis=-1)
         dtheta = tmax - tmin
-        dpdv_o = jnp.stack(
+        dpdv_sph = jnp.stack(
             [p_obj[:, 2] * p_obj[:, 0] / zr, p_obj[:, 2] * p_obj[:, 1] / zr, -radius * jnp.sin(theta)], axis=-1
         ) * dtheta[:, None]
+        dpdv_cyl = jnp.stack([zero, zero, par[:, 2] - par[:, 1]], axis=-1)
+        dpdv_dsk = jnp.stack([p_obj[:, 0], p_obj[:, 1], zero], axis=-1) * \
+            ((par[:, 2] - radius) / r_hit)[:, None]
+        dpdv_o = jnp.where(is_disk[:, None], dpdv_dsk, jnp.where(is_cyl[:, None], dpdv_cyl, dpdv_sph))
         dpdu_s = xf_vector(o2w[:, :, :3], dpdu_o)
         dpdv_s = xf_vector(o2w[:, :, :3], dpdv_o)
         ng = jnp.where(is_tri[:, None], ng, ng_s)

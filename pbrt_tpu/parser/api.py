@@ -765,28 +765,32 @@ class API:
             )
             return [ShapeRecord(mesh=mesh)]
         if name == "disk":
+            # analytic disk rows (disk.rs); tessellation retired per the
+            # round-1 review (curved-reflector/area-light accuracy)
             return [
                 ShapeRecord(
-                    mesh=host.tessellate_disk(
-                        o2w,
-                        params.find_one_float("height", 0.0),
-                        params.find_one_float("radius", 1.0),
-                        params.find_one_float("innerradius", 0.0),
-                        math.radians(np.clip(params.find_one_float("phimax", 360.0), 0.0, 360.0)),
-                        rev,
+                    sphere=Sphere(
+                        kind="disk",
+                        object_to_world=o2w,
+                        radius=params.find_one_float("radius", 1.0),
+                        height=params.find_one_float("height", 0.0),
+                        inner_radius=params.find_one_float("innerradius", 0.0),
+                        phi_max=math.radians(np.clip(params.find_one_float("phimax", 360.0), 0.0, 360.0)),
+                        reverse_orientation=rev,
                     )
                 )
             ]
         if name == "cylinder":
             return [
                 ShapeRecord(
-                    mesh=host.tessellate_cylinder(
-                        o2w,
-                        params.find_one_float("radius", 1.0),
-                        params.find_one_float("zmin", -1.0),
-                        params.find_one_float("zmax", 1.0),
-                        math.radians(np.clip(params.find_one_float("phimax", 360.0), 0.0, 360.0)),
-                        rev,
+                    sphere=Sphere(
+                        kind="cylinder",
+                        object_to_world=o2w,
+                        radius=params.find_one_float("radius", 1.0),
+                        z_min=params.find_one_float("zmin", -1.0),
+                        z_max=params.find_one_float("zmax", 1.0),
+                        phi_max=math.radians(np.clip(params.find_one_float("phimax", 360.0), 0.0, 360.0)),
+                        reverse_orientation=rev,
                     )
                 )
             ]

@@ -20,7 +20,12 @@ import numpy as np
 
 # geometry type ids
 GEOM_TRI = 0
-GEOM_SPHERE = 1
+GEOM_SPHERE = 1  # any analytic quadric row (see QUADRIC_* for the sub-kind)
+
+# quadric sub-kinds stored in SceneArrays.sph_kind
+QUADRIC_SPHERE = 0
+QUADRIC_CYLINDER = 1
+QUADRIC_DISK = 2
 
 # material kind ids
 MAT_NONE = 0
@@ -96,7 +101,9 @@ class SceneArrays:
     # --- spheres (S rows) ---
     sph_o2w: jax.Array  # (S, 3, 4) f32 object-to-world
     sph_w2o: jax.Array  # (S, 3, 4) f32 world-to-object
-    sph_param: jax.Array  # (S, 6) f32: radius, zmin, zmax, phimax, thetamin, thetamax
+    sph_param: jax.Array  # (S, 6) f32: sphere/cylinder = radius, zmin, zmax,
+    # phimax, thetamin, thetamax; disk = radius, height, inner_r, phimax, 0, 0
+    sph_kind: jax.Array  # (S,) i32 QUADRIC_* sub-kind
     # --- primitives (P = T + S rows) ---
     prim_kind: jax.Array  # (P,) i32 GEOM_*
     prim_geom: jax.Array  # (P,) i32 row in tri_* or sph_*
@@ -114,7 +121,7 @@ class SceneArrays:
     bvh_axis: jax.Array  # (N,) i32
     bvh_ids: jax.Array  # (P,) i32 (identity after BVH-order prim permutation)
     bvh_packed: jax.Array  # (N, 12) f32: min(3) max(3) off n axis pad(3)
-    prim_test_data: jax.Array  # (P, 16) f32: tri verts (9) | sphere w2o(12)+r/zmin/zmax/phimax
+    prim_test_data: jax.Array  # (P, 18) f32: tri verts (9) | quadric w2o(12)+params(4)+qkind+pad
     # --- materials ---
     mat_kind: jax.Array  # (M,) i32
     mat_const: jax.Array  # (M, N_MAT_PARAMS, 3) f32 constant values
@@ -145,6 +152,14 @@ class SceneArrays:
     light_images: dict = field(default_factory=dict)  # "lim{i}" -> (H, W, 3) f32 (gonio/projection maps)
     fourier: dict = field(default_factory=dict)  # stacked FourierBSDF tables (device/fourier.py)
     tex_param: jax.Array | None = None  # (X, 24) f32 per-texture params
+    # --- tabulated BSSRDF per-material rows (None when no SSS materials);
+    # albedo axis folded at compile time (core/bssrdf.py, bssrdf.rs tables) ---
+    sss_prof: jax.Array | None = None  # (M, 3, 64) radial profile rows
+    sss_cdf: jax.Array | None = None  # (M, 3, 64) radial CDF rows
+    sss_rhoeff: jax.Array | None = None  # (M, 3)
+    sss_sigma_t: jax.Array | None = None  # (M, 3)
+    sss_eta: jax.Array | None = None  # (M,)
+    sss_radius: jax.Array | None = None  # (64,) optical radius knots
     # --- infinite light env map machinery (None when constant) ---
     env_image: jax.Array | None = None  # (H, W, 3)
     env_cond_cdf: jax.Array | None = None  # (H, W+1)
@@ -213,7 +228,8 @@ class SceneStatic:
     media_kinds: tuple = ()  # 'homogeneous' | 'heterogeneous' per medium id
     camera_medium: int = -1
     has_null_material: bool = False  # scene contains medium-boundary prims
-    has_sss_media: bool = False  # implicit subsurface interior media present
+    has_sss_media: bool = False
+    has_tab_sss: bool = False  # implicit subsurface interior media present
     sss_media: tuple = ()  # medium ids that are subsurface interiors
     light_image_keys: tuple = ()  # per light: "lim{i}" key or None
     light_kinds: tuple = ()  # static LIGHT_* per light row

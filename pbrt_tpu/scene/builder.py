@@ -20,6 +20,9 @@ import jax.numpy as jnp
 from ..core.spectrum import y_of_rgb
 from .arrays import (
     GEOM_SPHERE,
+    QUADRIC_CYLINDER,
+    QUADRIC_DISK,
+    QUADRIC_SPHERE,
     LIGHT_GONIO,
     LIGHT_PROJECTION,
     GEOM_TRI,
@@ -167,8 +170,13 @@ def _geom_to_prim_map(prim_kind, prim_geom, kind_id, n_geom):
     return out
 
 
-def _sphere_area(sph):
-    # reference sphere.rs area(): phi_max * radius * (zmax - zmin)
+def _quadric_area(sph, qkind):
+    """Analytic surface areas (sphere.rs / cylinder.rs / disk.rs area())."""
+    if qkind == QUADRIC_DISK:
+        return sph.phi_max * 0.5 * (sph.radius ** 2 - sph.inner_radius ** 2)
+    if qkind == QUADRIC_CYLINDER:
+        return sph.phi_max * sph.radius * abs(sph.z_max - sph.z_min)
+    # sphere: phi_max * radius * (zmax - zmin)
     return sph.phi_max * sph.radius * (np.clip(sph.z_max, -sph.radius, sph.radius) - np.clip(sph.z_min, -sph.radius, sph.radius))
 
 
@@ -179,6 +187,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     sph_o2w_e = []
     any_motion = False
     sph_o2w, sph_w2o, sph_param = [], [], []
+    sph_kind_l = []
     prim_kind, prim_geom, prim_mat, prim_light, prim_flags, prim_area = [], [], [], [], [], []
     prim_lo, prim_hi = [], []
     prim_medium = []
@@ -338,55 +347,61 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     from .host import HostMedium
 
     _sss_media: dict[int, str] = {}
+    _sss_mats: dict[int, HostMaterial] = {}  # material id -> host material
 
-    def sss_medium_for(mat: HostMaterial) -> str:
-        """Subsurface materials scatter volumetrically: build an interior
-        medium from their sigma_a/sigma_s (random-walk SSS replaces the
-        reference's tabulated-dipole BSSRDF, bssrdf.rs — unbiased, and the
-        internal diffusion does not consume path depth, matching the
-        reference's semantics)."""
-        key = id(mat)
-        if key in _sss_media:
-            return _sss_media[key]
-        name = f"__sss_{len(_sss_media)}"
-        scale = 1.0
-        sc = mat.params.get("scale")
-        if sc is not None and sc[0] == "const":
-            scale = float(np.atleast_1d(sc[1]).ravel()[0])
-        g = 0.0
-        gp = mat.params.get("g")
-        if gp is not None and gp[0] == "const":
-            g = float(np.atleast_1d(gp[1]).ravel()[0])
+    def _sss_coefficients(mat: HostMaterial):
+        """(sigma_a, sigma_s, g, eta) for a subsurface-family material
+        (materials/subsurface.rs create / kdsubsurface.rs create). The
+        kdsubsurface Kd inversion uses the real beam-diffusion table
+        (bssrdf.rs subsurface_from_diffuse)."""
+        from ..core.bssrdf import compute_beam_diffusion_table, subsurface_from_diffuse
+
+        def cscalar(nm, default):
+            v = mat.params.get(nm)
+            if v is not None and v[0] == "const":
+                return float(np.atleast_1d(v[1]).ravel()[0])
+            return default
 
         def cvec(nm, default):
             v = mat.params.get(nm)
             if v is not None and v[0] == "const":
                 a = np.atleast_1d(np.asarray(v[1], float)).ravel()
                 return np.repeat(a, 3)[:3] if a.size == 1 else a[:3]
-            return np.asarray(default, float)
+            return None if default is None else np.asarray(default, float)
 
+        scale = cscalar("scale", 1.0)
+        g = cscalar("g", 0.0)
+        eta = cscalar("eta", cscalar("index", 1.33))
         if mat.kind == "kdsubsurface":
-            # kdsubsurface.rs: Kd + mean free path -> scattering coefficients
-            # via the classical diffuse-albedo inversion (approximate)
             kdv = np.clip(cvec("Kd", [0.5, 0.5, 0.5]), 1e-4, 0.999)
             mfp = np.maximum(cvec("mfp", [1.0, 1.0, 1.0]), 1e-6)
-            # invert Rd(alpha') for the dipole (Jensen 2001 fit)
-            alpha = 1.0 - np.exp(-8.0 * kdv)  # smooth monotone approximation
-            sigma_t = 1.0 / mfp
-            sig_s = alpha * sigma_t
-            sig_a = sigma_t - sig_s
+            tab = _sss_table_for(g, eta)
+            sig_a, sig_s = subsurface_from_diffuse(tab, kdv, mfp)
         else:
-            sig_a = cvec("sigma_a", [0.0011, 0.0024, 0.014]) * scale
-            sig_s = cvec("sigma_s", [2.55, 3.21, 3.77]) * scale
-        hm = HostMedium(kind="homogeneous", sigma_a=np.maximum(sig_a, 0.0), sigma_s=np.maximum(sig_s, 0.0), g=g)
-        add_medium(hm, name)
-        _sss_media[key] = name
-        return name
+            refl = cvec("reflectance", None)
+            if refl is not None:
+                mfp = np.maximum(cvec("mfp", [1.0, 1.0, 1.0]), 1e-6)
+                tab = _sss_table_for(g, eta)
+                sig_a, sig_s = subsurface_from_diffuse(tab, np.clip(refl, 1e-4, 0.999), mfp)
+            else:
+                sig_a = cvec("sigma_a", [0.0011, 0.0024, 0.014]) * scale
+                sig_s = cvec("sigma_s", [2.55, 3.21, 3.77]) * scale
+        return np.maximum(sig_a, 0.0), np.maximum(sig_s, 0.0), g, eta
+
+    _sss_table_cache: dict[tuple, dict] = {}
+
+    def _sss_table_for(g, eta):
+        from ..core.bssrdf import compute_beam_diffusion_table
+
+        key = (round(float(g), 4), round(float(eta), 4))
+        if key not in _sss_table_cache:
+            _sss_table_cache[key] = compute_beam_diffusion_table(g, eta)
+        return _sss_table_cache[key]
 
     for prim in desc.primitives:
         mid = material_id(prim.material)
-        if prim.material.kind in ("subsurface", "kdsubsurface") and not prim.inside_medium:
-            prim.inside_medium = sss_medium_for(prim.material)
+        if prim.material.kind in ("subsurface", "kdsubsurface"):
+            _sss_mats.setdefault(mid, prim.material)
         sh = prim.shape
         if sh.mesh is not None:
             mesh = sh.mesh
@@ -466,11 +481,21 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             else:
                 sph_w2o_e.append(w2o.m[:3, :])
                 sph_o2w_e.append(o2w.m[:3, :])
-            zmin = np.clip(min(sph.z_min, sph.z_max), -sph.radius, sph.radius)
-            zmax = np.clip(max(sph.z_min, sph.z_max), -sph.radius, sph.radius)
-            theta_min = np.arccos(np.clip(zmin / sph.radius, -1.0, 1.0))
-            theta_max = np.arccos(np.clip(zmax / sph.radius, -1.0, 1.0))
-            sph_param.append([sph.radius, zmin, zmax, sph.phi_max, theta_min, theta_max])
+            qkind = {"sphere": QUADRIC_SPHERE, "cylinder": QUADRIC_CYLINDER,
+                     "disk": QUADRIC_DISK}[getattr(sph, "kind", "sphere")]
+            sph_kind_l.append(qkind)
+            if qkind == QUADRIC_SPHERE:
+                zmin = np.clip(min(sph.z_min, sph.z_max), -sph.radius, sph.radius)
+                zmax = np.clip(max(sph.z_min, sph.z_max), -sph.radius, sph.radius)
+                theta_min = np.arccos(np.clip(zmin / sph.radius, -1.0, 1.0))
+                theta_max = np.arccos(np.clip(zmax / sph.radius, -1.0, 1.0))
+                sph_param.append([sph.radius, zmin, zmax, sph.phi_max, theta_min, theta_max])
+            elif qkind == QUADRIC_CYLINDER:
+                zmin = min(sph.z_min, sph.z_max)
+                zmax = max(sph.z_min, sph.z_max)
+                sph_param.append([sph.radius, zmin, zmax, sph.phi_max, 0.0, 0.0])
+            else:  # disk (disk.rs): plane z = height, annulus [inner, radius]
+                sph_param.append([sph.radius, sph.height, sph.inner_radius, sph.phi_max, 0.0, 0.0])
             flags = 0
             if sph.reverse_orientation ^ o2w.swaps_handedness():
                 flags |= FLAG_FLIP_GEOM_N
@@ -491,12 +516,20 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             prim_mat.append(mid)
             prim_light.append(light_id)
             prim_flags.append(flags)
-            prim_area.append(_sphere_area(sph))
+            prim_area.append(_quadric_area(sph, qkind))
             prim_alpha.append(-1)
             prim_shadow_alpha.append(-1)
-            lo, hi = o2w.xbounds([-sph.radius] * 3, [sph.radius] * 3)
+            if qkind == QUADRIC_SPHERE:
+                obj_lo, obj_hi = [-sph.radius] * 3, [sph.radius] * 3
+            elif qkind == QUADRIC_CYLINDER:
+                obj_lo = [-sph.radius, -sph.radius, min(sph.z_min, sph.z_max)]
+                obj_hi = [sph.radius, sph.radius, max(sph.z_min, sph.z_max)]
+            else:
+                obj_lo = [-sph.radius, -sph.radius, sph.height - 1e-4]
+                obj_hi = [sph.radius, sph.radius, sph.height + 1e-4]
+            lo, hi = o2w.xbounds(obj_lo, obj_hi)
             if sph.object_to_world_end is not None:
-                lo2, hi2 = sph.object_to_world_end.xbounds([-sph.radius] * 3, [sph.radius] * 3)
+                lo2, hi2 = sph.object_to_world_end.xbounds(obj_lo, obj_hi)
                 lo, hi = np.minimum(lo, lo2), np.maximum(hi, hi2)
             prim_lo.append(lo)
             prim_hi.append(hi)
@@ -578,9 +611,9 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     node_data[:, 6] = bvh.offset
     node_data[:, 7] = bvh.n_prims
     node_data[:, 8] = bvh.axis
-    # prim_test_data (P, 16): tri -> 9 vertex floats; sphere -> w2o(12)+... the
-    # sphere pack needs 16: w2o rows (12) + radius, zmin, zmax, phimax
-    ptd = np.zeros((max(n_prims, 1), 16), np.float32)
+    # prim_test_data (P, 18): tri -> 9 vertex floats; quadric -> w2o rows
+    # (12) + params[0:4] + quadric sub-kind (col 16) + pad
+    ptd = np.zeros((max(n_prims, 1), 18), np.float32)
     # (filled vectorized below once the concatenated geometry tables exist)
 
     # --- materials (ensure at least one row) -----------------------------------
@@ -657,13 +690,55 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             if any_motion:
                 ptd_end[tri_rows, 0:9] = tri_pe_cat[pg[tri_rows]].reshape(len(tri_rows), 9)
         if len(sph_rows):
+            sk = np.asarray(sph_kind_l, np.float32) if sph_kind_l else np.zeros(1, np.float32)
             ptd[sph_rows, 0:12] = sph_w2o_cat[pg[sph_rows]].reshape(len(sph_rows), 12)
             ptd[sph_rows, 12:16] = sph_param_cat[pg[sph_rows]][:, 0:4]
+            ptd[sph_rows, 16] = sk[pg[sph_rows]]
             if any_motion:
                 ptd_end[sph_rows, 0:12] = sph_w2oe_cat[pg[sph_rows]].reshape(len(sph_rows), 12)
                 ptd_end[sph_rows, 12:16] = sph_param_cat[pg[sph_rows]][:, 0:4]
+                ptd_end[sph_rows, 16] = sk[pg[sph_rows]]
 
     fourier_dev = _stack_fourier_tables(fourier_tables)
+
+    # --- tabulated BSSRDF rows (bssrdf.rs compute_beam_diffusion_bssrdf +
+    # TabulatedBSSRDF ctor): fold the albedo spline axis per material channel
+    # so the device only interpolates 64-entry radial rows ---
+    sss_arrays = {}
+    has_tab_sss = bool(_sss_mats)
+    if has_tab_sss:
+        from ..core.bssrdf import catmull_rom_weights
+
+        M = len(mat_rows)
+        s_prof = np.zeros((M, 3, 64), np.float32)
+        s_cdf = np.zeros((M, 3, 64), np.float32)
+        s_rhoeff = np.zeros((M, 3), np.float32)
+        s_sigt = np.zeros((M, 3), np.float32)
+        s_eta = np.full((M,), 1.33, np.float32)
+        radius_knots = None
+        for mid, host_mat in _sss_mats.items():
+            sig_a, sig_s, g_m, eta_m = _sss_coefficients(host_mat)
+            tab = _sss_table_for(g_m, eta_m)
+            radius_knots = tab["radius_samples"]
+            sigma_t = sig_a + sig_s
+            rho = np.where(sigma_t > 0, sig_s / np.maximum(sigma_t, 1e-12), 0.0)
+            s_sigt[mid] = sigma_t
+            s_eta[mid] = eta_m
+            for ch in range(3):
+                off, w = catmull_rom_weights(tab["rho_samples"].astype(np.float64), rho[ch])
+                for k in range(4):
+                    idx = int(np.clip(off + k, 0, len(tab["rho_samples"]) - 1))
+                    s_prof[mid, ch] += np.float32(w[k]) * tab["profile"][idx]
+                    s_cdf[mid, ch] += np.float32(w[k]) * tab["profile_cdf"][idx]
+                    s_rhoeff[mid, ch] += np.float32(w[k]) * tab["rho_eff"][idx]
+        sss_arrays = dict(
+            sss_prof=jnp.asarray(s_prof),
+            sss_cdf=jnp.asarray(s_cdf),
+            sss_rhoeff=jnp.asarray(np.maximum(s_rhoeff, 1e-6)),
+            sss_sigma_t=jnp.asarray(s_sigt),
+            sss_eta=jnp.asarray(s_eta),
+            sss_radius=jnp.asarray(radius_knots),
+        )
 
     # --- kd-tree accelerator (Accelerator "kdtree"; scene/kdtree.py) ------
     accel_kind = str(getattr(desc, "accelerator", "bvh") or "bvh")
@@ -706,6 +781,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         sph_o2w=jnp.asarray(np.asarray(sph_o2w, dtype=np.float32).reshape(-1, 3, 4)),
         sph_w2o=jnp.asarray(np.asarray(sph_w2o, dtype=np.float32).reshape(-1, 3, 4)),
         sph_param=jnp.asarray(np.asarray(sph_param, dtype=np.float32).reshape(-1, 6)),
+        sph_kind=jnp.asarray(np.asarray(sph_kind_l, dtype=np.int32)),
         prim_kind=jnp.asarray(np.asarray(prim_kind, dtype=np.int32)),
         prim_geom=jnp.asarray(np.asarray(prim_geom, dtype=np.int32)),
         prim_mat=jnp.asarray(np.asarray(prim_mat, dtype=np.int32)),
@@ -760,6 +836,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         wnode_tab=jnp.asarray(wide.node_tab) if has_wide else None,
         wprim_tab=jnp.asarray(wide.prim_tab) if has_wide else None,
         wslot_prim=jnp.asarray(wide.slot_prim) if has_wide else None,
+        **sss_arrays,
     )
     static = SceneStatic(
         n_tris=len(tri_p_cat),
@@ -782,6 +859,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         camera_medium=med_ids.get(desc.camera_medium, -1),
         has_sss_media=bool(_sss_media),
         sss_media=tuple(med_ids[n] for n in _sss_media.values()),
+        has_tab_sss=has_tab_sss,
         has_null_material=any(int(k) == 0 for k in mat_kind[np.asarray(prim_mat, dtype=np.int64)]) if n_prims else False,
         light_image_keys=tuple(light_image_keys),
         light_kinds=tuple(int(l[0]) for l in lights),

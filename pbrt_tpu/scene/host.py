@@ -43,7 +43,11 @@ class TriangleMesh:
 
 @dataclass
 class Sphere:
-    """Analytic sphere, kept parametric on device (src/shapes/sphere.rs)."""
+    """Analytic quadric, kept parametric on device.
+
+    kind selects the shape: "sphere" (src/shapes/sphere.rs), "cylinder"
+    (cylinder.rs) or "disk" (disk.rs). height/inner_radius apply to disks
+    only; z_min/z_max to spheres and cylinders."""
 
     object_to_world: Transform
     radius: float = 1.0
@@ -52,6 +56,9 @@ class Sphere:
     phi_max: float = 2.0 * math.pi  # radians
     reverse_orientation: bool = False
     object_to_world_end: Transform | None = None  # motion blur keyframe
+    kind: str = "sphere"
+    height: float = 0.0
+    inner_radius: float = 0.0
 
 
 # Shape record: exactly one of mesh/sphere is set.

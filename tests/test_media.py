@@ -123,9 +123,11 @@ def test_volpath_absorbing_fog_analytic():
     np.testing.assert_allclose(center, np.exp(-sa * 5.0), rtol=0.05)
 
 
-def test_subsurface_random_walk_sss():
-    """Subsurface material: light entering a slab exits nearby (true
-    random-walk SSS through the implicit interior medium)."""
+def test_subsurface_tabulated_bssrdf():
+    """Subsurface material: the tabulated beam-diffusion BSSRDF (bssrdf.rs
+    TabulatedBSSRDF) makes a front-lit translucent sphere glow diffusely —
+    camera rays transmit through the interface, teleport to a sampled exit
+    point, and pick up NEE there."""
     from pbrt_tpu.core.transform import Transform
     from pbrt_tpu.render import render
     from pbrt_tpu.scene.host import (
@@ -133,18 +135,15 @@ def test_subsurface_random_walk_sss():
         IntegratorConfig, SamplerConfig, SceneDescription, ShapeRecord, Sphere,
     )
 
-    # translucent sphere lit from behind by a strong point light: with SSS
-    # the camera-facing side glows; a plain glass interface would show only
-    # specular transport
     mat = HostMaterial(kind="subsurface", params={
-        "sigma_a": ("const", np.array([0.05, 0.05, 0.05])),
-        "sigma_s": ("const", np.array([8.0, 8.0, 8.0])),
+        "sigma_a": ("const", np.array([0.02, 0.02, 0.02])),
+        "sigma_s": ("const", np.array([4.0, 4.0, 4.0])),
         "eta": ("const", 1.33),
     })
     ball = HostPrimitive(shape=ShapeRecord(sphere=Sphere(object_to_world=Transform.identity(), radius=1.0)), material=mat)
     desc = SceneDescription(
         primitives=[ball],
-        lights=[HostLight(kind="point", from_point=np.array([0.0, 0.0, -3.0]), to_point=np.zeros(3), intensity=np.array([60.0, 60.0, 60.0]))],
+        lights=[HostLight(kind="point", from_point=np.array([2.0, 2.0, 4.0]), to_point=np.zeros(3), intensity=np.array([60.0, 60.0, 60.0]))],
         camera=CameraConfig(kind="perspective", camera_to_world=Transform.look_at([0, 0, 4], [0, 0, 0], [0, 1, 0]), fov=35.0),
         film=FilmConfig(x_resolution=12, y_resolution=12),
         sampler=SamplerConfig(kind="random", pixel_samples=48),
@@ -153,4 +152,6 @@ def test_subsurface_random_walk_sss():
     img = render(desc, spp=48)
     assert np.isfinite(img).all()
     center = img[5:7, 5:7].mean()
-    assert center > 0.005, f"no light diffused through the sphere: {center}"
+    assert center > 0.01, f"no subsurface response on the lit sphere: {center}"
+    # energy sanity: diffusion cannot amplify (loose bound incl. specular)
+    assert img.max() < 60.0

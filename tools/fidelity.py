@@ -85,19 +85,21 @@ def _stage_spheres_scene() -> str:
     The reference repository itself lacks this asset (the renderer warns and
     falls back to constant 0.5), but the bundled golden `spheres.png` was
     rendered WITH it, so the comparison is meaningless without a stand-in.
-    The original (pbrt-v3 scenes) is a white tile with a dark line along
-    each texture edge, tiling into the grid visible in the golden; the line
-    width below was fitted against the golden's blurred ground statistics.
+    The original (pbrt-v3 scenes) is a white tile crossed by a grid of dark
+    lines; the line count (8 per tile) and width (2/128) were fitted against
+    the golden's ground region (ground-masked blurred MSE, see git history).
     """
     import shutil
 
     stage = "/tmp/pbrt_tpu_fidelity/spheres"
     os.makedirs(os.path.join(stage, "textures"), exist_ok=True)
     shutil.copy(f"{REF}/src/scenes/spheres-differentials-texfilt.pbrt", stage)
-    n, w = 128, 2
+    n, n_lines, w = 128, 8, 2
     tex = np.ones((n, n, 3), np.float32)
-    tex[:w, :, :] = 0.0
-    tex[:, :w, :] = 0.0
+    step = n // n_lines
+    for k in range(n_lines):
+        tex[k * step:k * step + w, :, :] = 0.0
+        tex[:, k * step:k * step + w, :] = 0.0
     from pbrt_tpu.core.imageio import write_image
 
     write_image(os.path.join(stage, "textures", "lines.png"), tex)
