@@ -41,8 +41,14 @@ def power_heuristic(nf, f_pdf, ng, g_pdf):
 
 
 def _offset_ray(p, ng, w):
+    """Offset a secondary-ray origin off the surface along the geometric
+    normal. The displacement scales with the point's magnitude — the f32
+    error in p = o + t*d grows with |p| (transform.rs offset_ray_origin
+    uses per-hit error bounds; a magnitude-proportional bound is the
+    batched stand-in)."""
     s = jnp.sign(_dot(ng, w))[:, None]
-    return p + ng * s * RAY_EPS
+    mag = jnp.max(jnp.abs(p), axis=-1, keepdims=True)
+    return p + ng * s * (RAY_EPS * (0.1 + 0.05 * mag))
 
 
 def _to_local(si, w):
