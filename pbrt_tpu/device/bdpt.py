@@ -583,7 +583,12 @@ def render_bdpt(cs, seed: int = 0, spp: int | None = None, progress=None):
     @jax.jit
     def wave(s_idx, seed_j):
         L, spx, sval = bdpt_wave(sa, static, possible, cam, cdf, seed_j, px, py, pids, s_idx, max_depth, W, H)
-        film_splat = jax.ops.segment_sum(sval, spx, num_segments=R + 1)[:R]
+        # per-channel 1D segment sums ((N, 3) scatters pad rows 42x in HLO
+        # temps; see device/sppm.py deposit)
+        film_splat = jnp.stack(
+            [jax.ops.segment_sum(sval[:, ch], spx, num_segments=R + 1)[:R] for ch in range(3)],
+            axis=-1,
+        )
         return L, film_splat
 
     acc = np.zeros((R, 3), np.float64)

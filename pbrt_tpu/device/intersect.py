@@ -124,51 +124,77 @@ def ray_quadric(o, d, w2o, params, qkind, t_max):
     """Analytic quadric intersection in object space.
 
     w2o: (..., 3, 4); qkind selects the shape (arrays.QUADRIC_*):
-    - sphere  (sphere.rs):   params = radius, zmin, zmax, phimax, _, _
-    - cylinder (cylinder.rs): params = radius, zmin, zmax, phimax, _, _
-    - disk    (disk.rs):     params = radius, height, inner_r, phimax, _, _
+    - sphere  (sphere.rs):     params = radius, zmin, zmax, phimax, _, _
+    - cylinder (cylinder.rs):  params = radius, zmin, zmax, phimax, _, _
+    - disk    (disk.rs):       params = radius, height, inner_r, phimax, _, _
+    - cone    (cone.rs):       params = radius, height, _, phimax, _, _
+      (with the CORRECT k = (radius/height)^2 — the reference's cone has a
+      transcription bug, k = (radius/radius)^2 = 1, at cone.rs:73-75)
+    - paraboloid (paraboloid.rs): params = radius, zmin, zmax, phimax, _, _
     Returns (hit, t, p_obj) with p_obj the (re-projected) object-space hit.
     """
-    from ..scene.arrays import QUADRIC_CYLINDER, QUADRIC_DISK
+    from ..scene.arrays import (
+        QUADRIC_CONE, QUADRIC_CYLINDER, QUADRIC_DISK, QUADRIC_PARABOLOID,
+    )
 
     oo = _xform_point(w2o, o)
     od = _xform_vector(w2o, d)
     radius = params[..., 0]
-    p1 = params[..., 1]  # zmin | zmin | height
-    p2 = params[..., 2]  # zmax | zmax | inner radius
+    p1 = params[..., 1]  # zmin | zmin | height | height | zmin
+    p2 = params[..., 2]  # zmax | zmax | inner radius | _ | zmax
     phimax = params[..., 3]
     is_cyl = qkind == QUADRIC_CYLINDER
     is_disk = qkind == QUADRIC_DISK
+    is_cone = qkind == QUADRIC_CONE
+    is_para = qkind == QUADRIC_PARABOLOID
 
-    # quadratic: sphere over xyz, cylinder over xy (disk ignores it)
-    a = jnp.where(is_cyl, od[..., 0] * od[..., 0] + od[..., 1] * od[..., 1], _dot(od, od))
-    b = 2.0 * jnp.where(is_cyl, oo[..., 0] * od[..., 0] + oo[..., 1] * od[..., 1], _dot(oo, od))
-    c = jnp.where(is_cyl, oo[..., 0] * oo[..., 0] + oo[..., 1] * oo[..., 1], _dot(oo, oo)) - radius * radius
+    ox_, oy_, oz_ = oo[..., 0], oo[..., 1], oo[..., 2]
+    dx_, dy_, dz_ = od[..., 0], od[..., 1], od[..., 2]
+    dxy2 = dx_ * dx_ + dy_ * dy_
+    oxy_d = ox_ * dx_ + oy_ * dy_
+    oxy2 = ox_ * ox_ + oy_ * oy_
+    # cone: k = (r/h)^2, apex at z=h (cone.rs with the k fix)
+    k_cone = (radius / jnp.maximum(jnp.abs(p1), 1e-12)) ** 2
+    # paraboloid: z = k (x^2 + y^2), k = zmax / r^2 (paraboloid.rs:75-78)
+    k_para = p2 / jnp.maximum(radius * radius, 1e-20)
+
+    a = jnp.where(is_cyl, dxy2, _dot(od, od))
+    a = jnp.where(is_cone, dxy2 - k_cone * dz_ * dz_, a)
+    a = jnp.where(is_para, k_para * dxy2, a)
+    b = 2.0 * jnp.where(is_cyl, oxy_d, _dot(oo, od))
+    b = jnp.where(is_cone, 2.0 * (oxy_d - k_cone * dz_ * (oz_ - p1)), b)
+    b = jnp.where(is_para, 2.0 * k_para * oxy_d - dz_, b)
+    c = jnp.where(is_cyl, oxy2, _dot(oo, oo)) - radius * radius
+    c = jnp.where(is_cone, oxy2 - k_cone * (oz_ - p1) * (oz_ - p1), c)
+    c = jnp.where(is_para, k_para * oxy2 - oz_, c)
     disc = b * b - 4.0 * a * c
     has_root = (disc > 0) & ~is_disk
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     q = jnp.where(b < 0, -0.5 * (b - sq), -0.5 * (b + sq))
     safe = jnp.where(jnp.abs(q) > 1e-30, q, 1.0)
-    t0 = q / jnp.maximum(a, 1e-30)
+    t0 = q / jnp.where(jnp.abs(a) > 1e-30, a, 1e-30)
     t1 = c / safe
     tn = jnp.minimum(t0, t1)
     tf = jnp.maximum(t0, t1)
 
     def clip_ok(t):
         p = oo + od * t[..., None]
-        # refine to the surface (sphere.rs / cylinder.rs re-project the hit)
+        # refine to the surface (sphere.rs / cylinder.rs re-project the hit;
+        # cone/paraboloid keep the raw point like the reference)
         r_s = radius / jnp.maximum(jnp.linalg.norm(p, axis=-1), 1e-30)
         r_c = radius / jnp.maximum(jnp.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2), 1e-30)
-        scale = jnp.where(is_cyl, r_c, r_s)
-        pn = jnp.stack([p[..., 0] * scale, p[..., 1] * scale,
-                        jnp.where(is_cyl, p[..., 2], p[..., 2] * scale)], axis=-1)
+        scale = jnp.where(is_cyl, r_c, jnp.where(is_cone | is_para, 1.0, r_s))
+        zs = jnp.where(is_cyl | is_cone | is_para, p[..., 2], p[..., 2] * scale)
+        pn = jnp.stack([p[..., 0] * scale, p[..., 1] * scale, zs], axis=-1)
         z = pn[..., 2]
         phi = jnp.arctan2(pn[..., 1], pn[..., 0])
         phi = jnp.where(phi < 0, phi + 2.0 * jnp.pi, phi)
         zlim = jnp.where(is_cyl, jnp.inf, radius)
         full = (p1 <= -zlim + 1e-7 * radius) & (p2 >= zlim - 1e-7 * radius) & \
-            (phimax >= 2.0 * jnp.pi - 1e-6) & ~is_cyl
-        ok = full | ((z >= p1) & (z <= p2) & (phi <= phimax))
+            (phimax >= 2.0 * jnp.pi - 1e-6) & ~is_cyl & ~is_cone & ~is_para
+        zlo = jnp.where(is_cone, 0.0, p1)
+        zhi = jnp.where(is_cone, p1, p2)
+        ok = full | ((z >= zlo) & (z <= zhi) & (phi <= phimax))
         return ok, pn
 
     okn, pn_near = clip_ok(tn)
@@ -464,6 +490,14 @@ def _traverse(sa: SceneArrays, static: SceneStatic, o, d, t_max, any_hit: bool, 
         ob = o_p[:, :, None, :]
         db = d_p[:, :, None, :]
         tb = t_best[:, :, None]
+        if static.has_instances:
+            # instance reuse (primitive.rs TransformedPrimitive intersect):
+            # transform the ray into instance space per leaf prim; id 0 is
+            # the identity so non-instanced prims pass through unchanged.
+            # t is preserved (affine transform, unnormalized direction).
+            w2i_k = sa.inst_w2i[sa.prim_inst[k_ids]]  # (B, K, 3, 4)
+            ob = _xform_point(w2i_k[:, None], ob)
+            db = _xform_vector(w2i_k[:, None], db)
         if time_p is not None and sa.prim_test_data_end is not None:
             # per-lane keyframe lerp: (B, 1, K, 16) -> (B, PACKET, K, 16)
             rows16e = sa.prim_test_data_end[k_ids]

@@ -224,7 +224,9 @@ def _sample_prim_point(sa: SceneArrays, prim_ids, u1, u2):
         n = jnp.where(is_tri[:, None], nt, n)
 
     if sa.sph_param.shape[0] > 0:
-        from ..scene.arrays import QUADRIC_CYLINDER, QUADRIC_DISK
+        from ..scene.arrays import (
+            QUADRIC_CONE, QUADRIC_CYLINDER, QUADRIC_DISK, QUADRIC_PARABOLOID,
+        )
 
         si = jnp.where(~is_tri, geom, 0)
         o2w = gather_rows(sa.sph_o2w, si)
@@ -233,6 +235,8 @@ def _sample_prim_point(sa: SceneArrays, prim_ids, u1, u2):
         qk = gather_rows(sa.sph_kind, si)
         is_cyl = qk == QUADRIC_CYLINDER
         is_disk = qk == QUADRIC_DISK
+        is_cone = qk == QUADRIC_CONE
+        is_para = qk == QUADRIC_PARABOLOID
         radius = par[:, 0]
         phimax = par[:, 3]
         # sphere: uniform area (sphere.rs sample)
@@ -252,8 +256,30 @@ def _sample_prim_point(sa: SceneArrays, prim_ids, u1, u2):
         dx, dy = concentric_sample_disk(u1, u2)
         p_dsk = jnp.stack([dx * radius, dy * radius, par[:, 1]], axis=-1)
         n_dsk = jnp.stack([jnp.zeros_like(dx), jnp.zeros_like(dx), jnp.ones_like(dx)], axis=-1)
+        # cone: exact uniform area — circumference ~ (1 - v), so
+        # v = 1 - sqrt(1 - u1) (the reference's cone errors on sample())
+        h_cone = jnp.abs(par[:, 1])
+        v_cn = 1.0 - jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+        r_cn = radius * (1.0 - v_cn)
+        p_cn = jnp.stack([r_cn * cphi, r_cn * sphi, v_cn * h_cone], axis=-1)
+        k_cn = (radius / jnp.maximum(h_cone, 1e-9)) ** 2
+        n_cn = jnp.stack([p_cn[:, 0], p_cn[:, 1], k_cn * (h_cone - p_cn[:, 2])], axis=-1)
+        n_cn = _norm(n_cn)
+        # paraboloid: density ~ r(z) = sqrt(z) (slant factor neglected;
+        # the reference errors on sample() entirely)
+        zlo = jnp.maximum(par[:, 1], 0.0)
+        zhi = jnp.maximum(par[:, 2], 1e-9)
+        z15 = zlo ** 1.5 + u1 * (zhi ** 1.5 - zlo ** 1.5)
+        z_p = jnp.maximum(z15, 0.0) ** (2.0 / 3.0)
+        r_p = radius * jnp.sqrt(z_p / zhi)
+        p_pa = jnp.stack([r_p * cphi, r_p * sphi, z_p], axis=-1)
+        k_pa = zhi / jnp.maximum(radius * radius, 1e-20)
+        n_pa = _norm(jnp.stack([2.0 * k_pa * p_pa[:, 0], 2.0 * k_pa * p_pa[:, 1],
+                                -jnp.ones_like(z_p)], axis=-1))
         p_obj = jnp.where(is_disk[:, None], p_dsk, jnp.where(is_cyl[:, None], p_cyl, p_sph))
+        p_obj = jnp.where(is_cone[:, None], p_cn, jnp.where(is_para[:, None], p_pa, p_obj))
         n_obj = jnp.where(is_disk[:, None], n_dsk, jnp.where(is_cyl[:, None], n_cyl, n_sph))
+        n_obj = jnp.where(is_cone[:, None], n_cn, jnp.where(is_para[:, None], n_pa, n_obj))
         ps = _xform_point(o2w, p_obj)
         ns = _norm(xf_vector_t(w2o[:, :, :3], n_obj))
         ns = jnp.where(((flags & 1) != 0)[:, None], -ns, ns)

@@ -185,7 +185,9 @@ def render_mlt(cs, seed: int = 0, progress=None):
                 sval_n * wn_rep[:, None] if spx_n.shape[0] else sval_n,
                 sval_o * wo_rep[:, None] if spx_o.shape[0] else sval_o,
             ])
-            fs = jax.ops.segment_sum(contrib_v, contrib_px, num_segments=n_pix + 1)[:n_pix]
+            fs = jnp.stack(
+                [jax.ops.segment_sum(contrib_v[:, ch], contrib_px, num_segments=n_pix + 1)[:n_pix]
+                 for ch in range(3)], axis=-1)
 
             u_key = rng.pcg_hash(key2 + jnp.uint32(0x165667B1))
             accept = rng.u32_to_float(u_key) < a

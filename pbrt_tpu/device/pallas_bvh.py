@@ -119,46 +119,40 @@ def _traverse_kernel(nodes_ref, prims_ref, rays_ref, out_ref,
         m1 = jnp.sum(rr[11:12, 0:1])
         m2f = jnp.sum(rr[12:13, 0:1])
 
-        # seed: the root rides the pipeline carry directly; stack empty
-        sp_ref[0] = 0
+        # seed: a one-child group holding the (packed) root meta
+        stack_ref[0] = 1  # mask = bit 0, dir = 0
+        vstack_ref[pl.ds(0, 8), 0:1] = jnp.where(iota8c == 0, jnp.float32(root), 0.0)
+        sp_ref[0] = 1
         best_ref[0:1, :] = t_max
         best_ref[1:2, :] = jnp.full((1, PACKET), -1.0, F32)
 
-        # SOFTWARE-PIPELINED traversal: iteration i PROCESSES the entry
-        # popped at iteration i-1 (carried as the scalar e_cur) while
-        # popping the entry for iteration i+1. The pop's vector->scalar
-        # meta extract (~90ns) and the node fetch + box test of the
-        # current entry are independent, so the scalar and vector units
-        # overlap instead of serializing. The visit order is "one-behind"
-        # DFS — children pushed by the current entry are visited after the
-        # already-popped next entry — which only makes t-pruning one step
-        # stale (correctness unaffected for closest-hit and any-hit).
-        # sp and e ride the loop carry: a cond() reading SMEM directly
-        # never observes predicated-phase updates in interpret mode.
+        # sp is mirrored through the loop carry: a cond() that reads the
+        # SMEM ref directly never observes the predicated-phase updates in
+        # interpret mode (the carried value costs nothing compiled). The
+        # iteration cap is a safety valve only. (A software-pipelined
+        # "process previous entry while popping the next" variant was
+        # measured 8% SLOWER — Mosaic does not overlap the scalar extract
+        # with the vector phases, and the one-behind order weakens
+        # t-pruning — so the straightforward pop-then-process order stays.)
         def cond(state):
-            it, sp, e_cur = state
-            return ((sp > 0) | (e_cur != 0)) & (it < 1_000_000)
+            it, sp = state
+            return (sp > 0) & (it < 1_000_000)
 
         def body(state):
-            it, _sp_in, e = state
-            # --- pop the NEXT entry (scalar unit; overlaps the vector work
-            # below). An empty stack yields the e=0 sentinel.
+            it, _sp_in = state
             sp = sp_ref[0]
-            has = sp > 0
-            sp_i = jnp.maximum(sp, 1)
-            top = stack_ref[sp_i - 1]
-            m = jnp.where(has, top & 255, 0)
+            top = stack_ref[sp - 1]
+            m = top & 255
             dirb = top >> 8
             k = jnp.where(dirb > 0, _high_bit_index(m), _low_bit_index(m))
             m2 = m & (~(1 << k))
-            stack_ref[sp_i - 1] = jnp.where(has, m2 | (dirb << 8), top)
-            sp_pop = jnp.where(has & (m2 == 0), sp - 1, sp)
+            stack_ref[sp - 1] = m2 | (dirb << 8)
+            sp_pop = jnp.where(m2 == 0, sp - 1, sp)
             sp_ref[0] = sp_pop
-            mv = vstack_ref[pl.ds((sp_i - 1) * 8, 8), 0:1]  # (8,1)
-            e_next = jnp.where(
-                has, jnp.sum(jnp.where(iota8c == k, mv, 0.0)).astype(I32), 0)
 
-            # --- process the CURRENT entry (popped last iteration)
+            # this child's meta, from the vstack group of the popped slot
+            mv = vstack_ref[pl.ds((sp - 1) * 8, 8), 0:1]  # (8,1)
+            e = jnp.sum(jnp.where(iota8c == k, mv, 0.0)).astype(I32)
             is_int = e > 0
 
             @pl.when(is_int)
@@ -242,16 +236,13 @@ def _traverse_kernel(nodes_ref, prims_ref, rays_ref, out_ref,
                 best_ref[1:2, :] = jnp.where(improved, snew, slot)
 
                 if any_hit:
-                    # stop once every live lane has an occluder: -1 is the
-                    # hard-stop sentinel (also drops the pipelined entry)
+                    # stop once every live lane has an occluder
                     missing = jnp.max(jnp.where(live & (best_ref[1:2, :] < 0), 1.0, 0.0))
-                    sp_ref[0] = jnp.where(missing > 0, sp_ref[0], -1)
+                    sp_ref[0] = jnp.where(missing > 0, sp_ref[0], 0)
 
-            # any_hit early-exit sets sp_ref to -1; drop the pending entry
-            e_carry = jnp.where(sp_ref[0] < 0, 0, e_next)
-            return it + 1, sp_ref[0], e_carry
+            return it + 1, sp_ref[0]
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(root)))
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
         out_ref[g, 0:1, :] = best_ref[0:1, :]
         out_ref[g, 1:2, :] = best_ref[1:2, :]
         return 0

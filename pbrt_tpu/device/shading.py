@@ -8,9 +8,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..scene.arrays import GEOM_TRI, QUADRIC_CYLINDER, QUADRIC_DISK, SceneArrays
+from ..scene.arrays import (
+    GEOM_TRI, QUADRIC_CONE, QUADRIC_CYLINDER, QUADRIC_DISK, QUADRIC_PARABOLOID, SceneArrays,
+)
 from .gather import gather_rows
-from .affine import xf_vector, xf_vector_t
+from .affine import xf_point as xf_point_b, xf_vector, xf_vector_t
 from .intersect import _xform_point
 
 F32 = jnp.float32
@@ -61,6 +63,7 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
     dpdu = jnp.zeros((R, 3), F32)
     dpdv = jnp.zeros((R, 3), F32)
 
+    has_inst = sa.prim_inst is not None and sa.inst_i2w is not None and sa.inst_i2w.shape[0] > 1
     if sa.tri_p.shape[0] > 0:
         ti = jnp.where(is_tri, geom, 0)
         tv = gather_rows(sa.tri_p, ti)  # (R, 3, 3)
@@ -68,6 +71,20 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
             tv = tv + time[:, None, None] * (gather_rows(sa.tri_p_end, ti) - tv)
         tn = gather_rows(sa.tri_n, ti)
         tuv = gather_rows(sa.tri_uv, ti)
+        if has_inst:
+            # instanced prims store instance-space vertices/normals: bring
+            # the shading geometry to world (normals via (w2i)^T)
+            iid = gather_rows(sa.prim_inst, prim)
+            i2w = gather_rows(sa.inst_i2w, iid)  # (R, 3, 4)
+            w2i = gather_rows(sa.inst_w2i, iid)
+            tv = jnp.stack([
+                xf_point_b(i2w, tv[:, 0]), xf_point_b(i2w, tv[:, 1]), xf_point_b(i2w, tv[:, 2])
+            ], axis=1)
+            tn = jnp.stack([
+                xf_vector_t(w2i[:, :, :3], tn[:, 0]),
+                xf_vector_t(w2i[:, :, :3], tn[:, 1]),
+                xf_vector_t(w2i[:, :, :3], tn[:, 2]),
+            ], axis=1)
         b1 = hit["b1"]
         b2 = hit["b2"]
         b0 = 1.0 - b1 - b2
@@ -110,22 +127,37 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
         qk = gather_rows(sa.sph_kind, si)
         is_cyl = qk == QUADRIC_CYLINDER
         is_disk = qk == QUADRIC_DISK
+        is_cone = qk == QUADRIC_CONE
+        is_para = qk == QUADRIC_PARABOLOID
+        is_sph = ~(is_cyl | is_disk | is_cone | is_para)
         radius = par[:, 0]
         p_obj = _xform_point(w2o, p)
         # re-project to the surface per kind (sphere.rs / cylinder.rs; disks
-        # snap z to the plane height)
+        # snap z to the plane height; cone/paraboloid keep the raw point)
         r_sph = radius / jnp.maximum(jnp.linalg.norm(p_obj, axis=-1), 1e-30)
         r_cyl = radius / jnp.maximum(jnp.sqrt(p_obj[:, 0] ** 2 + p_obj[:, 1] ** 2), 1e-30)
-        scale = jnp.where(is_disk, 1.0, jnp.where(is_cyl, r_cyl, r_sph))
-        z_new = jnp.where(is_disk, par[:, 1], jnp.where(is_cyl, p_obj[:, 2], p_obj[:, 2] * r_sph))
+        scale = jnp.where(is_sph, r_sph, jnp.where(is_cyl, r_cyl, 1.0))
+        z_new = jnp.where(is_disk, par[:, 1], jnp.where(is_sph, p_obj[:, 2] * r_sph, p_obj[:, 2]))
         p_obj = jnp.stack([p_obj[:, 0] * scale, p_obj[:, 1] * scale, z_new], axis=-1)
-        # object normal per kind
+        # object normal per kind (implicit-surface gradients)
         n_sph = p_obj / radius[:, None]
         zero = jnp.zeros_like(radius)
         one = jnp.ones_like(radius)
         n_cyl = jnp.stack([p_obj[:, 0] / radius, p_obj[:, 1] / radius, zero], axis=-1)
         n_dsk = jnp.stack([zero, zero, one], axis=-1)
+        # cone: grad(x^2+y^2-k(z-h)^2) with k=(r/h)^2 -> (x, y, k(h-z))
+        k_cone = (radius / jnp.maximum(jnp.abs(par[:, 1]), 1e-12)) ** 2
+        n_cone = jnp.stack([p_obj[:, 0], p_obj[:, 1],
+                            k_cone * (par[:, 1] - p_obj[:, 2])], axis=-1)
+        n_cone = n_cone / jnp.maximum(jnp.linalg.norm(n_cone, axis=-1, keepdims=True), 1e-20)
+        # paraboloid: outward = (x, y, -(x^2+y^2)/(2z)) ~ (2kx, 2ky, -1)
+        k_para = par[:, 2] / jnp.maximum(radius * radius, 1e-20)
+        n_para = jnp.stack([2.0 * k_para * p_obj[:, 0], 2.0 * k_para * p_obj[:, 1],
+                            -one], axis=-1)
+        n_para = n_para / jnp.maximum(jnp.linalg.norm(n_para, axis=-1, keepdims=True), 1e-20)
         n_obj = jnp.where(is_disk[:, None], n_dsk, jnp.where(is_cyl[:, None], n_cyl, n_sph))
+        n_obj = jnp.where(is_cone[:, None], n_cone, n_obj)
+        n_obj = jnp.where(is_para[:, None], n_para, n_obj)
         ng_s = _normalize(xf_vector_t(w2o[:, :, :3], n_obj))
         flip = (flags & FLAG_FLIP_GEOM_N) != 0
         ng_s = jnp.where(flip[:, None], -ng_s, ng_s)
@@ -142,7 +174,10 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
         v_cyl = (p_obj[:, 2] - par[:, 1]) / jnp.maximum(par[:, 2] - par[:, 1], 1e-9)
         r_hit = jnp.sqrt(jnp.maximum(p_obj[:, 0] ** 2 + p_obj[:, 1] ** 2, 1e-20))
         v_dsk = 1.0 - (r_hit - par[:, 2]) / jnp.maximum(radius - par[:, 2], 1e-9)
+        v_cone = p_obj[:, 2] / jnp.maximum(jnp.abs(par[:, 1]), 1e-9)  # z / height
+        v_para = (p_obj[:, 2] - par[:, 1]) / jnp.maximum(par[:, 2] - par[:, 1], 1e-9)
         v_s = jnp.where(is_disk, v_dsk, jnp.where(is_cyl, v_cyl, v_sph))
+        v_s = jnp.where(is_cone, v_cone, jnp.where(is_para, v_para, v_s))
         uv_s = jnp.stack([u_s, v_s], axis=-1)
         # analytic dpdu/dpdv in object space -> world
         zr = jnp.sqrt(jnp.maximum(p_obj[:, 0] ** 2 + p_obj[:, 1] ** 2, 1e-20))
@@ -154,7 +189,17 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
         dpdv_cyl = jnp.stack([zero, zero, par[:, 2] - par[:, 1]], axis=-1)
         dpdv_dsk = jnp.stack([p_obj[:, 0], p_obj[:, 1], zero], axis=-1) * \
             ((par[:, 2] - radius) / r_hit)[:, None]
+        # cone.rs:115 dpdv = (-x/(1-v), -y/(1-v), h)
+        omv = jnp.maximum(1.0 - v_cone, 1e-6)
+        dpdv_cone = jnp.stack([-p_obj[:, 0] / omv, -p_obj[:, 1] / omv,
+                               jnp.abs(par[:, 1]) + zero], axis=-1)
+        # paraboloid.rs:116 dpdv = (x/2z, y/2z, 1) * (zmax - zmin)
+        z2 = jnp.maximum(2.0 * jnp.abs(p_obj[:, 2]), 1e-9) * jnp.sign(p_obj[:, 2] + 1e-30)
+        dpdv_para = jnp.stack([p_obj[:, 0] / z2, p_obj[:, 1] / z2, one], axis=-1) * \
+            (par[:, 2] - par[:, 1])[:, None]
         dpdv_o = jnp.where(is_disk[:, None], dpdv_dsk, jnp.where(is_cyl[:, None], dpdv_cyl, dpdv_sph))
+        dpdv_o = jnp.where(is_cone[:, None], dpdv_cone, dpdv_o)
+        dpdv_o = jnp.where(is_para[:, None], dpdv_para, dpdv_o)
         dpdu_s = xf_vector(o2w[:, :, :3], dpdu_o)
         dpdv_s = xf_vector(o2w[:, :, :3], dpdv_o)
         ng = jnp.where(is_tri[:, None], ng, ng_s)

@@ -286,7 +286,13 @@ def _photon_pass(sa, static, icfg, seed, it, n_photons, power_cdf, vp, radius,
             phv = jnp.concatenate(contrib_phi)
             phv = jnp.where(jnp.isfinite(phv), phv, 0.0)
             mv = jnp.concatenate(contrib_m)
-            phi = phi + jax.ops.segment_sum(phv, idx, num_segments=R + 1)[:R]
+            # per-channel 1D segment sums: a (N, 3) scatter pads each row to
+            # the 128-lane tile in HLO temps (~42x memory, OOMs the 60-iter
+            # caustic-glass run); 1D scatters stay dense
+            phi = phi + jnp.stack(
+                [jax.ops.segment_sum(phv[:, ch], idx, num_segments=R + 1)[:R] for ch in range(3)],
+                axis=-1,
+            )
             m_cnt = m_cnt + jax.ops.segment_sum(mv.astype(F32), idx, num_segments=R + 1)[:R]
 
         if b == max_depth - 1:

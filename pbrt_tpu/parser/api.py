@@ -797,6 +797,19 @@ class API:
         if name == "cone":
             return [
                 ShapeRecord(
+                    sphere=Sphere(
+                        kind="cone",
+                        object_to_world=o2w,
+                        radius=params.find_one_float("radius", 1.0),
+                        height=params.find_one_float("height", 1.0),
+                        phi_max=math.radians(np.clip(params.find_one_float("phimax", 360.0), 0.0, 360.0)),
+                        reverse_orientation=rev,
+                    )
+                )
+            ]
+        if name == "__cone_tessellated":
+            return [
+                ShapeRecord(
                     mesh=host.tessellate_cone(
                         o2w,
                         params.find_one_float("height", 1.0),
@@ -809,13 +822,14 @@ class API:
         if name == "paraboloid":
             return [
                 ShapeRecord(
-                    mesh=host.tessellate_paraboloid(
-                        o2w,
-                        params.find_one_float("radius", 1.0),
-                        params.find_one_float("zmin", 0.0),
-                        params.find_one_float("zmax", 1.0),
-                        math.radians(np.clip(params.find_one_float("phimax", 360.0), 0.0, 360.0)),
-                        rev,
+                    sphere=Sphere(
+                        kind="paraboloid",
+                        object_to_world=o2w,
+                        radius=params.find_one_float("radius", 1.0),
+                        z_min=params.find_one_float("zmin", 0.0),
+                        z_max=params.find_one_float("zmax", 1.0),
+                        phi_max=math.radians(np.clip(params.find_one_float("phimax", 360.0), 0.0, 360.0)),
+                        reverse_orientation=rev,
                     )
                 )
             ]
@@ -981,12 +995,27 @@ class API:
         if prims is None:
             log.error("unable to find instance named '%s'", name)
             return
-        # Expand: instance-to-world transform applied on top of the geometry's
-        # creation transform (reference wraps in TransformedPrimitive,
-        # api.rs:1672-1710; we flatten since the BVH is rebuilt per scene).
+        # Instance reuse (reference TransformedPrimitive, api.rs:1672-1710):
+        # meshes are SHARED between instances — the prim references the
+        # prototype's vertex rows and carries the instance transform, so N
+        # instances of a mesh cost N prim-row sets, not N vertex copies.
+        # Quadrics compose the transform into their o2w (zero extra memory).
         i2w = self.ctm[0]
+        identity = i2w.is_identity() if hasattr(i2w, "is_identity") else False
         for prim in prims:
-            self.render_options.primitives.append(_transform_primitive(prim, i2w))
+            if prim.shape.mesh is not None and not identity:
+                self.render_options.primitives.append(
+                    HostPrimitive(
+                        shape=prim.shape,  # shared prototype mesh
+                        material=prim.material,
+                        area_light=prim.area_light,
+                        inside_medium=prim.inside_medium,
+                        outside_medium=prim.outside_medium,
+                        instance_transform=i2w,
+                    )
+                )
+            else:
+                self.render_options.primitives.append(_transform_primitive(prim, i2w))
 
     # -- finish -------------------------------------------------------------
     def world_end(self):
@@ -1221,6 +1250,9 @@ def _transform_primitive(prim: HostPrimitive, i2w: Transform) -> HostPrimitive:
                 z_max=sph.z_max,
                 phi_max=sph.phi_max,
                 reverse_orientation=sph.reverse_orientation,
+                kind=getattr(sph, "kind", "sphere"),
+                height=getattr(sph, "height", 0.0),
+                inner_radius=getattr(sph, "inner_radius", 0.0),
             )
         )
     return HostPrimitive(

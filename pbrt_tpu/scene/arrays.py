@@ -26,6 +26,8 @@ GEOM_SPHERE = 1  # any analytic quadric row (see QUADRIC_* for the sub-kind)
 QUADRIC_SPHERE = 0
 QUADRIC_CYLINDER = 1
 QUADRIC_DISK = 2
+QUADRIC_CONE = 3
+QUADRIC_PARABOLOID = 4
 
 # material kind ids
 MAT_NONE = 0
@@ -152,6 +154,10 @@ class SceneArrays:
     light_images: dict = field(default_factory=dict)  # "lim{i}" -> (H, W, 3) f32 (gonio/projection maps)
     fourier: dict = field(default_factory=dict)  # stacked FourierBSDF tables (device/fourier.py)
     tex_param: jax.Array | None = None  # (X, 24) f32 per-texture params
+    # --- instance reuse (TransformedPrimitive, primitive.rs:41-103) ---
+    prim_inst: jax.Array | None = None  # (P,) i32 instance id (0 = identity)
+    inst_i2w: jax.Array | None = None  # (I, 3, 4) instance-to-world
+    inst_w2i: jax.Array | None = None  # (I, 3, 4) world-to-instance
     # --- tabulated BSSRDF per-material rows (None when no SSS materials);
     # albedo axis folded at compile time (core/bssrdf.py, bssrdf.rs tables) ---
     sss_prof: jax.Array | None = None  # (M, 3, 64) radial profile rows
@@ -229,7 +235,8 @@ class SceneStatic:
     camera_medium: int = -1
     has_null_material: bool = False  # scene contains medium-boundary prims
     has_sss_media: bool = False
-    has_tab_sss: bool = False  # implicit subsurface interior media present
+    has_tab_sss: bool = False
+    has_instances: bool = False  # implicit subsurface interior media present
     sss_media: tuple = ()  # medium ids that are subsurface interiors
     light_image_keys: tuple = ()  # per light: "lim{i}" key or None
     light_kinds: tuple = ()  # static LIGHT_* per light row

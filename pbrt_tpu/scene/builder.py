@@ -20,8 +20,10 @@ import jax.numpy as jnp
 from ..core.spectrum import y_of_rgb
 from .arrays import (
     GEOM_SPHERE,
+    QUADRIC_CONE,
     QUADRIC_CYLINDER,
     QUADRIC_DISK,
+    QUADRIC_PARABOLOID,
     QUADRIC_SPHERE,
     LIGHT_GONIO,
     LIGHT_PROJECTION,
@@ -171,11 +173,25 @@ def _geom_to_prim_map(prim_kind, prim_geom, kind_id, n_geom):
 
 
 def _quadric_area(sph, qkind):
-    """Analytic surface areas (sphere.rs / cylinder.rs / disk.rs area())."""
+    """Analytic surface areas (sphere.rs / cylinder.rs / disk.rs / cone.rs /
+    paraboloid.rs area())."""
     if qkind == QUADRIC_DISK:
         return sph.phi_max * 0.5 * (sph.radius ** 2 - sph.inner_radius ** 2)
     if qkind == QUADRIC_CYLINDER:
         return sph.phi_max * sph.radius * abs(sph.z_max - sph.z_min)
+    if qkind == QUADRIC_CONE:
+        # cone.rs:219-221: r * sqrt(h^2 + r^2) * phimax / 2
+        return sph.radius * np.sqrt(sph.height ** 2 + sph.radius ** 2) * sph.phi_max / 2.0
+    if qkind == QUADRIC_PARABOLOID:
+        # paraboloid.rs:221-227
+        r2 = sph.radius ** 2
+        zmax = max(sph.z_min, sph.z_max)
+        zmin = min(sph.z_min, sph.z_max)
+        if zmax <= 0:
+            return 0.0
+        k = 4.0 * zmax / r2
+        return (r2 * r2 * sph.phi_max / (12.0 * zmax * zmax)) * (
+            (k * zmax + 1.0) ** 1.5 - (k * zmin + 1.0) ** 1.5)
     # sphere: phi_max * radius * (zmax - zmin)
     return sph.phi_max * sph.radius * (np.clip(sph.z_max, -sph.radius, sph.radius) - np.clip(sph.z_min, -sph.radius, sph.radius))
 
@@ -398,6 +414,15 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             _sss_table_cache[key] = compute_beam_diffusion_table(g, eta)
         return _sss_table_cache[key]
 
+    # instance transform tables (primitive.rs TransformedPrimitive): row 0 is
+    # the identity; instanced mesh prims reference shared geometry rows and
+    # carry an instance id, so N instances cost N prim-row sets, not N
+    # vertex-table copies
+    inst_i2w_rows = [np.eye(4)[:3, :]]
+    inst_w2i_rows = [np.eye(4)[:3, :]]
+    prim_inst: list[int] = []
+    _mesh_rows: dict[int, tuple] = {}  # id(mesh) -> (t0, t, pv, areas, flags)
+
     for prim in desc.primitives:
         mid = material_id(prim.material)
         if prim.material.kind in ("subsurface", "kdsubsurface"):
@@ -405,62 +430,94 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         sh = prim.shape
         if sh.mesh is not None:
             mesh = sh.mesh
-            v = np.asarray(mesh.p, dtype=np.float64)
-            f = np.asarray(mesh.indices, dtype=np.int64)
-            pv = v[f]  # (t, 3, 3)
-            if mesh.p_end is not None:
-                pv_end = np.asarray(mesh.p_end, dtype=np.float64)[f]
-                any_motion = True
-            else:
-                pv_end = pv
-            e1 = pv[:, 1] - pv[:, 0]
-            e2 = pv[:, 2] - pv[:, 0]
-            gn = np.cross(e1, e2)
-            areas = 0.5 * np.linalg.norm(gn, axis=-1)
-            flags = 0
-            if mesh.reverse_orientation ^ mesh.transform_swaps_handedness:
-                flags |= FLAG_FLIP_GEOM_N
-            if mesh.reverse_orientation:
-                flags |= FLAG_REVERSE_ORIENTATION
-            if mesh.n is not None:
-                flags |= FLAG_HAS_SHADING_N
-                nv = np.asarray(mesh.n, dtype=np.float64)[f]
-            else:
-                gnn = gn / np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-30)
-                if flags & FLAG_FLIP_GEOM_N:
-                    gnn = -gnn
-                nv = np.repeat(gnn[:, None, :], 3, axis=1)
-            if mesh.uv is not None:
-                flags |= FLAG_HAS_UV
-                uvv = np.asarray(mesh.uv, dtype=np.float64)[f]
-            else:
-                uvv = np.broadcast_to(np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]), (len(f), 3, 2)).copy()
+            inst_t = prim.instance_transform
+            cached = _mesh_rows.get(id(mesh)) if inst_t is not None else None
+            if cached is None:
+                v = np.asarray(mesh.p, dtype=np.float64)
+                f = np.asarray(mesh.indices, dtype=np.int64)
+                pv = v[f]  # (t, 3, 3)
+                if mesh.p_end is not None:
+                    pv_end = np.asarray(mesh.p_end, dtype=np.float64)[f]
+                    any_motion = True
+                else:
+                    pv_end = pv
+                e1 = pv[:, 1] - pv[:, 0]
+                e2 = pv[:, 2] - pv[:, 0]
+                gn = np.cross(e1, e2)
+                areas = 0.5 * np.linalg.norm(gn, axis=-1)
+                flags = 0
+                if mesh.reverse_orientation ^ mesh.transform_swaps_handedness:
+                    flags |= FLAG_FLIP_GEOM_N
+                if mesh.reverse_orientation:
+                    flags |= FLAG_REVERSE_ORIENTATION
+                if mesh.n is not None:
+                    flags |= FLAG_HAS_SHADING_N
+                    nv = np.asarray(mesh.n, dtype=np.float64)[f]
+                else:
+                    gnn = gn / np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-30)
+                    if flags & FLAG_FLIP_GEOM_N:
+                        gnn = -gnn
+                    nv = np.repeat(gnn[:, None, :], 3, axis=1)
+                if mesh.uv is not None:
+                    flags |= FLAG_HAS_UV
+                    uvv = np.asarray(mesh.uv, dtype=np.float64)[f]
+                else:
+                    uvv = np.broadcast_to(np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]), (len(f), 3, 2)).copy()
 
-            t = len(f)
-            t0 = sum(len(c) for c in tri_p)
-            tri_p.append(pv)
-            tri_p_e.append(pv_end)
-            tri_n.append(nv)
-            tri_uv.append(uvv)
+                t = len(f)
+                t0 = sum(len(c) for c in tri_p)
+                tri_p.append(pv)
+                tri_p_e.append(pv_end)
+                tri_n.append(nv)
+                tri_uv.append(uvv)
+                if inst_t is not None:
+                    _mesh_rows[id(mesh)] = (t0, t, pv, areas, flags)
+            else:
+                t0, t, pv, areas, flags = cached
+
+            if inst_t is not None:
+                iid = len(inst_i2w_rows)
+                inst_i2w_rows.append(inst_t.m[:3, :])
+                inst_w2i_rows.append(inst_t.inverse().m[:3, :])
+                flags_p = flags ^ (FLAG_FLIP_GEOM_N if inst_t.swaps_handedness() else 0)
+                # world bounds: transform the instance-space triangle verts
+                pv_w = inst_t.xpoint(pv.reshape(-1, 3)).reshape(-1, 3, 3)
+                lo_rows = pv_w.min(axis=1)
+                hi_rows = pv_w.max(axis=1)
+            else:
+                iid = 0
+                flags_p = flags
+                pv_w = pv
+                lo_rows = None  # filled below from pv/pv_end
+
             base_prim = len(prim_kind)
             light_ids = np.full(t, -1, dtype=np.int64)
             if prim.area_light is not None:
-                light_ids = np.arange(len(lights), len(lights) + t)
-                lp = np.zeros(12)
-                lp[0:3] = prim.area_light.intensity
-                lp[3] = 1.0 if prim.area_light.two_sided else 0.0
-                for ti in range(t):
-                    lights.append((LIGHT_AREA, lp, base_prim + ti))
-                    light_w2l_rows.append(np.eye(4)[:3, :])
-                    light_image_keys.append(None)
+                if inst_t is not None:
+                    log.warning("area lights on instanced prototypes are not supported (dropped)")
+                else:
+                    light_ids = np.arange(len(lights), len(lights) + t)
+                    lp = np.zeros(12)
+                    lp[0:3] = prim.area_light.intensity
+                    lp[3] = 1.0 if prim.area_light.two_sided else 0.0
+                    for ti in range(t):
+                        lights.append((LIGHT_AREA, lp, base_prim + ti))
+                        light_w2l_rows.append(np.eye(4)[:3, :])
+                        light_image_keys.append(None)
             prim_kind.extend([GEOM_TRI] * t)
             prim_geom.extend(range(t0, t0 + t))
             prim_mat.extend([mid] * t)
             prim_light.extend(light_ids.tolist())
-            prim_flags.extend([flags] * t)
+            prim_flags.extend([flags_p] * t)
             prim_area.extend(areas.tolist())
-            prim_lo.extend(np.minimum(pv.min(axis=1), pv_end.min(axis=1)))
-            prim_hi.extend(np.maximum(pv.max(axis=1), pv_end.max(axis=1)))
+            prim_inst.extend([iid] * t)
+            if lo_rows is not None:
+                prim_lo.extend(lo_rows)
+                prim_hi.extend(hi_rows)
+            else:
+                pv_end_b = tri_p_e[-1] if len(tri_p_e) else pv
+                prim_lo.extend(np.minimum(pv.min(axis=1), pv_end_b.min(axis=1)))
+                prim_hi.extend(np.maximum(pv.max(axis=1), pv_end_b.max(axis=1)))
             prim_medium.extend([[medium_id(prim.inside_medium), medium_id(prim.outside_medium)]] * t)
             # alpha / shadow-alpha cutout masks (triangle.rs:29-30)
             a_id = tex_reg.register(mesh.alpha_texture) if mesh.alpha_texture is not None else -1
@@ -482,7 +539,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
                 sph_w2o_e.append(w2o.m[:3, :])
                 sph_o2w_e.append(o2w.m[:3, :])
             qkind = {"sphere": QUADRIC_SPHERE, "cylinder": QUADRIC_CYLINDER,
-                     "disk": QUADRIC_DISK}[getattr(sph, "kind", "sphere")]
+                     "disk": QUADRIC_DISK, "cone": QUADRIC_CONE,
+                     "paraboloid": QUADRIC_PARABOLOID}[getattr(sph, "kind", "sphere")]
             sph_kind_l.append(qkind)
             if qkind == QUADRIC_SPHERE:
                 zmin = np.clip(min(sph.z_min, sph.z_max), -sph.radius, sph.radius)
@@ -491,6 +549,12 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
                 theta_max = np.arccos(np.clip(zmax / sph.radius, -1.0, 1.0))
                 sph_param.append([sph.radius, zmin, zmax, sph.phi_max, theta_min, theta_max])
             elif qkind == QUADRIC_CYLINDER:
+                zmin = min(sph.z_min, sph.z_max)
+                zmax = max(sph.z_min, sph.z_max)
+                sph_param.append([sph.radius, zmin, zmax, sph.phi_max, 0.0, 0.0])
+            elif qkind == QUADRIC_CONE:
+                sph_param.append([sph.radius, sph.height, 0.0, sph.phi_max, 0.0, 0.0])
+            elif qkind == QUADRIC_PARABOLOID:
                 zmin = min(sph.z_min, sph.z_max)
                 zmax = max(sph.z_min, sph.z_max)
                 sph_param.append([sph.radius, zmin, zmax, sph.phi_max, 0.0, 0.0])
@@ -512,6 +576,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
                 light_w2l_rows.append(np.eye(4)[:3, :])
                 light_image_keys.append(None)
             prim_kind.append(GEOM_SPHERE)
+            prim_inst.append(0)
             prim_geom.append(si)
             prim_mat.append(mid)
             prim_light.append(light_id)
@@ -522,6 +587,12 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             if qkind == QUADRIC_SPHERE:
                 obj_lo, obj_hi = [-sph.radius] * 3, [sph.radius] * 3
             elif qkind == QUADRIC_CYLINDER:
+                obj_lo = [-sph.radius, -sph.radius, min(sph.z_min, sph.z_max)]
+                obj_hi = [sph.radius, sph.radius, max(sph.z_min, sph.z_max)]
+            elif qkind == QUADRIC_CONE:
+                obj_lo = [-sph.radius, -sph.radius, 0.0]
+                obj_hi = [sph.radius, sph.radius, sph.height]
+            elif qkind == QUADRIC_PARABOLOID:
                 obj_lo = [-sph.radius, -sph.radius, min(sph.z_min, sph.z_max)]
                 obj_hi = [sph.radius, sph.radius, max(sph.z_min, sph.z_max)]
             else:
@@ -545,6 +616,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         tri_n.append(np.tile(np.array([0.0, 0.0, 1.0]), (1, 3, 1)))
         tri_uv.append(np.zeros((1, 3, 2)))
         prim_kind.append(GEOM_TRI)
+        prim_inst.append(0)
         prim_geom.append(0)
         prim_mat.append(0)
         prim_light.append(-1)
@@ -570,7 +642,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     wr = float(np.linalg.norm(whi - wc)) + 1e-4
 
     # --- BVH -------------------------------------------------------------------
-    use_brute = n_prims <= BRUTE_FORCE_MAX_PRIMS
+    use_brute = n_prims <= BRUTE_FORCE_MAX_PRIMS and len(inst_i2w_rows) == 1
     max_leaf = desc.accelerator_params.get("maxnodeprims", 4)
     bvh = build_bvh(np.asarray(prim_lo) if n_prims else np.zeros((0, 3)), np.asarray(prim_hi) if n_prims else np.zeros((0, 3)), max_leaf)
 
@@ -746,6 +818,9 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         log.warning("unknown accelerator '%s'; using bvh", accel_kind)
         accel_kind = "bvh"
     kd = None
+    if accel_kind == "kdtree" and len(inst_i2w_rows) > 1:
+        log.warning("kd-tree accelerator does not support instancing; using bvh")
+        accel_kind = "bvh"
     if accel_kind == "kdtree" and not use_brute and n_prims:
         from .kdtree import build_kdtree
 
@@ -762,6 +837,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         and accel_kind == "bvh"
         and not any_motion
         and len(sph_o2w) == 0
+        and len(inst_i2w_rows) == 1
         and bool(np.all(np.asarray(prim_kind) == GEOM_TRI))
     ):
         from .widebvh import build_wide_bvh
@@ -832,6 +908,9 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         kd_lo=jnp.asarray(kd.bounds_lo.astype(np.float32)) if kd is not None else None,
         kd_hi=jnp.asarray(kd.bounds_hi.astype(np.float32)) if kd is not None else None,
         prim_alpha_tex=jnp.asarray(np.asarray(prim_alpha, dtype=np.int32)),
+        prim_inst=jnp.asarray(np.asarray(prim_inst, dtype=np.int32)),
+        inst_i2w=jnp.asarray(np.asarray(inst_i2w_rows, dtype=np.float32).reshape(-1, 3, 4)),
+        inst_w2i=jnp.asarray(np.asarray(inst_w2i_rows, dtype=np.float32).reshape(-1, 3, 4)),
         prim_shadow_alpha_tex=jnp.asarray(np.asarray(prim_shadow_alpha, dtype=np.int32)),
         wnode_tab=jnp.asarray(wide.node_tab) if has_wide else None,
         wprim_tab=jnp.asarray(wide.prim_tab) if has_wide else None,
@@ -860,6 +939,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         has_sss_media=bool(_sss_media),
         sss_media=tuple(med_ids[n] for n in _sss_media.values()),
         has_tab_sss=has_tab_sss,
+        has_instances=len(inst_i2w_rows) > 1,
         has_null_material=any(int(k) == 0 for k in mat_kind[np.asarray(prim_mat, dtype=np.int64)]) if n_prims else False,
         light_image_keys=tuple(light_image_keys),
         light_kinds=tuple(int(l[0]) for l in lights),

@@ -181,6 +181,10 @@ class HostPrimitive:
     area_light: HostLight | None = None
     inside_medium: str = ""
     outside_medium: str = ""
+    # instance reuse (primitive.rs:41-103 TransformedPrimitive): when set,
+    # the mesh vertices stay in INSTANCE space and are shared between all
+    # instances of the prototype; rays are transformed at intersect time
+    instance_transform: object = None  # Transform | None
 
 
 # ---------------------------------------------------------------------------

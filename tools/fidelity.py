@@ -123,6 +123,7 @@ def main():
     desc = pbrt_parse(_stage_spheres_scene())
     spp = 4 if fast else 16
     img = render(desc, spp=spp)
+    np.save("/tmp/pbrt_tpu_fidelity/spheres_render.npy", np.asarray(img))
     # read_image decodes PNG sRGB->linear; re-encode to compare in the
     # golden's own 8-bit sRGB space
     gold = (srgb(read_image(f"{REF}/rendered_scenes/spheres.png")) * 255).astype(np.uint8)
@@ -141,6 +142,7 @@ def main():
     desc.film.x_resolution = 350
     desc.film.y_resolution = 500
     img = render(desc)
+    np.save("/tmp/pbrt_tpu_fidelity/glass_render.npy", np.asarray(img))
     gold = (srgb(read_image(f"{REF}/rendered_scenes/glass.png")) * 255).astype(np.uint8)
     m = compare(img, gold, blur=10)
     m.update(iterations=iters, seconds=round(time.time() - t0, 1),
