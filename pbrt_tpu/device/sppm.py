@@ -42,7 +42,8 @@ from .shading import surface_interaction
 log = logging.getLogger(__name__)
 F32 = jnp.float32
 
-KMAX = 64  # visible points examined per photon deposit (cell scan cap)
+KMAX = 64  # visible points examined per photon deposit chunk
+N_CHUNKS = 6  # chunks scanned per cell run (cap = KMAX * N_CHUNKS = 384)
 GAMMA = 2.0 / 3.0
 
 
@@ -260,40 +261,62 @@ def _photon_pass(sa, static, icfg, seed, it, n_photons, power_cdf, vp, radius,
             lo_k = jnp.searchsorted(sorted_cells, c, side="left")
             hi_k = jnp.searchsorted(sorted_cells, c, side="right")
             overflow = overflow + jnp.sum(
-                jnp.where(alive, jnp.maximum(hi_k - lo_k - KMAX, 0), 0)
+                jnp.where(alive, jnp.maximum(hi_k - lo_k - KMAX * N_CHUNKS, 0), 0)
             )
-            contrib_idx = []
-            contrib_phi = []
-            contrib_m = []
-            for k in range(KMAX):
-                slot = jnp.clip(lo_k + k, 0, sorted_vp.shape[0] - 1)
-                in_run = alive & (lo_k + k < hi_k)
-                v = sorted_vp[slot]
-                dist2 = jnp.sum((vp["p"][v] - si["p"]) ** 2, axis=-1)
-                close = in_run & vp["valid"][v] & (dist2 <= r2[v])
-                # f at the VP: f(wo_vp, wi_photon = -d)
-                wi_ph = -d
-                vlob = {"kind": vp["kind"][v], "data": vp["data"][v], "possible": vp_possible}
-                svp = {"ss": vp["ss"][v], "ts": vp["ts"][v], "ns": vp["ns"][v]}
-                wo_l = _to_local(svp, vp["wo"][v])
-                wi_l = _to_local(svp, wi_ph)
-                refl = _dot(wi_ph, vp["ng"][v]) * _dot(vp["wo"][v], vp["ng"][v]) > 0
-                f_v = bsdf_f(vlob, wo_l, wi_l, refl)
-                contrib_idx.append(jnp.where(close, v, R))
-                contrib_phi.append(jnp.where(close[:, None], f_v * beta, 0.0))
-                contrib_m.append(close)
-            idx = jnp.concatenate(contrib_idx)
-            phv = jnp.concatenate(contrib_phi)
-            phv = jnp.where(jnp.isfinite(phv), phv, 0.0)
-            mv = jnp.concatenate(contrib_m)
-            # per-channel 1D segment sums: a (N, 3) scatter pads each row to
-            # the 128-lane tile in HLO temps (~42x memory, OOMs the 60-iter
-            # caustic-glass run); 1D scatters stay dense
-            phi = phi + jnp.stack(
-                [jax.ops.segment_sum(phv[:, ch], idx, num_segments=R + 1)[:R] for ch in range(3)],
-                axis=-1,
-            )
-            m_cnt = m_cnt + jax.ops.segment_sum(mv.astype(F32), idx, num_segments=R + 1)[:R]
+            wi_ph = -d
+
+            def _deposit_chunk(c_idx, carry):
+                """Scan entries [c_idx*KMAX, (c_idx+1)*KMAX) of every
+                photon's cell run. Dense floor regions hold ~hundreds of
+                VPs per cell (each floor point is covered by ~60 VP radius
+                balls at caustic-glass settings), so a single KMAX window
+                drops most of the caustic energy; chunks beyond the longest
+                outstanding run are skipped via lax.cond."""
+                phi_c, m_c = carry
+                base = c_idx * KMAX
+                contrib_idx = []
+                contrib_phi = []
+                contrib_m = []
+                for k_off in range(KMAX):
+                    k = base + k_off
+                    slot = jnp.clip(lo_k + k, 0, sorted_vp.shape[0] - 1)
+                    in_run = alive & (lo_k + k < hi_k)
+                    v = sorted_vp[slot]
+                    dist2 = jnp.sum((vp["p"][v] - si["p"]) ** 2, axis=-1)
+                    close = in_run & vp["valid"][v] & (dist2 <= r2[v])
+                    # f at the VP: f(wo_vp, wi_photon = -d)
+                    vlob = {"kind": vp["kind"][v], "data": vp["data"][v], "possible": vp_possible}
+                    svp = {"ss": vp["ss"][v], "ts": vp["ts"][v], "ns": vp["ns"][v]}
+                    wo_l = _to_local(svp, vp["wo"][v])
+                    wi_l = _to_local(svp, wi_ph)
+                    refl = _dot(wi_ph, vp["ng"][v]) * _dot(vp["wo"][v], vp["ng"][v]) > 0
+                    f_v = bsdf_f(vlob, wo_l, wi_l, refl)
+                    contrib_idx.append(jnp.where(close, v, R))
+                    contrib_phi.append(jnp.where(close[:, None], f_v * beta, 0.0))
+                    contrib_m.append(close)
+                idx = jnp.concatenate(contrib_idx)
+                phv = jnp.concatenate(contrib_phi)
+                phv = jnp.where(jnp.isfinite(phv), phv, 0.0)
+                mv = jnp.concatenate(contrib_m)
+                # per-channel 1D segment sums: an (N, 3) scatter pads each
+                # row to the 128-lane tile in HLO temps (~42x memory)
+                phi_c = phi_c + jnp.stack(
+                    [jax.ops.segment_sum(phv[:, ch], idx, num_segments=R + 1)[:R] for ch in range(3)],
+                    axis=-1,
+                )
+                m_c = m_c + jax.ops.segment_sum(mv.astype(F32), idx, num_segments=R + 1)[:R]
+                return phi_c, m_c
+
+            max_run = jnp.max(jnp.where(alive, hi_k - lo_k, 0))
+            acc = (phi, m_cnt)
+            for c_idx in range(N_CHUNKS):
+                acc = jax.lax.cond(
+                    max_run > c_idx * KMAX,
+                    lambda a, ci=c_idx: _deposit_chunk(ci, a),
+                    lambda a: a,
+                    acc,
+                )
+            phi, m_cnt = acc
 
         if b == max_depth - 1:
             break
@@ -384,7 +407,7 @@ def render_sppm(cs, seed: int = 0, progress=None):
         phi, m_cnt, overflow = photon_jit(it_j, seed_j, vp, radius, sc, sv, inv_cell)
         ov = int(overflow)
         if ov > 0:
-            log.warning("sppm iter %d: %d photon-VP pairs dropped by KMAX=%d cap", it, ov, KMAX)
+            log.warning("sppm iter %d: %d photon-VP pairs dropped by the %d-entry scan cap", it, ov, KMAX * N_CHUNKS)
 
         # radius/tau update (sppm.rs :470-502)
         has = m_cnt > 0

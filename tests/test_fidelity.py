@@ -1,0 +1,32 @@
+"""Regression gate over the committed FIDELITY.json (tools/fidelity.py).
+
+The fidelity tool renders bundled reference scenes on TPU and records
+blurred-MSE numbers against the reference's own golden PNGs; this test
+pins the committed numbers under their thresholds so fidelity cannot
+silently regress between rounds. (It does not re-render — the renders
+need the TPU and tens of minutes; run `python tools/fidelity.py` to
+refresh the numbers.)"""
+import json
+import os
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_committed_fidelity_numbers():
+    path = os.path.join(ROOT, "FIDELITY.json")
+    if not os.path.exists(path):
+        pytest.skip("no FIDELITY.json committed yet")
+    data = json.load(open(path))
+    scenes = data["scenes"]
+    checked = 0
+    for name, rec in scenes.items():
+        if "skipped" in rec or "blurred_mse" not in rec:
+            continue
+        mse = rec["blurred_mse"]
+        thr = rec["threshold"]
+        assert mse == mse, f"{name}: NaN fidelity result"
+        assert mse < thr, f"{name}: blurred_mse {mse} over threshold {thr}"
+        checked += 1
+    assert checked >= 1, "no fidelity scenes recorded"
