@@ -261,6 +261,29 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
     resumed automatically.
     """
     desc = cs.description
+
+    # multi-chip: shard the pixel/ray axis over every visible device via
+    # explicit shard_map (parallel/shard.py; SURVEY.md §2.12 — the rayon
+    # tile-pool analog). Auto-enabled for the wavefront family on full-film
+    # renders; checkpointing and crop windows stay on the single-chip path.
+    import jax as _jax
+
+    _devs = _jax.devices()
+    if (len(_devs) > 1 and checkpoint_path is None
+            and _jax.default_backend() != "cpu"  # virtual CPU meshes are for
+            # the explicit dryrun/tests (parallel/shard.py, __graft_entry__)
+            and desc.film.crop_window in (None, (0.0, 1.0, 0.0, 1.0))
+            and desc.integrator.kind in ("path", "volpath", "directlighting", "whitted", "ao")):
+        from jax.sharding import Mesh
+
+        from .parallel.shard import render_sharded_step
+
+        mesh = Mesh(np.array(_devs), ("rays",))
+        t0 = time.time()
+        img = np.asarray(render_sharded_step(cs, desc, mesh, spp=spp, seed=seed))
+        log.info("sharded render over %d devices in %.2fs", len(_devs), time.time() - t0)
+        return img.reshape(desc.film.y_resolution, desc.film.x_resolution, 3)
+
     if desc.integrator.kind == "sppm":
         from .device.sppm import render_sppm
 
