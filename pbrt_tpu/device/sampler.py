@@ -55,15 +55,23 @@ def sample_2d(kind: str, seed, pixel, sample_idx, dim, spp: int):
     if kind in ("random", "stratified"):
         u1 = rng.uniform_1d(seed, pixel, sample_idx, 2 * dim)
         u2 = rng.uniform_1d(seed, pixel, sample_idx, 2 * dim + 1)
-        if kind == "stratified" and isinstance(dim, int) and dim == 0:
-            # jittered pixel strata (stratified.rs): arrange spp on a grid
+        if kind == "stratified" and isinstance(dim, int):
+            # jittered strata on EVERY static dimension pair, not just the
+            # film dims (stratified.rs jitters all requested dims; the
+            # wavefront sampler decorrelates dims by rotating the stratum
+            # order per (pixel, dim) — a valid permutation, so each pixel
+            # still covers all spp strata exactly once)
             import math
 
             xs = int(math.floor(math.sqrt(spp)))
             xs = max(xs, 1)
             ys = max(spp // xs, 1)
-            sx = (sample_idx % xs).astype(F32)
-            sy = ((sample_idx // xs) % ys).astype(F32)
+            idx = sample_idx
+            if dim != 0:
+                rot = rng.hash_combine(seed, pixel, jnp.uint32(7919 * dim))
+                idx = (jnp.asarray(sample_idx).astype(jnp.uint32) + rot) % jnp.uint32(max(xs * ys, 1))
+            sx = (idx % xs).astype(F32)
+            sy = ((idx // xs) % ys).astype(F32)
             u1 = (sx + u1) / xs
             u2 = (sy + u2) / ys
         return u1, u2
@@ -95,6 +103,12 @@ def sample_2d(kind: str, seed, pixel, sample_idx, dim, spp: int):
 def sample_1d(kind: str, seed, pixel, sample_idx, dim, spp: int):
     if kind in ("halton", "sobol") and not isinstance(dim, int):
         kind = "zerotwosequence"
+    if kind == "stratified" and isinstance(dim, int):
+        # 1D jittered strata with per-(pixel, dim) stratum rotation
+        rot = rng.hash_combine(seed, pixel, jnp.uint32(104729 + 7919 * dim))
+        idx = (jnp.asarray(sample_idx).astype(jnp.uint32) + rot) % jnp.uint32(max(spp, 1))
+        u = rng.uniform_1d(seed, pixel, sample_idx, 1024 + dim)
+        return (idx.astype(F32) + u) / max(spp, 1)
     if kind in ("random", "stratified"):
         return rng.uniform_1d(seed, pixel, sample_idx, 1024 + dim)
     if kind == "sobol":

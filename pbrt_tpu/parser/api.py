@@ -1138,7 +1138,10 @@ class API:
             sampler=sampler,
             integrator=integrator,
             accelerator=ro.accelerator_name,
-            accelerator_params={"maxnodeprims": ro.accelerator_params.find_one_int("maxnodeprims", 4)},
+            accelerator_params={
+                "maxnodeprims": ro.accelerator_params.find_one_int("maxnodeprims", 4),
+                "splitmethod": ro.accelerator_params.find_one_string("splitmethod", "sah"),
+            },
             media=_build_media(ro.named_media),
             camera_medium=ro.camera_medium,
             transform_start_time=ro.transform_start_time,

@@ -30,11 +30,12 @@ class FlatBVH:
 
 
 class _Builder:
-    def __init__(self, lo, hi, max_prims):
+    def __init__(self, lo, hi, max_prims, split_method="sah"):
         self.lo = lo
         self.hi = hi
         self.cent = 0.5 * (lo + hi)
         self.max_prims = max_prims
+        self.split_method = split_method
         self.order = []
         # flattened output, grown as we emit nodes depth-first
         self.nb_min = []
@@ -68,10 +69,22 @@ class _Builder:
         if diag[axis] < 1e-12:
             return self._leaf(idx, bmin, bmax)
 
-        if n <= 2:
+        if n <= 2 or self.split_method == "equal":
+            # EqualCounts (bvh.rs SplitMethod::EqualCounts): median split
             order = np.argsort(cent[:, axis], kind="stable")
             mid = n // 2
             left_idx, right_idx = idx[order[:mid]], idx[order[mid:]]
+        elif self.split_method == "middle":
+            # Middle (bvh.rs SplitMethod::Middle): split at the centroid
+            # bounds midpoint; degenerate partitions fall back to equal
+            pmid = 0.5 * (cmin[axis] + cmax[axis])
+            mask = cent[:, axis] < pmid
+            if mask.all() or (~mask).all():
+                order = np.argsort(cent[:, axis], kind="stable")
+                mid = n // 2
+                left_idx, right_idx = idx[order[:mid]], idx[order[mid:]]
+            else:
+                left_idx, right_idx = idx[mask], idx[~mask]
         else:
             # binned SAH (reference split_sah bvh.rs:301-375)
             b = np.minimum(
@@ -152,8 +165,14 @@ class _Builder:
         return node
 
 
-def build_bvh(lo: np.ndarray, hi: np.ndarray, max_prims_in_node: int = MAX_PRIMS_IN_NODE_DEFAULT) -> FlatBVH:
-    """Build a flattened BVH over primitive AABBs (lo/hi: (P, 3))."""
+def build_bvh(lo: np.ndarray, hi: np.ndarray, max_prims_in_node: int = MAX_PRIMS_IN_NODE_DEFAULT,
+              split_method: str = "sah") -> FlatBVH:
+    """Build a flattened BVH over primitive AABBs (lo/hi: (P, 3)).
+
+    split_method: "sah" (default, binned, bvh.rs:301-375), "middle"
+    (centroid-midpoint partition), or "equal" (median split) — the
+    reference's SplitMethod set minus HLBVH (whose value is parallel build
+    speed; the NumPy binned SAH is already fast enough host-side)."""
     lo = np.asarray(lo, dtype=np.float64)
     hi = np.asarray(hi, dtype=np.float64)
     p = len(lo)
@@ -171,7 +190,7 @@ def build_bvh(lo: np.ndarray, hi: np.ndarray, max_prims_in_node: int = MAX_PRIMS
 
     old_limit = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old_limit, 10000 + 64 * int(np.log2(p + 2))))
-    b = _Builder(lo, hi, max_prims_in_node)
+    b = _Builder(lo, hi, max_prims_in_node, split_method)
     try:
         b.build(np.arange(p, dtype=np.int64))
     finally:

@@ -77,3 +77,28 @@ def test_maxmindist_sampler_dim0():
     # stratified in x after removing the per-pixel rotation
     assert len(np.unique((((u1 - u1.min()) * spp) % spp).astype(np.int64))) == spp
     assert len(np.unique((u2 * spp).astype(np.int64))) == spp
+
+
+def test_stratified_covers_all_dims():
+    """Stratified jitters every static dimension: over spp samples each
+    (pixel, dim) stream covers each stratum exactly once (stratified.rs
+    jitters all requested dims, not just the film pair)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbrt_tpu.device.sampler import sample_1d, sample_2d
+
+    spp = 16
+    pix = jnp.zeros(spp, jnp.uint32)
+    idx = jnp.arange(spp, dtype=jnp.uint32)
+    for dim in (0, 3, 7):
+        u = np.asarray(sample_1d("stratified", jnp.uint32(5), pix, idx, dim, spp))
+        strata = np.sort(np.floor(u * spp).astype(int))
+        assert (strata == np.arange(spp)).all(), (dim, strata)
+    for dim in (0, 2):
+        u1, u2 = sample_2d("stratified", jnp.uint32(5), pix, idx, dim, spp)
+        u1 = np.asarray(u1)
+        u2 = np.asarray(u2)
+        xs = 4
+        cells = np.sort(np.floor(u1 * xs).astype(int) + xs * np.floor(u2 * xs).astype(int))
+        assert (cells == np.arange(spp)).all(), (dim, cells)
