@@ -22,7 +22,10 @@ def test_committed_fidelity_numbers():
     scenes = data["scenes"]
     checked = 0
     for name, rec in scenes.items():
-        if "skipped" in rec or "blurred_mse" not in rec:
+        if "skipped" in rec or "stale" in rec or "blurred_mse" not in rec:
+            # "stale" marks a measurement superseded by a landed fix whose
+            # re-measurement is pending hardware; the tool clears the flag
+            # on the next successful run
             continue
         mse = rec["blurred_mse"]
         thr = rec["threshold"]
