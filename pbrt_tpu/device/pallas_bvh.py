@@ -229,7 +229,10 @@ def _traverse_kernel(nodes_ref, prims_ref, rays_ref, out_ref,
                 phit = valid & same & dok & (t > EPS) & (t < t_best)
                 tc = jnp.where(phit, t, jnp.float32(1e30))
                 tmin = jnp.min(tc, axis=0, keepdims=True)  # (1, PACKET)
-                improved = tmin < t_best
+                # the 1e30 miss sentinel must never count as an improvement:
+                # with t_max = inf (closest-hit queries), `tmin < t_best`
+                # alone turns every visited leaf into a phantom hit
+                improved = tmin < jnp.minimum(t_best, jnp.float32(1e29))
                 slotf = (o_ * 8 + iota8).astype(F32)
                 snew = jnp.max(jnp.where(tc == tmin, slotf, -1.0), axis=0, keepdims=True)
                 best_ref[0:1, :] = jnp.where(improved, tmin, t_best)

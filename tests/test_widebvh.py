@@ -62,7 +62,13 @@ def test_wide_matches_xla_traversal(monkeypatch):
         rs.uniform(-0.3, 0.3, R), -np.ones(R), rs.uniform(-0.3, 0.3, R)
     ], axis=-1).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
-    tmax = np.full(R, 1e30, np.float32)
+    # half the rays graze the grid's bounding box but miss every triangle
+    # (origins beyond the +x edge, pointing down): with t_max = inf these
+    # guard against the miss-sentinel phantom-hit regression (a leaf visit
+    # with zero lane hits must not register as a hit)
+    o[R // 2:, 0] = rs.uniform(1.05, 1.4, R - R // 2)
+    d[R // 2:] = np.array([0.0, -1.0, 0.0], np.float32)
+    tmax = np.full(R, np.inf, np.float32)
 
     t, slot, hit = pallas_bvh.wide_intersect(
         sa, st, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmax), interpret=True
