@@ -23,9 +23,16 @@ def _one_hot(ids, n):
 def gather_rows(table, ids, one_hot_max: int = ONE_HOT_MAX):
     """table: (N, ...) array; ids: (R,) int32 (assumed in-range). Returns
     (R, ...). One-hot matmul when N is small (static decision)."""
+    import jax
+
     n = table.shape[0]
     if n == 0 or n > one_hot_max or ids.ndim != 1:
-        return table[ids]
+        # Isolate the gather with barriers on BOTH sides: when XLA fuses a
+        # TPU gather with surrounding ops (pad/clamp on the indices, the
+        # consumers of the rows) the fused emission runs at ~135M rows/s;
+        # a standalone gather lowers to the fast path (~25G rows/s).
+        ids_b = jax.lax.optimization_barrier(ids)
+        return jax.lax.optimization_barrier(table[ids_b])
     flat = table.reshape(n, -1).astype(F32)
     out = jnp.dot(_one_hot(ids, n), flat, preferred_element_type=jnp.float32)
     out = out.reshape(ids.shape + table.shape[1:])

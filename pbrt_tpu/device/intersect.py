@@ -131,10 +131,14 @@ def ray_quadric(o, d, w2o, params, qkind, t_max):
       (with the CORRECT k = (radius/height)^2 — the reference's cone has a
       transcription bug, k = (radius/radius)^2 = 1, at cone.rs:73-75)
     - paraboloid (paraboloid.rs): params = radius, zmin, zmax, phimax, _, _
+    - hyperboloid (hyperboloid.rs): params = rmax, zmin, zmax, phimax, ah, ch
+      (implicit ah (x^2+y^2) - ch z^2 = 1; analytic only for full phimax —
+      the partial-phi twist clip needs p1/p2 and falls back to tessellation)
     Returns (hit, t, p_obj) with p_obj the (re-projected) object-space hit.
     """
     from ..scene.arrays import (
-        QUADRIC_CONE, QUADRIC_CYLINDER, QUADRIC_DISK, QUADRIC_PARABOLOID,
+        QUADRIC_CONE, QUADRIC_CYLINDER, QUADRIC_DISK, QUADRIC_HYPERBOLOID,
+        QUADRIC_PARABOLOID,
     )
 
     oo = _xform_point(w2o, o)
@@ -147,6 +151,7 @@ def ray_quadric(o, d, w2o, params, qkind, t_max):
     is_disk = qkind == QUADRIC_DISK
     is_cone = qkind == QUADRIC_CONE
     is_para = qkind == QUADRIC_PARABOLOID
+    is_hyp = qkind == QUADRIC_HYPERBOLOID
 
     ox_, oy_, oz_ = oo[..., 0], oo[..., 1], oo[..., 2]
     dx_, dy_, dz_ = od[..., 0], od[..., 1], od[..., 2]
@@ -158,15 +163,20 @@ def ray_quadric(o, d, w2o, params, qkind, t_max):
     # paraboloid: z = k (x^2 + y^2), k = zmax / r^2 (paraboloid.rs:75-78)
     k_para = p2 / jnp.maximum(radius * radius, 1e-20)
 
+    ah = params[..., 4]
+    ch = params[..., 5]
     a = jnp.where(is_cyl, dxy2, _dot(od, od))
     a = jnp.where(is_cone, dxy2 - k_cone * dz_ * dz_, a)
     a = jnp.where(is_para, k_para * dxy2, a)
+    a = jnp.where(is_hyp, ah * dxy2 - ch * dz_ * dz_, a)
     b = 2.0 * jnp.where(is_cyl, oxy_d, _dot(oo, od))
     b = jnp.where(is_cone, 2.0 * (oxy_d - k_cone * dz_ * (oz_ - p1)), b)
     b = jnp.where(is_para, 2.0 * k_para * oxy_d - dz_, b)
+    b = jnp.where(is_hyp, 2.0 * (ah * oxy_d - ch * oz_ * dz_), b)
     c = jnp.where(is_cyl, oxy2, _dot(oo, oo)) - radius * radius
     c = jnp.where(is_cone, oxy2 - k_cone * (oz_ - p1) * (oz_ - p1), c)
     c = jnp.where(is_para, k_para * oxy2 - oz_, c)
+    c = jnp.where(is_hyp, ah * oxy2 - ch * oz_ * oz_ - 1.0, c)
     disc = b * b - 4.0 * a * c
     has_root = (disc > 0) & ~is_disk
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -183,15 +193,15 @@ def ray_quadric(o, d, w2o, params, qkind, t_max):
         # cone/paraboloid keep the raw point like the reference)
         r_s = radius / jnp.maximum(jnp.linalg.norm(p, axis=-1), 1e-30)
         r_c = radius / jnp.maximum(jnp.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2), 1e-30)
-        scale = jnp.where(is_cyl, r_c, jnp.where(is_cone | is_para, 1.0, r_s))
-        zs = jnp.where(is_cyl | is_cone | is_para, p[..., 2], p[..., 2] * scale)
+        scale = jnp.where(is_cyl, r_c, jnp.where(is_cone | is_para | is_hyp, 1.0, r_s))
+        zs = jnp.where(is_cyl | is_cone | is_para | is_hyp, p[..., 2], p[..., 2] * scale)
         pn = jnp.stack([p[..., 0] * scale, p[..., 1] * scale, zs], axis=-1)
         z = pn[..., 2]
         phi = jnp.arctan2(pn[..., 1], pn[..., 0])
         phi = jnp.where(phi < 0, phi + 2.0 * jnp.pi, phi)
         zlim = jnp.where(is_cyl, jnp.inf, radius)
         full = (p1 <= -zlim + 1e-7 * radius) & (p2 >= zlim - 1e-7 * radius) & \
-            (phimax >= 2.0 * jnp.pi - 1e-6) & ~is_cyl & ~is_cone & ~is_para
+            (phimax >= 2.0 * jnp.pi - 1e-6) & ~is_cyl & ~is_cone & ~is_para & ~is_hyp
         zlo = jnp.where(is_cone, 0.0, p1)
         zhi = jnp.where(is_cone, p1, p2)
         ok = full | ((z >= zlo) & (z <= zhi) & (phi <= phimax))
@@ -515,16 +525,12 @@ def _traverse(sa: SceneArrays, static: SceneStatic, o, d, t_max, any_hit: bool, 
         if sa.sph_param.shape[0] > 0:
             if rows16L is not None:
                 w2o = rows16L[..., 0:12].reshape(rows16L.shape[0], rows16L.shape[1], rows16L.shape[2], 3, 4)
-                spar = jnp.concatenate(
-                    [rows16L[..., 12:16], jnp.zeros(rows16L.shape[:3] + (2,), F32)], axis=-1
-                )
-                qk = rows16L[..., 16].astype(jnp.int32)
+                spar = rows16L[..., 12:18]
+                qk = rows16L[..., 18].astype(jnp.int32)
             else:
                 w2o = rows16[:, :, 0:12].reshape(rows16.shape[0], rows16.shape[1], 3, 4)[:, None]
-                spar = jnp.concatenate(
-                    [rows16[:, :, 12:16], jnp.zeros(rows16.shape[:2] + (2,), F32)], axis=-1
-                )[:, None]
-                qk = rows16[:, :, 16].astype(jnp.int32)[:, None]
+                spar = rows16[:, :, 12:18][:, None]
+                qk = rows16[:, :, 18].astype(jnp.int32)[:, None]
             h_s, t_s, p_obj = ray_quadric(ob, db, w2o, spar, qk, tb)
             hit_k = jnp.where(is_tri[:, None, :], h_t, h_s)
             t_k = jnp.where(is_tri[:, None, :], t_t, t_s)
@@ -640,13 +646,15 @@ def _ray_sort_key(sa, o, d, t_max=None):
 
 def _sorted_traverse(sa, static, o, d, t_max, any_hit, time):
     key = _ray_sort_key(sa, o, d, t_max)
-    perm = jnp.argsort(key)
+    # barrier: keep the permutation's gathers on the fast lowering (see
+    # gather.gather_rows)
+    perm = jax.lax.optimization_barrier(jnp.argsort(key))
     o_s = o[perm]
     d_s = d[perm]
     tm = jnp.broadcast_to(jnp.asarray(t_max, F32), (o.shape[0],))[perm]
     time_s = None if time is None else jnp.broadcast_to(jnp.asarray(time, F32), (o.shape[0],))[perm]
     hit, hit_any = _traverse(sa, static, o_s, d_s, tm, any_hit=any_hit, time=time_s)
-    inv = jnp.argsort(perm)
+    inv = jax.lax.optimization_barrier(jnp.argsort(perm))
     hit = {k: v[inv] for k, v in hit.items()}
     return hit, hit_any[inv]
 
@@ -674,11 +682,7 @@ def _wide_closest(sa, static, o, d, t_max, sort=False):
     from .pallas_bvh import wide_intersect
 
     interp = jax.default_backend() == "cpu"
-    t, slot, hitm = wide_intersect(sa, static, o, d, t_max, interpret=interp, sort=sort)
-    prim = jnp.where(hitm, sa.wslot_prim[jnp.maximum(slot, 0)], -1)
-    # barycentrics for the single hit prim via the same watertight test
-    rows = sa.prim_test_data[jnp.maximum(prim, 0)]
-    _h, _t, _b0, b1, b2 = ray_triangle(o, d, rows[:, 0:3], rows[:, 3:6], rows[:, 6:9], jnp.full(o.shape[0], INF, F32))
+    t, prim, hitm, b1, b2 = wide_intersect(sa, static, o, d, t_max, interpret=interp, sort=sort)
     return {
         "t": jnp.where(hitm, t, INF),
         "prim": prim,

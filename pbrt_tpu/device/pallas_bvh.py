@@ -74,9 +74,28 @@ def _high_bit_index(m):
     return k4 + k2 + jnp.where((m2 & 0x2) != 0, 1, 0)
 
 
-def _traverse_kernel(nodes_ref, prims_ref, rays_ref, out_ref,
-                     stack_ref, vstack_ref, sp_ref, best_ref,
-                     *, root: int, any_hit: bool):
+def _traverse_kernel(*refs, root: int, any_hit: bool, smem_meta: bool):
+    """Dispatch over the two stack layouts (see _traverse_kernel_impl).
+
+    smem_meta=True: child metas live in an SMEM int32 sidetable read with
+    scalar loads at pop time, and the stack entry packs (parent node id |
+    mask | dir) — no VMEM vstack and no per-pop vector->scalar transfer
+    (~90ns of the ~250ns visit). Gated by table size (SMEM is small).
+    """
+    if smem_meta:
+        meta_ref, nodes_ref, prims_ref, rays_ref, out_ref, stack_ref, sp_ref, best_ref = refs
+        vstack_ref = None
+    else:
+        nodes_ref, prims_ref, rays_ref, out_ref, stack_ref, vstack_ref, sp_ref, best_ref = refs
+        meta_ref = None
+    _traverse_kernel_impl(nodes_ref, prims_ref, rays_ref, out_ref, stack_ref,
+                          vstack_ref, sp_ref, best_ref, meta_ref,
+                          root=root, any_hit=any_hit)
+
+
+def _traverse_kernel_impl(nodes_ref, prims_ref, rays_ref, out_ref,
+                          stack_ref, vstack_ref, sp_ref, best_ref, meta_ref,
+                          *, root: int, any_hit: bool):
     """GRID_G packets (PACKET rays each) against the wide BVH.
 
     rays_ref block (GRID_G, 16, PACKET): rows 0-2 o, 3-5 d, 6-8 shear
@@ -89,7 +108,7 @@ def _traverse_kernel(nodes_ref, prims_ref, rays_ref, out_ref,
     < 0 -(octet+1)). sp_ref: (1,) SMEM stack pointer.
     best_ref: (8, PACKET) VMEM scratch, row 0 = t_best, row 1 = slot.
     """
-    iota8 = jax.lax.broadcasted_iota(I32, (8, PACKET), 0)
+    iota16 = jax.lax.broadcasted_iota(I32, (16, PACKET), 0)
     iota8c = jax.lax.broadcasted_iota(I32, (8, 1), 0)
     pw2 = (1 << iota8c).astype(F32)  # (8,1): 1,2,4,...
 
@@ -120,11 +139,18 @@ def _traverse_kernel(nodes_ref, prims_ref, rays_ref, out_ref,
         m2f = jnp.sum(rr[12:13, 0:1])
 
         # seed: a one-child group holding the (packed) root meta
-        stack_ref[0] = 1  # mask = bit 0, dir = 0
-        vstack_ref[pl.ds(0, 8), 0:1] = jnp.where(iota8c == 0, jnp.float32(root), 0.0)
+        if meta_ref is None:
+            stack_ref[0] = 1  # mask = bit 0, dir = 0
+            vstack_ref[pl.ds(0, 8), 0:1] = jnp.where(iota8c == 0, jnp.float32(root), 0.0)
+        else:
+            # parent 0 (sentinel) slot 0 holds the root meta in the SMEM table
+            stack_ref[0] = (0 << 9) | (1 << 1) | 0
         sp_ref[0] = 1
         best_ref[0:1, :] = t_max
         best_ref[1:2, :] = jnp.full((1, PACKET), -1.0, F32)
+        if not any_hit:
+            best_ref[2:3, :] = jnp.full((1, PACKET), -1.0, F32)  # prim row
+            best_ref[3:5, :] = jnp.zeros((2, PACKET), F32)  # b1, b2
 
         # sp is mirrored through the loop carry: a cond() that reads the
         # SMEM ref directly never observes the predicated-phase updates in
@@ -142,17 +168,29 @@ def _traverse_kernel(nodes_ref, prims_ref, rays_ref, out_ref,
             it, _sp_in = state
             sp = sp_ref[0]
             top = stack_ref[sp - 1]
-            m = top & 255
-            dirb = top >> 8
+            if meta_ref is None:
+                m = top & 255
+                dirb = top >> 8
+            else:
+                dirb = top & 1
+                m = (top >> 1) & 255
+                pn = top >> 9
             k = jnp.where(dirb > 0, _high_bit_index(m), _low_bit_index(m))
             m2 = m & (~(1 << k))
-            stack_ref[sp - 1] = m2 | (dirb << 8)
+            if meta_ref is None:
+                stack_ref[sp - 1] = m2 | (dirb << 8)
+            else:
+                stack_ref[sp - 1] = (pn << 9) | (m2 << 1) | dirb
             sp_pop = jnp.where(m2 == 0, sp - 1, sp)
             sp_ref[0] = sp_pop
 
-            # this child's meta, from the vstack group of the popped slot
-            mv = vstack_ref[pl.ds((sp - 1) * 8, 8), 0:1]  # (8,1)
-            e = jnp.sum(jnp.where(iota8c == k, mv, 0.0)).astype(I32)
+            if meta_ref is None:
+                # this child's meta, from the vstack group of the popped slot
+                mv = vstack_ref[pl.ds((sp - 1) * 8, 8), 0:1]  # (8,1)
+                e = jnp.sum(jnp.where(iota8c == k, mv, 0.0)).astype(I32)
+            else:
+                # scalar SMEM load — no vector->scalar transfer
+                e = meta_ref[pn * 8 + k]
             is_int = e > 0
 
             @pl.when(is_int)
@@ -179,7 +217,8 @@ def _traverse_kernel(nodes_ref, prims_ref, rays_ref, out_ref,
                 meta_col = nsub[:, 6:7]
                 anyc = jnp.max(jnp.where(bhit, 1.0, 0.0), axis=1, keepdims=True) * \
                     jnp.where(meta_col != 0, 1.0, 0.0)
-                meta_hit = anyc * meta_col
+                if meta_ref is None:
+                    meta_hit = anyc * meta_col
                 mask_new = jnp.sum(anyc * pw2).astype(I32)
 
                 # direction bit: children ascend along `axis`;
@@ -191,18 +230,24 @@ def _traverse_kernel(nodes_ref, prims_ref, rays_ref, out_ref,
                 # branch-free push: non-pushes land in the sacrificial slot
                 do_push = mask_new != 0
                 wslot = jnp.where(do_push, sp_pop, STACK - 1)
-                vstack_ref[pl.ds(wslot * 8, 8), 0:1] = meta_hit
-                stack_ref[wslot] = mask_new | (dir_new << 8)
+                if meta_ref is None:
+                    vstack_ref[pl.ds(wslot * 8, 8), 0:1] = meta_hit
+                    stack_ref[wslot] = mask_new | (dir_new << 8)
+                else:
+                    stack_ref[wslot] = (nid << 9) | (mask_new << 1) | dir_new
                 sp_ref[0] = sp_pop + jnp.where(do_push, 1, 0)
 
             @pl.when(jnp.logical_not(is_int))
             def _leaf():
                 t_best = best_ref[0:1, :]
-                slot = best_ref[1:2, :]
-                o_ = jnp.maximum(-e - 1, 0)
+                o_ = jnp.maximum(-e - 1, 0)  # first octet of the pair (even)
                 pblk = prims_ref[pl.ds((o_ // 8) * 8, 8), :]
-                psub = _sel16(pblk, o_ % 8)
+                # o_ is even, so o_ and o_+1 share the same 8 block rows
+                psub = jnp.concatenate(
+                    [_sel16(pblk, o_ % 8), _sel16(pblk, o_ % 8 + 1)], axis=0
+                )  # (16, 16): both octets stacked on the sublane axis
                 valid = psub[:, 9:10] > 0
+                pid_col = psub[:, 10:11]  # global prim row per sublane
 
                 def _shear(j):
                     # translate vert j to ray origin, permute by kz, shear
@@ -233,10 +278,21 @@ def _traverse_kernel(nodes_ref, prims_ref, rays_ref, out_ref,
                 # with t_max = inf (closest-hit queries), `tmin < t_best`
                 # alone turns every visited leaf into a phantom hit
                 improved = tmin < jnp.minimum(t_best, jnp.float32(1e29))
-                slotf = (o_ * 8 + iota8).astype(F32)
+                # octets are consecutive, so slots o_*8 .. o_*8+15 are one run
+                slotf = (o_ * 8 + iota16).astype(F32)
                 snew = jnp.max(jnp.where(tc == tmin, slotf, -1.0), axis=0, keepdims=True)
                 best_ref[0:1, :] = jnp.where(improved, tmin, t_best)
-                best_ref[1:2, :] = jnp.where(improved, snew, slot)
+                best_ref[1:2, :] = jnp.where(improved, snew, best_ref[1:2, :])
+
+                if not any_hit:
+                    # winner sublane (max slot among t ties, matching snew)
+                    win = (tc == tmin) & (slotf == snew)
+                    prim_new = jnp.sum(jnp.where(win, pid_col, 0.0), axis=0, keepdims=True)
+                    b1_new = jnp.sum(jnp.where(win, e1_ * inv, 0.0), axis=0, keepdims=True)
+                    b2_new = jnp.sum(jnp.where(win, e2_ * inv, 0.0), axis=0, keepdims=True)
+                    best_ref[2:3, :] = jnp.where(improved, prim_new, best_ref[2:3, :])
+                    best_ref[3:4, :] = jnp.where(improved, b1_new, best_ref[3:4, :])
+                    best_ref[4:5, :] = jnp.where(improved, b2_new, best_ref[4:5, :])
 
                 if any_hit:
                     # stop once every live lane has an occluder
@@ -248,34 +304,50 @@ def _traverse_kernel(nodes_ref, prims_ref, rays_ref, out_ref,
         jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
         out_ref[g, 0:1, :] = best_ref[0:1, :]
         out_ref[g, 1:2, :] = best_ref[1:2, :]
+        if not any_hit:
+            out_ref[g, 2:5, :] = best_ref[2:5, :]
         return 0
 
     jax.lax.fori_loop(0, GRID_G, run_packet, 0)
 
 
+# SMEM child-meta sidetable budget: the whole (n_nodes*8,) i32 table must
+# fit comfortably in scalar memory next to the stack
+SMEM_META_MAX_BYTES = 96 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("root", "any_hit", "interpret"))
-def _run(nodes, prims, rays, root, any_hit, interpret):
+def _run(nodes, prims, rays, root, any_hit, interpret, meta=None):
     B = rays.shape[0]
     assert B % GRID_G == 0
-    kernel = functools.partial(_traverse_kernel, root=root, any_hit=any_hit)
+    smem_meta = meta is not None
+    kernel = functools.partial(_traverse_kernel, root=root, any_hit=any_hit,
+                               smem_meta=smem_meta)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((GRID_G, 16, PACKET), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    scratch = [
+        pltpu.SMEM((STACK,), jnp.int32),
+        pltpu.VMEM((STACK * 8, 128), F32),
+        pltpu.SMEM((1,), jnp.int32),
+        pltpu.VMEM((8, PACKET), F32),
+    ]
+    args = (nodes, prims, rays)
+    if smem_meta:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        scratch = [scratch[0]] + scratch[2:]  # no vstack
+        args = (meta,) + args
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, 8, PACKET), F32),
         grid=(B // GRID_G,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((GRID_G, 16, PACKET), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((GRID_G, 8, PACKET), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.SMEM((STACK,), jnp.int32),
-            pltpu.VMEM((STACK * 8, 128), F32),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((8, PACKET), F32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(nodes, prims, rays)
+    )(*args)
 
 
 def pack_rays(o, d, t_max, live=None):
@@ -363,10 +435,13 @@ def coherence_keys(o, d, world_lo, world_inv_extent):
 def wide_intersect(sa, static, o, d, t_max, any_hit=False, interpret=False, sort=True):
     """Closest-hit (or any-hit) against the wide BVH tables.
 
-    Returns (t (R,), slot (R,) i32, hit (R,)) — slot indexes
-    ``sa.wslot_prim``. ``sort=True`` permutes rays into direction-octant +
-    origin-Morton order before packetizing — packets share one traversal
-    stack, so coherence directly sets throughput.
+    any_hit: returns (t (R,), slot (R,) i32, hit (R,)) — slot indexes
+    ``sa.wslot_prim``. Closest-hit: returns (t, prim (R,) i32 GLOBAL prim
+    row, hit, b1, b2) — the kernel carries the winning prim id and
+    barycentrics out of VMEM directly, so shading needs no slot->prim or
+    re-intersection gathers. ``sort=True`` permutes rays into
+    direction-octant + origin-Morton order before packetizing — packets
+    share one traversal stack, so coherence directly sets throughput.
     """
     t_arr = jnp.broadcast_to(jnp.asarray(t_max, F32), (o.shape[0],))
     perm = None
@@ -376,7 +451,9 @@ def wide_intersect(sa, static, o, d, t_max, any_hit=False, interpret=False, sort
         keys = coherence_keys(o, d, lo, inv_ext)
         # dead lanes (t_max <= 0) sort to the back so whole packets retire
         keys = jnp.where(t_arr > 0, keys, jnp.uint32(0xFFFFFFFF))
-        perm = jnp.argsort(keys)
+        # barrier: keep the permutation's gathers on the fast lowering (see
+        # gather.gather_rows)
+        perm = jax.lax.optimization_barrier(jnp.argsort(keys))
         # permute o/d/t with ONE row gather of a packed (R, 8) matrix:
         # gathers cost per-row, so seven separate (R,) gathers are ~7x the
         # traffic of one packed one (measured ~80 Mrows/s either way)
@@ -389,14 +466,22 @@ def wide_intersect(sa, static, o, d, t_max, any_hit=False, interpret=False, sort
     if any_hit:
         live = jnp.where(t_arr > 0, 1.0, 0.0)
     blocks, R, B = pack_rays(o, d, t_arr, live)
-    out = _run(sa.wnode_tab, sa.wprim_tab, blocks, static.wide_root, any_hit, interpret)
-    t = out[:, 0, :].reshape(-1)[:R]
-    slot = out[:, 1, :].reshape(-1)[:R]
+    meta = getattr(sa, "wmeta_tab", None)
+    if meta is not None and meta.shape[0] * 4 > SMEM_META_MAX_BYTES:
+        meta = None  # big trees keep the VMEM vstack path
+    out = _run(sa.wnode_tab, sa.wprim_tab, blocks, static.wide_root, any_hit, interpret,
+               meta=meta)
+    rows = 2 if any_hit else 5
+    res = [out[:, j, :].reshape(-1)[:R] for j in range(rows)]
     if perm is not None:
-        inv = jnp.argsort(perm)
-        res = jnp.stack([t, slot], axis=1)[inv]
-        t = res[:, 0]
-        slot = res[:, 1]
-    slot = slot.astype(jnp.int32)
-    hit = slot >= 0
-    return jnp.where(hit, t, jnp.float32(jnp.inf)), slot, hit
+        inv = jax.lax.optimization_barrier(jnp.argsort(perm))
+        unsorted = jnp.stack(res, axis=1)[inv]
+        res = [unsorted[:, j] for j in range(rows)]
+    t = res[0]
+    if any_hit:
+        slot = res[1].astype(jnp.int32)
+        hit = slot >= 0
+        return jnp.where(hit, t, jnp.float32(jnp.inf)), slot, hit
+    prim = res[2].astype(jnp.int32)
+    hit = prim >= 0
+    return jnp.where(hit, t, jnp.float32(jnp.inf)), prim, hit, res[3], res[4]

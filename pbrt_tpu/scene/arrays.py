@@ -28,6 +28,7 @@ QUADRIC_CYLINDER = 1
 QUADRIC_DISK = 2
 QUADRIC_CONE = 3
 QUADRIC_PARABOLOID = 4
+QUADRIC_HYPERBOLOID = 5
 
 # material kind ids
 MAT_NONE = 0
@@ -103,8 +104,10 @@ class SceneArrays:
     # --- spheres (S rows) ---
     sph_o2w: jax.Array  # (S, 3, 4) f32 object-to-world
     sph_w2o: jax.Array  # (S, 3, 4) f32 world-to-object
-    sph_param: jax.Array  # (S, 6) f32: sphere/cylinder = radius, zmin, zmax,
-    # phimax, thetamin, thetamax; disk = radius, height, inner_r, phimax, 0, 0
+    sph_param: jax.Array  # (S, 12) f32: sphere/cylinder = radius, zmin, zmax,
+    # phimax, thetamin, thetamax; disk = radius, height, inner_r, phimax;
+    # hyperboloid (hyperboloid.rs) = rmax, zmin, zmax, phimax, ah, ch,
+    # p1(3), p2(3)
     sph_kind: jax.Array  # (S,) i32 QUADRIC_* sub-kind
     # --- primitives (P = T + S rows) ---
     prim_kind: jax.Array  # (P,) i32 GEOM_*
@@ -123,7 +126,7 @@ class SceneArrays:
     bvh_axis: jax.Array  # (N,) i32
     bvh_ids: jax.Array  # (P,) i32 (identity after BVH-order prim permutation)
     bvh_packed: jax.Array  # (N, 12) f32: min(3) max(3) off n axis pad(3)
-    prim_test_data: jax.Array  # (P, 18) f32: tri verts (9) | quadric w2o(12)+params(4)+qkind+pad
+    prim_test_data: jax.Array  # (P, 20) f32: tri verts (9) | quadric w2o(12)+params(6)+qkind+pad
     # --- materials ---
     mat_kind: jax.Array  # (M,) i32
     mat_const: jax.Array  # (M, N_MAT_PARAMS, 3) f32 constant values
@@ -189,6 +192,7 @@ class SceneArrays:
     wnode_tab: jax.Array | None = None  # (ceil(Nw/8)*8, 128) f32
     wprim_tab: jax.Array | None = None  # (ceil(n_oct/8)*8, 128) f32
     wslot_prim: jax.Array | None = None  # (n_oct*8,) i32 slot -> prim row
+    wmeta_tab: jax.Array | None = None  # (n_nodes*8,) i32 child metas (SMEM)
 
 
 @dataclass

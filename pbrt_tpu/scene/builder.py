@@ -23,6 +23,7 @@ from .arrays import (
     QUADRIC_CONE,
     QUADRIC_CYLINDER,
     QUADRIC_DISK,
+    QUADRIC_HYPERBOLOID,
     QUADRIC_PARABOLOID,
     QUADRIC_SPHERE,
     LIGHT_GONIO,
@@ -182,6 +183,32 @@ def _quadric_area(sph, qkind):
     if qkind == QUADRIC_CONE:
         # cone.rs:219-221: r * sqrt(h^2 + r^2) * phimax / 2
         return sph.radius * np.sqrt(sph.height ** 2 + sph.radius ** 2) * sph.phi_max / 2.0
+    if qkind == QUADRIC_HYPERBOLOID:
+        # Deliberate deviation: the reference's closed form
+        # (hyperboloid.rs:275-287, pbrt-v3's known-broken Hyperboloid::Area —
+        # it returns 8*pi for a degenerate unit cylinder of true area 4*pi)
+        # is replaced by midpoint quadrature of |dp/du x dp/dv| over the
+        # parametric surface; the reference never exercises its value
+        # (Hyperboloid::sample errors out), while our area-light sampling
+        # needs the true area for the 1/A pdf.
+        p1 = np.asarray(sph.p1, np.float64)
+        p2 = np.asarray(sph.p2, np.float64)
+        nv, nu = 256, 64
+        v = (np.arange(nv) + 0.5) / nv
+        phi = (np.arange(nu) + 0.5) / nu * sph.phi_max
+        seg = p1[None, :] + v[:, None] * (p2 - p1)[None, :]  # (nv, 3)
+        cph, sph_ = np.cos(phi), np.sin(phi)
+        # p(u,v) = Rz(phi) @ seg(v); dpdu = d/dphi * phi_max, dpdv = Rz @ seg'
+        x = seg[:, None, 0] * cph[None, :] - seg[:, None, 1] * sph_[None, :]
+        y = seg[:, None, 0] * sph_[None, :] + seg[:, None, 1] * cph[None, :]
+        dpdu = np.stack([-y, x, np.zeros_like(x)], axis=-1) * sph.phi_max
+        dseg = p2 - p1
+        dvx = dseg[0] * cph - dseg[1] * sph_
+        dvy = dseg[0] * sph_ + dseg[1] * cph
+        dpdv = np.stack([np.broadcast_to(dvx, x.shape), np.broadcast_to(dvy, x.shape),
+                         np.full_like(x, dseg[2])], axis=-1)
+        da = np.linalg.norm(np.cross(dpdu, dpdv), axis=-1)
+        return float(da.mean())  # integral over (u, v) in [0,1]^2
     if qkind == QUADRIC_PARABOLOID:
         # paraboloid.rs:221-227
         r2 = sph.radius ** 2
@@ -540,26 +567,50 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
                 sph_o2w_e.append(o2w.m[:3, :])
             qkind = {"sphere": QUADRIC_SPHERE, "cylinder": QUADRIC_CYLINDER,
                      "disk": QUADRIC_DISK, "cone": QUADRIC_CONE,
-                     "paraboloid": QUADRIC_PARABOLOID}[getattr(sph, "kind", "sphere")]
+                     "paraboloid": QUADRIC_PARABOLOID,
+                     "hyperboloid": QUADRIC_HYPERBOLOID}[getattr(sph, "kind", "sphere")]
             sph_kind_l.append(qkind)
+            pad6 = [0.0] * 6
             if qkind == QUADRIC_SPHERE:
                 zmin = np.clip(min(sph.z_min, sph.z_max), -sph.radius, sph.radius)
                 zmax = np.clip(max(sph.z_min, sph.z_max), -sph.radius, sph.radius)
                 theta_min = np.arccos(np.clip(zmin / sph.radius, -1.0, 1.0))
                 theta_max = np.arccos(np.clip(zmax / sph.radius, -1.0, 1.0))
-                sph_param.append([sph.radius, zmin, zmax, sph.phi_max, theta_min, theta_max])
+                sph_param.append([sph.radius, zmin, zmax, sph.phi_max, theta_min, theta_max] + pad6)
             elif qkind == QUADRIC_CYLINDER:
                 zmin = min(sph.z_min, sph.z_max)
                 zmax = max(sph.z_min, sph.z_max)
-                sph_param.append([sph.radius, zmin, zmax, sph.phi_max, 0.0, 0.0])
+                sph_param.append([sph.radius, zmin, zmax, sph.phi_max, 0.0, 0.0] + pad6)
             elif qkind == QUADRIC_CONE:
-                sph_param.append([sph.radius, sph.height, 0.0, sph.phi_max, 0.0, 0.0])
+                sph_param.append([sph.radius, sph.height, 0.0, sph.phi_max, 0.0, 0.0] + pad6)
             elif qkind == QUADRIC_PARABOLOID:
                 zmin = min(sph.z_min, sph.z_max)
                 zmax = max(sph.z_min, sph.z_max)
-                sph_param.append([sph.radius, zmin, zmax, sph.phi_max, 0.0, 0.0])
+                sph_param.append([sph.radius, zmin, zmax, sph.phi_max, 0.0, 0.0] + pad6)
+            elif qkind == QUADRIC_HYPERBOLOID:
+                # implicit coefficients ah, ch (hyperboloid.rs:44-62): walk pp
+                # away from p1 along the segment until the system conditions
+                p1 = np.asarray(sph.p1, np.float64).copy()
+                p2 = np.asarray(sph.p2, np.float64).copy()
+                if p2[2] == 0.0:
+                    p1, p2 = p2.copy(), p1.copy()
+                pp = p1.copy()
+                ah = np.inf
+                for _ in range(64):
+                    pp += 2.0 * (p2 - p1)
+                    xy1 = pp[0] * pp[0] + pp[1] * pp[1]
+                    xy2 = p2[0] * p2[0] + p2[1] * p2[1]
+                    den = 1.0 - (xy2 * pp[2] * pp[2]) / (xy1 * p2[2] * p2[2])
+                    ah = (1.0 / xy1 - (pp[2] * pp[2]) / (xy1 * p2[2] * p2[2])) / den
+                    ch = (ah * xy2 - 1.0) / (p2[2] * p2[2])
+                    if np.isfinite(ah):
+                        break
+                rmax = max(np.hypot(p1[0], p1[1]), np.hypot(p2[0], p2[1]))
+                zmin = min(p1[2], p2[2])
+                zmax = max(p1[2], p2[2])
+                sph_param.append([rmax, zmin, zmax, sph.phi_max, float(ah), float(ch)] + list(p1) + list(p2))
             else:  # disk (disk.rs): plane z = height, annulus [inner, radius]
-                sph_param.append([sph.radius, sph.height, sph.inner_radius, sph.phi_max, 0.0, 0.0])
+                sph_param.append([sph.radius, sph.height, sph.inner_radius, sph.phi_max, 0.0, 0.0] + pad6)
             flags = 0
             if sph.reverse_orientation ^ o2w.swaps_handedness():
                 flags |= FLAG_FLIP_GEOM_N
@@ -595,6 +646,10 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             elif qkind == QUADRIC_PARABOLOID:
                 obj_lo = [-sph.radius, -sph.radius, min(sph.z_min, sph.z_max)]
                 obj_hi = [sph.radius, sph.radius, max(sph.z_min, sph.z_max)]
+            elif qkind == QUADRIC_HYPERBOLOID:
+                rmax, zmin, zmax = sph_param[-1][0], sph_param[-1][1], sph_param[-1][2]
+                obj_lo = [-rmax, -rmax, zmin]
+                obj_hi = [rmax, rmax, zmax]
             else:
                 obj_lo = [-sph.radius, -sph.radius, sph.height - 1e-4]
                 obj_hi = [sph.radius, sph.radius, sph.height + 1e-4]
@@ -689,9 +744,9 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     node_data[:, 6] = bvh.offset
     node_data[:, 7] = bvh.n_prims
     node_data[:, 8] = bvh.axis
-    # prim_test_data (P, 18): tri -> 9 vertex floats; quadric -> w2o rows
-    # (12) + params[0:4] + quadric sub-kind (col 16) + pad
-    ptd = np.zeros((max(n_prims, 1), 18), np.float32)
+    # prim_test_data (P, 20): tri -> 9 vertex floats; quadric -> w2o rows
+    # (12) + params[0:6] + quadric sub-kind (col 18) + pad
+    ptd = np.zeros((max(n_prims, 1), 20), np.float32)
     # (filled vectorized below once the concatenated geometry tables exist)
 
     # --- materials (ensure at least one row) -----------------------------------
@@ -756,7 +811,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     tri_pe_cat = _cat(tri_p_e, (3, 3)) if any_motion else tri_p_cat
     sph_w2o_cat = np.asarray(sph_w2o, dtype=np.float32).reshape(-1, 3, 4)
     sph_w2oe_cat = np.asarray(sph_w2o_e, dtype=np.float32).reshape(-1, 3, 4) if any_motion else sph_w2o_cat
-    sph_param_cat = np.asarray(sph_param, dtype=np.float32).reshape(-1, 6)
+    sph_param_cat = np.asarray(sph_param, dtype=np.float32).reshape(-1, 12)
     ptd_end = ptd.copy() if any_motion else ptd
     if n_prims:
         pk = np.asarray(prim_kind)
@@ -770,12 +825,12 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         if len(sph_rows):
             sk = np.asarray(sph_kind_l, np.float32) if sph_kind_l else np.zeros(1, np.float32)
             ptd[sph_rows, 0:12] = sph_w2o_cat[pg[sph_rows]].reshape(len(sph_rows), 12)
-            ptd[sph_rows, 12:16] = sph_param_cat[pg[sph_rows]][:, 0:4]
-            ptd[sph_rows, 16] = sk[pg[sph_rows]]
+            ptd[sph_rows, 12:18] = sph_param_cat[pg[sph_rows]][:, 0:6]
+            ptd[sph_rows, 18] = sk[pg[sph_rows]]
             if any_motion:
                 ptd_end[sph_rows, 0:12] = sph_w2oe_cat[pg[sph_rows]].reshape(len(sph_rows), 12)
-                ptd_end[sph_rows, 12:16] = sph_param_cat[pg[sph_rows]][:, 0:4]
-                ptd_end[sph_rows, 16] = sk[pg[sph_rows]]
+                ptd_end[sph_rows, 12:18] = sph_param_cat[pg[sph_rows]][:, 0:6]
+                ptd_end[sph_rows, 18] = sk[pg[sph_rows]]
 
     fourier_dev = _stack_fourier_tables(fourier_tables)
 
@@ -862,7 +917,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         tri_uv=jnp.asarray(_cat(tri_uv, (3, 2))),
         sph_o2w=jnp.asarray(np.asarray(sph_o2w, dtype=np.float32).reshape(-1, 3, 4)),
         sph_w2o=jnp.asarray(np.asarray(sph_w2o, dtype=np.float32).reshape(-1, 3, 4)),
-        sph_param=jnp.asarray(np.asarray(sph_param, dtype=np.float32).reshape(-1, 6)),
+        sph_param=jnp.asarray(np.asarray(sph_param, dtype=np.float32).reshape(-1, 12)),
         sph_kind=jnp.asarray(np.asarray(sph_kind_l, dtype=np.int32)),
         prim_kind=jnp.asarray(np.asarray(prim_kind, dtype=np.int32)),
         prim_geom=jnp.asarray(np.asarray(prim_geom, dtype=np.int32)),
@@ -921,6 +976,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         wnode_tab=jnp.asarray(wide.node_tab) if has_wide else None,
         wprim_tab=jnp.asarray(wide.prim_tab) if has_wide else None,
         wslot_prim=jnp.asarray(wide.slot_prim) if has_wide else None,
+        wmeta_tab=jnp.asarray(wide.meta_tab) if has_wide else None,
         **sss_arrays,
     )
     static = SceneStatic(

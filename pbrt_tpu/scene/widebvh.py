@@ -16,9 +16,12 @@ out for the TPU tiling constraints (last dim 128 lanes, f32 sublane 8):
   direction sign (the TPU stand-in for bvh.rs:705-760 dir-sign ordering).
 - prim table, 8 octets per (8, 128) block: octet ``o`` occupies rows
   ``(o // 8) * 8 .. +8`` and lanes ``(o % 8) * 16 .. +16``; sublane = prim,
-  lanes = [p0(3), p1(3), p2(3), valid, pad(6)]. Triangles only — the
-  kernel runs the watertight shear test on raw vertices. A leaf is exactly
-  one octet (<= 8 prims, padded with valid=0 rows).
+  lanes = [p0(3), p1(3), p2(3), valid, prim_id, pad(5)]. Triangles only —
+  the kernel runs the watertight shear test on raw vertices and returns the
+  winning GLOBAL prim row + barycentrics directly (prim_id is exact in f32
+  up to 2^24 rows). A leaf is a PAIR of consecutive octets (<= 16 prims,
+  padded with valid=0 rows); the first octet id is even, so both octets
+  sit in adjacent 16-lane groups of the same block rows.
 
 ``slot_prim`` maps kernel slot ids (oct * 8 + sublane) back to global
 primitive rows for shading.
@@ -32,7 +35,11 @@ import numpy as np
 from .bvh import build_bvh
 
 WIDE = 8
-WIDE_LEAF = 8
+# a leaf is a PAIR of consecutive octets (<= 16 prims): per-visit scalar
+# overhead (pop + meta extract + mask transfer, ~250ns) dwarfs the vector
+# cost of testing 8 more triangle rows, so doubling the leaf width halves
+# the dominant leaf-visit count for ~free
+WIDE_LEAF = 16
 
 
 @dataclass
@@ -40,6 +47,10 @@ class WideBVH:
     node_tab: np.ndarray  # (ceil(Nw/16)*8, 128) f32
     prim_tab: np.ndarray  # (ceil(n_oct/8)*8, 128) f32
     slot_prim: np.ndarray  # (n_oct*8,) i32 global prim row or -1
+    meta_tab: np.ndarray  # (n_nodes*8,) i32 child metas; row nid*8+slot.
+    # meta_tab[0:8] seeds the root (sentinel parent 0, child 0 = root meta) —
+    # lets the kernel keep child metas in SMEM and read them with scalar
+    # loads instead of a ~90ns vector->scalar extract per pop
     n_nodes: int
     n_octets: int
     root: int  # packed root meta: node id | axis << 21 (id >= 1; 0 = empty)
@@ -88,8 +99,13 @@ def _collapse(bvh):
     nodes: list[dict] = [None]  # type: ignore[list-item]
 
     def leaf_oct(b):
-        octets.append((int(start[b]), int(count[b])))
-        return len(octets) - 1
+        """Allocate the octet PAIR for a <=16-prim leaf; returns the first
+        (even) octet id — the kernel tests octets o and o+1 per leaf visit."""
+        off, n = int(start[b]), int(count[b])
+        o0 = len(octets)
+        octets.append((off, min(n, 8)))
+        octets.append((off + 8, max(n - 8, 0)))
+        return o0
 
     def build_wide(b):
         """Collapse the binary subtree at `b` (count > WIDE_LEAF) into one
@@ -148,6 +164,7 @@ def build_wide_bvh(lo: np.ndarray, hi: np.ndarray, tri_v0: np.ndarray,
     import sys
 
     p = len(lo)
+    assert p < (1 << 24), "prim ids ride the f32 prim table (exact < 2^24)"
     bvh = build_bvh(lo, hi, WIDE_LEAF)
     order = np.asarray(bvh.prim_ids, dtype=np.int64)  # leaf-order -> global
 
@@ -163,6 +180,7 @@ def build_wide_bvh(lo: np.ndarray, hi: np.ndarray, tri_v0: np.ndarray,
 
     node_blocks = (n_nodes + 7) // 8
     node_tab = np.zeros((node_blocks * 8, 128), np.float32)
+    meta_tab = np.zeros(n_nodes * 8, np.int32)
     for nid in range(1, n_nodes):
         nd = nodes[nid]
         r0 = (nid // 8) * 8
@@ -175,6 +193,7 @@ def build_wide_bvh(lo: np.ndarray, hi: np.ndarray, tri_v0: np.ndarray,
                 meta = float(ref + (nodes[ref]["axis"] << 21))
             else:
                 meta = -float(ref + 1)
+            meta_tab[nid * 8 + ci] = int(meta)
             node_tab[r0 + ci, c0:c0 + 8] = [
                 bmin[0], bmin[1], bmin[2], bmax[0], bmax[1], bmax[2], meta, float(nd["axis"]),
             ]
@@ -191,23 +210,27 @@ def build_wide_bvh(lo: np.ndarray, hi: np.ndarray, tri_v0: np.ndarray,
     for o, (off, n) in enumerate(octets):
         r0 = (o // 8) * 8
         c0 = (o % 8) * 16
-        for k in range(min(n, WIDE_LEAF)):
+        for k in range(min(n, 8)):
             g = int(order[off + k])
             row = np.zeros(16, np.float32)
             row[0:3] = tri_v0[g]
             row[3:6] = tri_v1[g]
             row[6:9] = tri_v2[g]
             row[9] = 1.0
+            row[10] = float(g)  # global prim row (exact in f32 < 2^24)
             prim_tab[r0 + k, c0:c0 + 16] = row
             slot_prim[o * 8 + k] = g
 
+    packed_root = root + (nodes[root]["axis"] << 21)
+    meta_tab[0] = packed_root  # sentinel parent 0, child slot 0 = the root
     return WideBVH(
         node_tab=node_tab,
         prim_tab=prim_tab,
         slot_prim=slot_prim,
+        meta_tab=meta_tab,
         n_nodes=n_nodes,
         n_octets=n_oct,
         # root meta is packed like child metas: id | axis << 21 (the kernel
         # seeds its stack with this value directly)
-        root=root + (nodes[root]["axis"] << 21),
+        root=packed_root,
     )

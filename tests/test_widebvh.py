@@ -70,12 +70,25 @@ def test_wide_matches_xla_traversal(monkeypatch):
     d[R // 2:] = np.array([0.0, -1.0, 0.0], np.float32)
     tmax = np.full(R, np.inf, np.float32)
 
-    t, slot, hit = pallas_bvh.wide_intersect(
+    # SMEM-meta and vstack stack layouts must agree exactly
+    sa.wmeta_tab = jnp.asarray(w.meta_tab)
+    t, prim, hit, b1, b2 = pallas_bvh.wide_intersect(
         sa, st, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmax), interpret=True
     )
+    sa2 = SA()
+    sa2.wnode_tab = sa.wnode_tab
+    sa2.wprim_tab = sa.wprim_tab
+    t_v, prim_v, hit_v, b1_v, b2_v = pallas_bvh.wide_intersect(
+        sa2, st, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmax), interpret=True
+    )
+    assert (np.asarray(hit) == np.asarray(hit_v)).all()
+    np.testing.assert_array_equal(np.asarray(prim), np.asarray(prim_v))
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_v), rtol=1e-6)
     t = np.asarray(t)
     hit = np.asarray(hit)
-    prim = np.where(hit, w.slot_prim[np.maximum(np.asarray(slot), 0)], -1)
+    prim = np.where(hit, np.asarray(prim), -1)
+    b1 = np.asarray(b1)
+    b2 = np.asarray(b2)
 
     # brute-force reference over all tris with the SAME watertight test the
     # kernel and the XLA path use (intersect.ray_triangle)
@@ -94,3 +107,17 @@ def test_wide_matches_xla_traversal(monkeypatch):
     assert (hit == hit_ref).all()
     np.testing.assert_allclose(t[hit_ref], t_ref[hit_ref], rtol=1e-4)
     assert (prim[hit_ref] == tt.argmin(axis=1)[hit_ref]).mean() > 0.99
+
+    # barycentrics returned from the kernel must match a direct watertight
+    # evaluation of the winning triangle
+    from pbrt_tpu.device.intersect import ray_triangle as rt1
+
+    pr = np.maximum(prim, 0)
+    _hh, _tt2, _b0r, b1r, b2r = rt1(
+        jnp.asarray(o), jnp.asarray(d),
+        jnp.asarray(tri[pr, 0]), jnp.asarray(tri[pr, 1]), jnp.asarray(tri[pr, 2]),
+        jnp.full(R, np.inf, jnp.float32),
+    )
+    m = hit_ref & (prim == tt.argmin(axis=1))
+    np.testing.assert_allclose(b1[m], np.asarray(b1r)[m], atol=1e-4)
+    np.testing.assert_allclose(b2[m], np.asarray(b2r)[m], atol=1e-4)
