@@ -22,44 +22,34 @@ BASELINE_VPS = 50e6  # driver-defined target (BASELINE.json north_star)
 
 
 def _measure(cs, W, H, icfg_depth=5, n_spp=4):
+    """Path-vertex throughput of the production render path (the persistent
+    wavefront — device/integrator.trace_persistent)."""
     import jax
     import jax.numpy as jnp
 
-    from pbrt_tpu.render import _one_sample_wave
-    from pbrt_tpu.device.camera import make_camera
+    from pbrt_tpu.render import make_persistent_fn
 
     desc = cs.description
+    desc.integrator.kind = "path"
+    desc.integrator.max_depth = icfg_depth
+    desc.sampler.kind = "zerotwosequence"
+    desc.sampler.pixel_samples = 16
     sa = cs.arrays
-    static = cs.static
-    cam = make_camera(desc.camera, desc.film)
-    icfg = {"kind": "path", "max_depth": icfg_depth, "rr_threshold": 1.0,
-            "strategy": "all", "light_strategy": "uniform", "n_samples": 4, "cos_sample": True}
-    scfg = {"kind": "zerotwosequence", "spp": 16}
-    fcfg = {"filter": "box", "filter_params": {}, "max_sample_luminance": np.inf}
 
     ys, xs = np.mgrid[0:H, 0:W]
     px = jnp.asarray(xs.ravel().astype(np.int32))
     py = jnp.asarray(ys.ravel().astype(np.int32))
     pids = jnp.asarray((ys * W + xs).ravel().astype(np.uint32))
 
-    @jax.jit
-    def run(sa, n0):
-        def body(s, acc):
-            film, verts = acc
-            Lw, w, nv = _one_sample_wave(
-                sa, static, icfg, scfg, fcfg, cam, px, py, pids, n0 + s.astype(jnp.uint32), jnp.uint32(0)
-            )
-            return film + jnp.sum(Lw), verts + jnp.sum(nv)
-
-        return jax.lax.fori_loop(0, n_spp, body, (jnp.float32(0), jnp.float32(0)))
-
-    film, verts = run(sa, jnp.uint32(0))
-    jax.block_until_ready(film)
+    wave_p = make_persistent_fn(cs)
+    Lw, w, nv = wave_p(sa, px, py, pids, jnp.uint32(0), n_spp, jnp.uint32(0))
+    jax.block_until_ready(Lw)
     t0 = time.time()
-    film, verts = run(sa, jnp.uint32(100))
-    jax.block_until_ready(film)
+    Lw, w, nv = wave_p(sa, px, py, pids, jnp.uint32(100), n_spp, jnp.uint32(0))
+    verts = float(jnp.sum(nv))
+    jax.block_until_ready(Lw)
     dt = time.time() - t0
-    return float(verts) / dt
+    return verts / dt
 
 
 def _spheres_scene():

@@ -63,6 +63,60 @@ def _light_select_pdf(static: SceneStatic):
     return 1.0 / max(static.n_lights, 1)
 
 
+def _light_selectors(sa, static: SceneStatic, icfg: dict, nee_on: bool, ikind: str):
+    """Light-selection distribution closures, shared by the per-sample wave
+    and the persistent wave (lightdistrib.rs create_light_sample_
+    distribution): "uniform", power-proportional, or the voxel-grid
+    "spatial" distribution (precomputed table passed via icfg).
+
+    Returns (_select_light(u, p_at) -> (lid, pmf), _sel_pmf_of(lid, p_at))."""
+    sel_pdf = _light_select_pdf(static)
+    strategy = str(icfg.get("light_strategy", "uniform"))
+    spatial = icfg.get("spatial_distribution") if strategy == "spatial" else None
+    use_spatial = spatial is not None and static.n_lights > 1 and nee_on
+    use_power = (not use_spatial) and strategy in ("power", "spatial") and static.n_lights > 1 and (nee_on or ikind == "whitted")
+    if use_power:
+        from .lights import compute_power
+
+        _pw = compute_power(sa, static)
+        _pmf = jnp.maximum(_pw / jnp.maximum(_pw.sum(), 1e-20), 1e-6)
+        _pmf = _pmf / _pmf.sum()  # every light stays selectable (unbiased)
+        _cdf = jnp.cumsum(_pmf)
+    if use_spatial:
+        from .lightdistrib import spatial_pmf_of, spatial_select
+
+    def _sel_pmf_of(lid, p_at=None):
+        """Selection pmf of given light rows (for MIS at emission hits).
+
+        p_at: shading points (required for the spatial strategy — the pmf
+        depends on the voxel of the vertex that did NEE, i.e. the PREVIOUS
+        path vertex for emission-hit MIS, lightdistrib.rs lookup)."""
+        if use_spatial and p_at is not None:
+            return spatial_pmf_of(spatial, p_at, lid)
+        if not (use_power or use_spatial):
+            return jnp.full(lid.shape, sel_pdf, F32)
+        if use_spatial:
+            # no position context: fall back to uniform (conservative MIS)
+            return jnp.full(lid.shape, sel_pdf, F32)
+        oh = jnp.arange(static.n_lights)[None, :] == lid[:, None]
+        return jnp.sum(jnp.where(oh, _pmf[None, :], 0.0), axis=1)
+
+    def _select_light(u_sel, p_at=None):
+        if use_spatial and p_at is not None:
+            return spatial_select(spatial, p_at, u_sel)
+        if not (use_power or use_spatial):
+            lid = jnp.minimum((u_sel * static.n_lights).astype(jnp.int32), static.n_lights - 1)
+            return lid, jnp.full(u_sel.shape, sel_pdf, F32)
+        if use_spatial:
+            lid = jnp.minimum((u_sel * static.n_lights).astype(jnp.int32), static.n_lights - 1)
+            return lid, jnp.full(u_sel.shape, sel_pdf, F32)
+        lid = jnp.sum((u_sel[:, None] > _cdf[None, :-1]).astype(jnp.int32), axis=1) if static.n_lights > 1 else jnp.zeros(u_sel.shape, jnp.int32)
+        lid = jnp.clip(lid, 0, static.n_lights - 1)
+        return lid, _sel_pmf_of(lid)
+
+    return _select_light, _sel_pmf_of
+
+
 
 def _compute_duv(si, o, d, dd):
     """uv-footprint derivative for the +1px offset ray with direction dd and
@@ -118,53 +172,8 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
     if ikind == "ao":
         return _trace_ao(sa, static, icfg, scfg, seed, o, d, pixel, sample_idx, time), jnp.ones(R, F32)
 
-    sel_pdf = _light_select_pdf(static)
     nee_on = ikind in ("path", "volpath", "directlighting")
-    # light-selection distribution (lightdistrib.rs create_light_sample_
-    # distribution): "uniform", power-proportional, or the voxel-grid
-    # "spatial" distribution (precomputed table passed via icfg)
-    strategy = str(icfg.get("light_strategy", "uniform"))
-    spatial = icfg.get("spatial_distribution") if strategy == "spatial" else None
-    use_spatial = spatial is not None and static.n_lights > 1 and nee_on
-    use_power = (not use_spatial) and strategy in ("power", "spatial") and static.n_lights > 1 and (nee_on or ikind == "whitted")
-    if use_power:
-        from .lights import compute_power
-
-        _pw = compute_power(sa, static)
-        _pmf = jnp.maximum(_pw / jnp.maximum(_pw.sum(), 1e-20), 1e-6)
-        _pmf = _pmf / _pmf.sum()  # every light stays selectable (unbiased)
-        _cdf = jnp.cumsum(_pmf)
-    if use_spatial:
-        from .lightdistrib import spatial_pmf_of, spatial_select
-
-    def _sel_pmf_of(lid, p_at=None):
-        """Selection pmf of given light rows (for MIS at emission hits).
-
-        p_at: shading points (required for the spatial strategy — the pmf
-        depends on the voxel of the vertex that did NEE, i.e. the PREVIOUS
-        path vertex for emission-hit MIS, lightdistrib.rs lookup)."""
-        if use_spatial and p_at is not None:
-            return spatial_pmf_of(spatial, p_at, lid)
-        if not (use_power or use_spatial):
-            return jnp.full(lid.shape, sel_pdf, F32)
-        if use_spatial:
-            # no position context: fall back to uniform (conservative MIS)
-            return jnp.full(lid.shape, sel_pdf, F32)
-        oh = jnp.arange(static.n_lights)[None, :] == lid[:, None]
-        return jnp.sum(jnp.where(oh, _pmf[None, :], 0.0), axis=1)
-
-    def _select_light(u_sel, p_at=None):
-        if use_spatial and p_at is not None:
-            return spatial_select(spatial, p_at, u_sel)
-        if not (use_power or use_spatial):
-            lid = jnp.minimum((u_sel * static.n_lights).astype(jnp.int32), static.n_lights - 1)
-            return lid, jnp.full(u_sel.shape, sel_pdf, F32)
-        if use_spatial:
-            lid = jnp.minimum((u_sel * static.n_lights).astype(jnp.int32), static.n_lights - 1)
-            return lid, jnp.full(u_sel.shape, sel_pdf, F32)
-        lid = jnp.sum((u_sel[:, None] > _cdf[None, :-1]).astype(jnp.int32), axis=1) if static.n_lights > 1 else jnp.zeros(u_sel.shape, jnp.int32)
-        lid = jnp.clip(lid, 0, static.n_lights - 1)
-        return lid, _sel_pmf_of(lid)
+    _select_light, _sel_pmf_of = _light_selectors(sa, static, icfg, nee_on, ikind)
     # path handles subsurface interiors too (the volumetric random walk is
     # this build's BSSRDF, replacing the tabulated dipole; path.rs:177-204)
     handle_media = (ikind == "volpath" and static.n_media > 0) or (
@@ -588,11 +597,200 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
     )
     n_iters = max_depth - 1 + extra_iters
     if n_iters > 0:
-        state = jax.lax.fori_loop(0, n_iters, bounce_body, state)
+        import os
+
+        if os.environ.get("PBRT_TPU_UNROLL", "") == "1":
+            # straight-line bounce bodies: larger compile, but XLA keeps
+            # the fast gather lowering (experimental; see gather.py)
+            for _b in range(n_iters):
+                state = bounce_body(jnp.int32(_b), state)
+        else:
+            state = jax.lax.fori_loop(0, n_iters, bounce_body, state)
     state = pickup(state, jnp.int32(n_iters))[0]
     L = state[2]
     n_vertices = state[9]
     return L, n_vertices
+
+
+def trace_persistent(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict,
+                     seed, pixel, s0: int, n_samples: int, regen,
+                     max_sample_luminance=float("inf")):
+    """Persistent wavefront path tracer with in-place ray regeneration.
+
+    One lane per pixel. Each lane traces its pixel's samples
+    ``s0 .. s0+n_samples-1`` SEQUENTIALLY: the moment a lane's path
+    terminates, the finished sample's radiance is flushed into per-lane
+    accumulators and the lane immediately regenerates the next camera
+    sample — no lane ever idles on a dead path. This is the SURVEY §2.12
+    "persistent ray queue" wavefront design; the per-sample wave
+    (trace_wave) leaves every post-bounce wave mostly dead on low-yield
+    scenes. Because a lane's pixel never changes, flushing is pure
+    elementwise accumulation — no film scatter is needed.
+
+    Estimator parity: the (pixel, sample, dimension) sample streams and the
+    per-sample math are IDENTICAL to trace_wave (path kind) — images match
+    to fp tolerance (tests/test_persistent.py).
+
+    Eligibility (caller-enforced): kind == "path", no media / null
+    materials / subsurface, no motion blur, pinhole or thin-lens camera.
+
+    regen(sample_idx (R,) u32) -> (o, d, w_filter, dd_x, dd_y): fresh
+    camera samples for every lane (the caller builds it from the camera +
+    film-dimension sampler; see render.make_regen).
+
+    Returns (accLw (R, 3), accW (R,), n_vertices (R,)).
+    """
+    R = pixel.shape[0]
+    max_depth = int(icfg["max_depth"])
+    kind_s = scfg["kind"]
+    spp = scfg["spp"]
+    DPB = 8
+    _select_light, _sel_pmf_of = _light_selectors(sa, static, icfg, True, "path")
+
+    def _nee(si, lobes, alive_m, dim_base, s_cur):
+        """uniform_sample_onelight / estimate_direct, surface-only form —
+        must mirror trace_wave._nee_at with medium_vertex=None."""
+        if static.n_lights == 0:
+            return jnp.zeros((R, 3), F32)
+        u_sel = sample_1d(kind_s, seed, pixel, s_cur, dim_base, spp)
+        u1, u2 = sample_2d(kind_s, seed, pixel, s_cur, dim_base + 1, spp)
+        lid, spdf = _select_light(u_sel, si["p"])
+        ls = sample_li(sa, static, lid, si["p"], u1, u2)
+        wi = ls["wi"]
+        wo_l = _to_local(si, si["wo"])
+        wi_l = _to_local(si, wi)
+        refl = _dot(wi, si["ng"]) * _dot(si["wo"], si["ng"]) > 0
+        f_val = bsdf_f(lobes, wo_l, wi_l, refl) * jnp.abs(_dot(wi, si["ns"]))[:, None]
+        p_b = bsdf_pdf(lobes, wo_l, wi_l)
+        p_l = ls["pdf"] * spdf
+        contributes = alive_m & (p_l > 0) & jnp.any(f_val * ls["li"] > 0, axis=-1)
+        o_sh = _offset_ray(si["p"], si["ng"], wi)
+        t_sh = jnp.where(contributes, ls["dist"] * (1.0 - 2.0 * RAY_EPS), -1.0)
+        occ = intersect_p(sa, static, o_sh, wi, t_sh, sort_rays=True)
+        vis = jnp.where(occ[:, None], 0.0, 1.0)
+        w_l = jnp.where(ls["delta"], 1.0, power_heuristic(1.0, p_l, 1.0, p_b))
+        contrib = f_val * ls["li"] * vis * (w_l / jnp.maximum(p_l, 1e-30))[:, None]
+        return jnp.where(contributes[:, None], contrib, 0.0)
+
+    def body(st):
+        (o, d, L, beta, alive, prev_spec, prev_pdf, prev_p, eta_scale,
+         bounces, dd_x, dd_y, s_cur, w_cur, accL, accW, nverts, done, it) = st
+
+        # --- extend: intersect + escaped/emitted pickup (deferred MIS) ---
+        t_query = jnp.where(alive, jnp.inf, -1.0)
+        hit = intersect(sa, static, o, d, t_query, sort_rays=True)
+        si = surface_interaction(sa, hit, o, d)
+        valid = si["valid"]
+        nverts = nverts + (alive & valid)
+
+        if static.has_infinite:
+            esc = alive & ~valid
+            le = env_le(sa, static, d)
+            env_row = jnp.full(R, max(static.infinite_light_index, 0), jnp.int32)
+            p_l = env_pdf_li(sa, static, d) * _sel_pmf_of(env_row, prev_p)
+            w = jnp.where(prev_spec, 1.0, power_heuristic(1.0, prev_pdf, 1.0, p_l))
+            L = L + jnp.where(esc[:, None], beta * le * w[:, None], 0.0)
+        alive = alive & valid
+
+        if static.has_area_lights:
+            lid = si["light"]
+            emitting = alive & (lid >= 0)
+            le = area_light_emission(sa, lid, si["ng"], si["wo"])
+            area = gather_rows(sa.prim_area, jnp.maximum(si["prim"], 0))
+            p_l = pdf_li_area_hit(sa, prev_p, si["p"], si["ng"], lid, area) * _sel_pmf_of(jnp.maximum(lid, 0), prev_p)
+            w = jnp.where(prev_spec, 1.0, power_heuristic(1.0, prev_pdf, 1.0, p_l))
+            L = L + jnp.where(emitting[:, None], beta * le * w[:, None], 0.0)
+
+        si["duvdx"] = _compute_duv(si, o, d, dd_x)
+        si["duvdy"] = _compute_duv(si, o, d, dd_y)
+
+        # --- shade: NEE + BSDF continuation (per-lane bounce depth) ---
+        dim_base = 2 + bounces * DPB
+        can_scatter = alive & (bounces < max_depth - 1)
+        lobes = make_bsdf(sa, static, si["mat"], si["uv"], si["p"], si["duvdx"], si["duvdy"])
+        alive_sh = can_scatter & (num_lobes(lobes) > 0)
+        if static.n_lights > 0:
+            L = L + beta * _nee(si, lobes, alive_sh, dim_base, s_cur)
+
+        u_lobe = sample_1d(kind_s, seed, pixel, s_cur, dim_base + 2, spp)
+        u1, u2 = sample_2d(kind_s, seed, pixel, s_cur, dim_base + 3, spp)
+        wo_l = _to_local(si, si["wo"])
+        bs = bsdf_sample(lobes, wo_l, u_lobe, u1, u2)
+        wi_w = _to_world(si, bs["wi"])
+        cos_term = jnp.abs(_dot(wi_w, si["ns"]))
+        thru = bs["f"] * (cos_term / jnp.maximum(bs["pdf"], 1e-30))[:, None]
+        surf_cont = alive_sh & bs["valid"] & jnp.any(thru > 0, axis=-1)
+
+        new_alive = surf_cont
+        new_beta = jnp.where(surf_cont[:, None], beta * thru, beta)
+        new_d = jnp.where(surf_cont[:, None], wi_w, d)
+        new_o = jnp.where(surf_cont[:, None], _offset_ray(si["p"], si["ng"], wi_w), o)
+        new_spec = bs["specular"] & surf_cont
+        new_pdf = jnp.where(surf_cont, jnp.maximum(bs["pdf"], 1e-30), prev_pdf)
+        new_prev_p = jnp.where(surf_cont[:, None], si["p"], prev_p)
+        eta_scale = jnp.where(surf_cont, eta_scale * bs["eta_scale"], eta_scale)
+        new_bounces = bounces + surf_cont
+
+        # russian roulette (path.rs:206-214)
+        rr_beta = new_beta * eta_scale[:, None]
+        max_c = jnp.max(rr_beta, axis=-1)
+        q = jnp.maximum(0.05, 1.0 - max_c)
+        do_rr = (new_bounces > 3) & (max_c < icfg.get("rr_threshold", 1.0))
+        u_rr = sample_1d(kind_s, seed, pixel, s_cur, dim_base + 4, spp)
+        killed = do_rr & (u_rr < q)
+        new_alive = new_alive & ~killed
+        new_beta = jnp.where((do_rr & ~killed)[:, None], new_beta / jnp.maximum(1.0 - q, 1e-6)[:, None], new_beta)
+
+        # --- flush finished samples, regenerate or retire lanes ---
+        die = ~done & ~new_alive
+        Lf = jnp.maximum(jnp.where(jnp.isfinite(L), L, 0.0), 0.0)
+        if max_sample_luminance < float("inf"):
+            y = Lf[:, 0] * 0.212671 + Lf[:, 1] * 0.715160 + Lf[:, 2] * 0.072169
+            scale = jnp.where(y > max_sample_luminance, max_sample_luminance / jnp.maximum(y, 1e-12), 1.0)
+            Lf = Lf * scale[:, None]
+        accL = accL + jnp.where(die[:, None], Lf * w_cur[:, None], 0.0)
+        accW = accW + jnp.where(die, w_cur, 0.0)
+
+        s_next = s_cur + jnp.uint32(1)
+        more = die & (s_next < jnp.asarray(s0, jnp.uint32) + jnp.uint32(n_samples))
+        done = done | (die & ~more)
+        o_r, d_r, w_r, ddx_r, ddy_r = regen(jnp.where(more, s_next, s_cur))
+        sel = more[:, None]
+        new_o = jnp.where(sel, o_r, new_o)
+        new_d = jnp.where(sel, d_r, new_d)
+        L = jnp.where(sel, 0.0, L)
+        new_beta = jnp.where(sel, 1.0, new_beta)
+        new_alive = new_alive | more
+        new_spec = jnp.where(more, True, new_spec)
+        new_pdf = jnp.where(more, 1.0, new_pdf)
+        new_prev_p = jnp.where(sel, o_r, new_prev_p)
+        eta_scale = jnp.where(more, 1.0, eta_scale)
+        new_bounces = jnp.where(more, 0, new_bounces)
+        s_cur = jnp.where(more, s_next, s_cur)
+        w_cur = jnp.where(more, w_r, w_cur)
+        # diff dirs are camera-ray-only (trace_wave zeroes them after bounce 0)
+        dd_x = jnp.where(sel, ddx_r, 0.0)
+        dd_y = jnp.where(sel, ddy_r, 0.0)
+
+        return (new_o, new_d, L, new_beta, new_alive, new_spec, new_pdf, new_prev_p,
+                eta_scale, new_bounces, dd_x, dd_y, s_cur, w_cur, accL, accW, nverts,
+                done, it + 1)
+
+    def cond(st):
+        done, it = st[17], st[18]
+        # each live-lane iteration either deepens a path (<= max_depth) or
+        # consumes a sample, so the cap is a safety valve only
+        return jnp.any(~done) & (it < n_samples * (max_depth + 2) + 8)
+
+    s_init = jnp.broadcast_to(jnp.asarray(s0, jnp.uint32), (R,))
+    o0, d0, w0, ddx0, ddy0 = regen(s_init)
+    st = (o0, d0, jnp.zeros((R, 3), F32), jnp.ones((R, 3), F32),
+          jnp.full(R, n_samples > 0), jnp.ones(R, bool), jnp.ones(R, F32), o0,
+          jnp.ones(R, F32), jnp.zeros(R, jnp.int32), ddx0, ddy0, s_init, w0,
+          jnp.zeros((R, 3), F32), jnp.zeros(R, F32), jnp.zeros(R, F32),
+          jnp.full(R, n_samples == 0), jnp.int32(0))
+    st = jax.lax.while_loop(cond, body, st)
+    return st[14], st[15], st[16]
 
 
 def _trace_ao(sa, static, icfg, scfg, seed, o, d, pixel, sample_idx, time=None):

@@ -188,6 +188,114 @@ def _one_sample_wave(sa, static, icfg, scfg, fcfg, cam, px_base, py_base, pixel_
     return L * w[:, None], w, n_vertices
 
 
+def make_regen(cam, static, scfg, fcfg, px_base, py_base, pixel_ids, seed):
+    """Camera-sample regeneration closure for the persistent wavefront.
+
+    regen(sample_idx (R,) u32) -> (o, d, w_filter, dd_x, dd_y), mirroring
+    the film/lens-dimension logic of _one_sample_wave exactly so the
+    persistent and per-sample paths produce identical samples."""
+    kind = scfg["kind"]
+    spp = scfg["spp"]
+    need_dd = bool(static.tex_programs) and any(p.kind == "imagemap" for p in static.tex_programs)
+
+    def regen(sample_idx):
+        if kind == "halton" and scfg.get("halton") is not None:
+            from .device.sampler import halton_dim_2d, halton_film_jitter
+
+            aux = scfg["halton"]
+            u1, u2 = halton_film_jitter(aux, pixel_ids, sample_idx)
+            ul1, ul2 = halton_dim_2d(aux, pixel_ids, sample_idx, 1)
+        elif kind == "sobol" and scfg.get("sobol") is not None:
+            from .device.sampler import sobol_dim_2d, sobol_film_jitter
+
+            aux = scfg["sobol"]
+            u1, u2 = sobol_film_jitter(aux, px_base, py_base, sample_idx)
+            ul1, ul2 = sobol_dim_2d(aux, px_base, py_base, sample_idx, 1)
+        else:
+            u1, u2 = sample_2d(kind, seed, pixel_ids, sample_idx, 0, spp)
+            ul1, ul2 = sample_2d(kind, seed, pixel_ids, sample_idx, 1, spp)
+        dx, dy, w = filter_offset(fcfg["filter"], fcfg["filter_params"], u1, u2)
+        px = px_base.astype(F32) + 0.5 + dx
+        py = py_base.astype(F32) + 0.5 + dy
+        o, d = generate_rays(cam, px, py, ul1, ul2, None)
+        if need_dd:
+            from .device.camera import ray_differential_dirs
+
+            dd_x, dd_y = ray_differential_dirs(cam, px, py)
+        else:
+            dd_x = jnp.zeros_like(o)
+            dd_y = jnp.zeros_like(o)
+        if w is None:
+            w = jnp.ones(o.shape[0], F32)
+        return o, d, w, dd_x, dd_y
+
+    return regen
+
+
+def persistent_eligible(desc, static, cam) -> bool:
+    """The persistent wavefront covers the plain path-integrator configs
+    (the flagship + both bench scenes); everything else uses the
+    per-sample wave."""
+    return (
+        desc.integrator.kind == "path"
+        and not static.has_motion
+        and cam.get("anim") is None
+        and cam.get("realistic") is None
+        and static.n_media == 0
+        and not static.has_sss_media
+        and not static.has_tab_sss
+        and not static.has_null_material
+    )
+
+
+PERSISTENT_SPP_CHUNK = 32
+
+
+def make_persistent_fn(cs: CompiledScene, cam=None):
+    """Build the jitted persistent-wave function: (sa, px, py, pids, s0,
+    n_samples, seed) -> (accLw, accW, n_vertices). n_samples is static."""
+    from .device.integrator import trace_persistent
+
+    desc = cs.description
+    if cam is None:
+        cam = make_camera(desc.camera, desc.film)
+    icfg = {
+        "kind": "path",
+        "max_depth": max(int(desc.integrator.max_depth), 1),
+        "rr_threshold": desc.integrator.rr_threshold,
+        "light_strategy": desc.integrator.light_strategy,
+    }
+    if str(desc.integrator.light_strategy) == "spatial" and cs.static.n_lights > 1:
+        from .device.lightdistrib import build_spatial_distribution
+
+        icfg["spatial_distribution"] = build_spatial_distribution(cs.arrays, cs.static)
+    scfg = {"kind": desc.sampler.kind, "spp": int(desc.sampler.pixel_samples)}
+    if desc.sampler.kind == "halton":
+        from .device.sampler import halton_tables
+
+        scfg["halton"] = halton_tables(desc.film.x_resolution, desc.film.y_resolution)
+    elif desc.sampler.kind == "sobol":
+        from .device.sampler import sobol_tables
+
+        scfg["sobol"] = sobol_tables(desc.film.x_resolution, desc.film.y_resolution, int(desc.sampler.pixel_samples))
+    fcfg = {
+        "filter": desc.film.filter_name,
+        "filter_params": dict(desc.film.filter_params),
+        "max_sample_luminance": desc.film.max_sample_luminance,
+    }
+    static = cs.static
+
+    @partial(jax.jit, static_argnums=(5,))
+    def wave_p(sa, px, py, pixel_ids, s0, n_samples, seed):
+        regen = make_regen(cam, static, scfg, fcfg, px, py, pixel_ids, seed)
+        return trace_persistent(
+            sa, static, icfg, scfg, seed, pixel_ids, s0, n_samples, regen,
+            max_sample_luminance=float(fcfg["max_sample_luminance"]),
+        )
+
+    return wave_p
+
+
 def make_wave_fn(cs: CompiledScene, cam=None):
     """Build the jitted per-sample wave function for a compiled scene."""
     desc = cs.description
@@ -315,7 +423,6 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
     pixel_ids = jnp.asarray((ys * W + xs).ravel().astype(np.uint32))
     R = ww * wh
 
-    wave = _cached_wave_fn(cs)
     sa = cs.arrays
 
     n_chunks = max(1, int(math.ceil(R / MAX_RAYS_PER_PASS)))
@@ -324,6 +431,47 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
     acc = np.zeros((R, 3), np.float64)
     wacc = np.zeros((R,), np.float64)
     n_vertices = 0.0
+
+    cam0 = make_camera(desc.camera, desc.film)
+    cam0["motion_times"] = (float(getattr(desc, "transform_start_time", 0.0)), float(getattr(desc, "transform_end_time", 1.0)))
+    if persistent_eligible(desc, cs.static, cam0) and checkpoint_path is None:
+        # persistent wavefront: lanes regenerate in place, samples chunked
+        # for f64 host accumulation (see device/integrator.trace_persistent)
+        wave_p = make_persistent_fn(cs, cam0)
+        t0 = time.time()
+        s = 0
+        while s < spp:
+            n_s = min(PERSISTENT_SPP_CHUNK, spp - s)
+            for c in range(n_chunks):
+                sl = slice(c * chunk, min((c + 1) * chunk, R))
+                Lw, w, nv = wave_p(sa, px[sl], py[sl], pixel_ids[sl], jnp.uint32(s), n_s, jnp.uint32(seed))
+                acc[sl] += np.asarray(Lw, np.float64)
+                wacc[sl] += np.asarray(w, np.float64)
+                n_vertices += float(np.asarray(jnp.sum(nv)))
+            s += n_s
+            if progress:
+                progress(s, spp)
+        dt = time.time() - t0
+        log.info(
+            "rendered %dx%d @ %dspp (persistent) in %.2fs (%.2f Mrays/s primary, %.2f Mverts/s)",
+            ww, wh, spp, dt, R * spp / max(dt, 1e-9) / 1e6, n_vertices / max(dt, 1e-9) / 1e6,
+        )
+        from .scene.arrays import scene_byte_size
+        from .utils.stats import STATS
+
+        STATS.counter("Integrator/Camera rays traced", R * spp)
+        STATS.counter("Integrator/Path vertices", int(n_vertices))
+        STATS.distribution("Integrator/Path length", n_vertices / max(R * spp, 1), R * spp)
+        STATS.memory_counter("Memory/Scene arrays", scene_byte_size(cs.arrays))
+        img_crop = (acc / np.maximum(wacc, 1e-9)[:, None]).reshape(wh, ww, 3).astype(np.float32)
+        img_crop *= desc.film.scale
+        if (ww, wh) == (W, H):
+            return img_crop
+        img = np.zeros((H, W, 3), np.float32)
+        img[y0:y1, x0:x1] = img_crop
+        return img
+
+    wave = _cached_wave_fn(cs)
     s_start = 0
     if checkpoint_path and os.path.exists(checkpoint_path):
         try:
