@@ -225,7 +225,8 @@ def _sample_prim_point(sa: SceneArrays, prim_ids, u1, u2):
 
     if sa.sph_param.shape[0] > 0:
         from ..scene.arrays import (
-            QUADRIC_CONE, QUADRIC_CYLINDER, QUADRIC_DISK, QUADRIC_PARABOLOID,
+            QUADRIC_CONE, QUADRIC_CYLINDER, QUADRIC_DISK, QUADRIC_HYPERBOLOID,
+            QUADRIC_PARABOLOID,
         )
 
         si = jnp.where(~is_tri, geom, 0)
@@ -276,10 +277,26 @@ def _sample_prim_point(sa: SceneArrays, prim_ids, u1, u2):
         k_pa = zhi / jnp.maximum(radius * radius, 1e-20)
         n_pa = _norm(jnp.stack([2.0 * k_pa * p_pa[:, 0], 2.0 * k_pa * p_pa[:, 1],
                                 -jnp.ones_like(z_p)], axis=-1))
+        # hyperboloid: uniform in (v, phi) parameter space (approximate —
+        # the reference's Hyperboloid::sample is unimplemented and errors,
+        # hyperboloid.rs:289)
+        is_hyp = qk == QUADRIC_HYPERBOLOID
+        hp1 = par[:, 6:9]
+        hp2 = par[:, 9:12]
+        seg = hp1 + u1[:, None] * (hp2 - hp1)
+        p_hy = jnp.stack([seg[:, 0] * cphi - seg[:, 1] * sphi,
+                          seg[:, 0] * sphi + seg[:, 1] * cphi,
+                          seg[:, 2]], axis=-1)
+        ah_h = par[:, 4]
+        ch_h = par[:, 5]
+        n_hy = _norm(jnp.stack([ah_h * p_hy[:, 0], ah_h * p_hy[:, 1],
+                                -ch_h * p_hy[:, 2]], axis=-1))
         p_obj = jnp.where(is_disk[:, None], p_dsk, jnp.where(is_cyl[:, None], p_cyl, p_sph))
         p_obj = jnp.where(is_cone[:, None], p_cn, jnp.where(is_para[:, None], p_pa, p_obj))
         n_obj = jnp.where(is_disk[:, None], n_dsk, jnp.where(is_cyl[:, None], n_cyl, n_sph))
         n_obj = jnp.where(is_cone[:, None], n_cn, jnp.where(is_para[:, None], n_pa, n_obj))
+        p_obj = jnp.where(is_hyp[:, None], p_hy, p_obj)
+        n_obj = jnp.where(is_hyp[:, None], n_hy, n_obj)
         ps = _xform_point(o2w, p_obj)
         ns = _norm(xf_vector_t(w2o[:, :, :3], n_obj))
         ns = jnp.where(((flags & 1) != 0)[:, None], -ns, ns)

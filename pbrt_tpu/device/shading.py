@@ -9,7 +9,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..scene.arrays import (
-    GEOM_TRI, QUADRIC_CONE, QUADRIC_CYLINDER, QUADRIC_DISK, QUADRIC_PARABOLOID, SceneArrays,
+    GEOM_TRI, QUADRIC_CONE, QUADRIC_CYLINDER, QUADRIC_DISK, QUADRIC_HYPERBOLOID,
+    QUADRIC_PARABOLOID, SceneArrays,
 )
 from .gather import gather_rows
 from .affine import xf_point as xf_point_b, xf_vector, xf_vector_t
@@ -129,14 +130,15 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
         is_disk = qk == QUADRIC_DISK
         is_cone = qk == QUADRIC_CONE
         is_para = qk == QUADRIC_PARABOLOID
-        is_sph = ~(is_cyl | is_disk | is_cone | is_para)
+        is_hyp = qk == QUADRIC_HYPERBOLOID
+        is_sph = ~(is_cyl | is_disk | is_cone | is_para | is_hyp)
         radius = par[:, 0]
         p_obj = _xform_point(w2o, p)
         # re-project to the surface per kind (sphere.rs / cylinder.rs; disks
         # snap z to the plane height; cone/paraboloid keep the raw point)
         r_sph = radius / jnp.maximum(jnp.linalg.norm(p_obj, axis=-1), 1e-30)
         r_cyl = radius / jnp.maximum(jnp.sqrt(p_obj[:, 0] ** 2 + p_obj[:, 1] ** 2), 1e-30)
-        scale = jnp.where(is_sph, r_sph, jnp.where(is_cyl, r_cyl, 1.0))
+        scale = jnp.where(is_sph, r_sph, jnp.where(is_cyl, r_cyl, 1.0))  # hyp/cone/para keep the raw point
         z_new = jnp.where(is_disk, par[:, 1], jnp.where(is_sph, p_obj[:, 2] * r_sph, p_obj[:, 2]))
         p_obj = jnp.stack([p_obj[:, 0] * scale, p_obj[:, 1] * scale, z_new], axis=-1)
         # object normal per kind (implicit-surface gradients)
@@ -155,9 +157,15 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
         n_para = jnp.stack([2.0 * k_para * p_obj[:, 0], 2.0 * k_para * p_obj[:, 1],
                             -one], axis=-1)
         n_para = n_para / jnp.maximum(jnp.linalg.norm(n_para, axis=-1, keepdims=True), 1e-20)
+        # hyperboloid: grad(ah(x^2+y^2) - ch z^2) = (ah x, ah y, -ch z)
+        ah = par[:, 4]
+        ch = par[:, 5]
+        n_hyp = jnp.stack([ah * p_obj[:, 0], ah * p_obj[:, 1], -ch * p_obj[:, 2]], axis=-1)
+        n_hyp = n_hyp / jnp.maximum(jnp.linalg.norm(n_hyp, axis=-1, keepdims=True), 1e-20)
         n_obj = jnp.where(is_disk[:, None], n_dsk, jnp.where(is_cyl[:, None], n_cyl, n_sph))
         n_obj = jnp.where(is_cone[:, None], n_cone, n_obj)
         n_obj = jnp.where(is_para[:, None], n_para, n_obj)
+        n_obj = jnp.where(is_hyp[:, None], n_hyp, n_obj)
         ng_s = _normalize(xf_vector_t(w2o[:, :, :3], n_obj))
         flip = (flags & FLAG_FLIP_GEOM_N) != 0
         ng_s = jnp.where(flip[:, None], -ng_s, ng_s)
@@ -176,8 +184,21 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
         v_dsk = 1.0 - (r_hit - par[:, 2]) / jnp.maximum(radius - par[:, 2], 1e-9)
         v_cone = p_obj[:, 2] / jnp.maximum(jnp.abs(par[:, 1]), 1e-9)  # z / height
         v_para = (p_obj[:, 2] - par[:, 1]) / jnp.maximum(par[:, 2] - par[:, 1], 1e-9)
+        # hyperboloid inverse mapping (hyperboloid.rs:134-139): v from z
+        # along the p1->p2 segment, phi measured against the TWISTED frame
+        # (the lerped segment point pr)
+        hp1 = par[:, 6:9]
+        hp2 = par[:, 9:12]
+        v_hyp = (p_obj[:, 2] - hp1[:, 2]) / jnp.where(
+            jnp.abs(hp2[:, 2] - hp1[:, 2]) > 1e-12, hp2[:, 2] - hp1[:, 2], 1.0)
+        pr = hp1 + v_hyp[:, None] * (hp2 - hp1)
+        phi_hyp = jnp.arctan2(pr[:, 0] * p_obj[:, 1] - p_obj[:, 0] * pr[:, 1],
+                              p_obj[:, 0] * pr[:, 0] + p_obj[:, 1] * pr[:, 1])
+        phi_hyp = jnp.where(phi_hyp < 0, phi_hyp + 2.0 * jnp.pi, phi_hyp)
+        u_s = jnp.where(is_hyp, phi_hyp / jnp.maximum(phimax, 1e-9), u_s)
         v_s = jnp.where(is_disk, v_dsk, jnp.where(is_cyl, v_cyl, v_sph))
         v_s = jnp.where(is_cone, v_cone, jnp.where(is_para, v_para, v_s))
+        v_s = jnp.where(is_hyp, v_hyp, v_s)
         uv_s = jnp.stack([u_s, v_s], axis=-1)
         # analytic dpdu/dpdv in object space -> world
         zr = jnp.sqrt(jnp.maximum(p_obj[:, 0] ** 2 + p_obj[:, 1] ** 2, 1e-20))
@@ -197,9 +218,19 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
         z2 = jnp.maximum(2.0 * jnp.abs(p_obj[:, 2]), 1e-9) * jnp.sign(p_obj[:, 2] + 1e-30)
         dpdv_para = jnp.stack([p_obj[:, 0] / z2, p_obj[:, 1] / z2, one], axis=-1) * \
             (par[:, 2] - par[:, 1])[:, None]
+        # hyperboloid.rs:148-151 dpdv — rotate the segment direction by phi
+        # (the reference's dpdv.y has a sign transcription bug, `-` for `+`;
+        # the rotation derivative is used here, matching pbrt-v3)
+        cph = jnp.cos(phi_hyp)
+        sph_ = jnp.sin(phi_hyp)
+        ex = hp2[:, 0] - hp1[:, 0]
+        ey = hp2[:, 1] - hp1[:, 1]
+        dpdv_hyp = jnp.stack([ex * cph - ey * sph_, ex * sph_ + ey * cph,
+                              hp2[:, 2] - hp1[:, 2]], axis=-1)
         dpdv_o = jnp.where(is_disk[:, None], dpdv_dsk, jnp.where(is_cyl[:, None], dpdv_cyl, dpdv_sph))
         dpdv_o = jnp.where(is_cone[:, None], dpdv_cone, dpdv_o)
         dpdv_o = jnp.where(is_para[:, None], dpdv_para, dpdv_o)
+        dpdv_o = jnp.where(is_hyp[:, None], dpdv_hyp, dpdv_o)
         dpdu_s = xf_vector(o2w[:, :, :3], dpdu_o)
         dpdv_s = xf_vector(o2w[:, :, :3], dpdv_o)
         ng = jnp.where(is_tri[:, None], ng, ng_s)

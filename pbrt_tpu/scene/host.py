@@ -59,6 +59,10 @@ class Sphere:
     kind: str = "sphere"
     height: float = 0.0
     inner_radius: float = 0.0
+    # hyperboloid endpoints (hyperboloid.rs): the segment p1->p2 revolved
+    # around z
+    p1: np.ndarray | None = None
+    p2: np.ndarray | None = None
 
 
 # Shape record: exactly one of mesh/sphere is set.

@@ -200,3 +200,110 @@ def test_cone_area_and_sampling():
     assert np.allclose(r, 1.0 * (1.0 - z / 2.0), atol=1e-4)
     # uniform-area: E[z/h] for density (1-v): mean v = 1/3
     assert abs((z / 2.0).mean() - 1.0 / 3.0) < 0.02
+
+
+def test_hyperboloid_analytic_vs_tessellated():
+    """Full-phimax hyperboloids are analytic quadric rows (hyperboloid.rs);
+    intersection t and normals must agree with a dense tessellation."""
+    import os
+    import tempfile
+
+    src_tpl = """
+Camera "perspective" "float fov" [45]
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+WorldBegin
+Shape "hyperboloid" "point p1" [1.0 0.0 -0.7] "point p2" [0.8 0.6 0.9]%s
+WorldEnd
+"""
+
+    def compile_src(extra):
+        fd, path = tempfile.mkstemp(suffix=".pbrt")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(src_tpl % extra)
+        try:
+            return compile_scene(pbrt_parse(path))
+        finally:
+            os.unlink(path)
+
+    cs_a = compile_src("")
+    assert cs_a.static.n_spheres == 1 and cs_a.static.n_tris == 0
+    from pbrt_tpu.scene.arrays import QUADRIC_HYPERBOLOID
+
+    assert int(np.asarray(cs_a.arrays.sph_kind)[0]) == QUADRIC_HYPERBOLOID
+    # partial phimax falls back to tessellation
+    cs_half = compile_src(' "float phimax" [180.0]')
+    assert cs_half.static.n_tris > 0 and cs_half.static.n_spheres == 0
+
+    # dense FULL tessellation as the ground truth for t comparison
+    from pbrt_tpu.core.transform import Transform
+    from pbrt_tpu.scene import host
+    from pbrt_tpu.scene.host import (
+        CameraConfig, FilmConfig, HostMaterial, HostPrimitive, SceneDescription, ShapeRecord,
+    )
+
+    mesh = host.tessellate_hyperboloid(
+        Transform.translate([0, 0, 0]), [1.0, 0.0, -0.7], [0.8, 0.6, 0.9],
+        2 * np.pi, False, nu=256, nv=64,
+    )
+    desc_t = SceneDescription(
+        primitives=[HostPrimitive(shape=ShapeRecord(mesh=mesh), material=HostMaterial(kind="matte", params={}))],
+        lights=[], camera=CameraConfig(kind="perspective", camera_to_world=Transform.translate([0, 0, 0]), fov=45.0),
+        film=FilmConfig(x_resolution=16, y_resolution=16),
+    )
+    cs_p = compile_scene(desc_t)
+
+    rs = np.random.RandomState(5)
+    R = 512
+    o = np.stack([rs.uniform(-3, 3, R), rs.uniform(-3, 3, R), rs.uniform(-3, 3, R)], -1)
+    o = o / np.linalg.norm(o, axis=1, keepdims=True) * 4.0
+    target = np.stack([rs.uniform(-0.8, 0.8, R), rs.uniform(-0.8, 0.8, R), rs.uniform(-0.6, 0.8, R)], -1)
+    d = target - o
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    o = jnp.asarray(o, jnp.float32)
+    d = jnp.asarray(d, jnp.float32)
+    tm = jnp.full(R, np.inf, jnp.float32)
+
+    ha = intersect(cs_a.arrays, cs_a.static, o, d, tm)
+    ht = intersect(cs_p.arrays, cs_p.static, o, d, tm)  # half shell
+    ta = np.asarray(ha["t"])
+    hit_a = np.isfinite(ta)
+    # every tessellated (half) hit must have an analytic hit nearby in t
+    tt = np.asarray(ht["t"])
+    both = hit_a & np.isfinite(tt)
+    assert hit_a.sum() > 30
+    # analytic must hit at least wherever the half-shell tessellation does
+    # (tessellation has slight silhouette shrinkage; allow a few stragglers)
+    missed = np.isfinite(tt) & ~hit_a
+    assert missed.sum() <= 3
+    agree = np.abs(ta[both] - tt[both]) < 0.05 * np.maximum(ta[both], 1.0)
+    assert agree.mean() > 0.9  # tessellation chord error bounds the gap
+
+    # shading: normals satisfy the implicit gradient and |ah(x^2+y^2)-ch z^2 - 1| ~ 0
+    si = surface_interaction(cs_a.arrays, ha, o, d)
+    par = np.asarray(cs_a.arrays.sph_param)[0]
+    ah, ch = par[4], par[5]
+    p = np.asarray(si["p"])[hit_a]
+    res = ah * (p[:, 0] ** 2 + p[:, 1] ** 2) - ch * p[:, 2] ** 2 - 1.0
+    assert np.abs(res).max() < 1e-2
+    ng = np.asarray(si["ng"])[hit_a]
+    grad = np.stack([ah * p[:, 0], ah * p[:, 1], -ch * p[:, 2]], -1)
+    grad /= np.linalg.norm(grad, axis=1, keepdims=True)
+    cosang = np.abs((ng * grad).sum(1))
+    assert cosang.min() > 0.999
+
+
+def test_hyperboloid_area_formula():
+    """Quadrature area (deliberate fix of the reference's broken closed form,
+    hyperboloid.rs:275) on a degenerate cylinder case with known area."""
+    from pbrt_tpu.scene.builder import _quadric_area
+    from pbrt_tpu.scene.arrays import QUADRIC_HYPERBOLOID
+    from pbrt_tpu.scene.host import Sphere
+    from pbrt_tpu.core.transform import Transform
+
+    p1 = np.array([1.0, 0.0, -1.0])
+    p2 = np.array([1.0, 0.0, 1.0])  # straight cylinder-like hyperboloid
+    sph = Sphere(object_to_world=Transform.translate([0, 0, 0]), kind="hyperboloid", p1=p1, p2=p2,
+                 phi_max=2 * np.pi)
+    a = _quadric_area(sph, QUADRIC_HYPERBOLOID)
+    # revolved vertical segment at radius 1: area = 2 pi r h = 4 pi
+    assert abs(a - 4 * np.pi) < 1e-3 * 4 * np.pi
