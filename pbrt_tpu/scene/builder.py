@@ -700,11 +700,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     use_brute = n_prims <= BRUTE_FORCE_MAX_PRIMS and len(inst_i2w_rows) == 1
     max_leaf = desc.accelerator_params.get("maxnodeprims", 4)
     split_method = {"sah": "sah", "middle": "middle", "equal": "equal",
-                    "equalcounts": "equal", "hlbvh": "sah"}.get(
+                    "equalcounts": "equal", "hlbvh": "hlbvh"}.get(
         str(getattr(desc, "accelerator_params", {}).get("splitmethod", "sah")).lower(), "sah")
-    # HLBVH's value in the reference is PARALLEL build speed (bvh.rs:377-660);
-    # the vectorized NumPy binned SAH is already fast host-side, so it maps
-    # to SAH rather than trading quality for nothing.
     bvh = build_bvh(np.asarray(prim_lo) if n_prims else np.zeros((0, 3)), np.asarray(prim_hi) if n_prims else np.zeros((0, 3)), max_leaf, split_method)
 
     # permute primitive rows into BVH leaf order so leaf primitive ranges are

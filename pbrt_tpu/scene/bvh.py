@@ -133,6 +133,109 @@ class _Builder:
         self.noff[node] = second
         return node
 
+    # --- HLBVH (bvh.rs:377-660): Morton-order treelets emitted by
+    # successive code bits, merged under a binned-SAH upper tree treating
+    # each treelet root as one item. The reference's value for HLBVH is
+    # parallel build speed; the semantic output here matches its structure
+    # (bit-split treelets below, SAH above) built serially in NumPy. ---
+
+    def build_hlbvh(self, idx):
+        cent = self.cent[idx]
+        cmin = cent.min(axis=0)
+        cmax = cent.max(axis=0)
+        q = np.clip((cent - cmin) / np.maximum(cmax - cmin, 1e-30) * 1023.0, 0, 1023).astype(np.uint32)
+
+        def spread(v):
+            v = (v | (v << 16)) & np.uint32(0x30000FF)
+            v = (v | (v << 8)) & np.uint32(0x300F00F)
+            v = (v | (v << 4)) & np.uint32(0x30C30C3)
+            v = (v | (v << 2)) & np.uint32(0x9249249)
+            return v
+
+        morton = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+        order = np.argsort(morton, kind="stable")
+        idx_s = idx[order]
+        m_s = morton[order]
+        # treelets: runs sharing the top 12 Morton bits (bvh.rs:393-449)
+        top = m_s >> 18
+        starts = np.flatnonzero(np.r_[True, top[1:] != top[:-1]])
+        ends = np.r_[starts[1:], len(idx_s)]
+        treelets = [(idx_s[s:e], m_s[s:e]) for s, e in zip(starts, ends)]
+        return self._upper_sah(treelets)
+
+    def _emit_treelet(self, tidx, tm, bit):
+        """LBVH treelet emission splitting on Morton bit `bit`
+        (bvh.rs emit_lbvh :489-575)."""
+        n = len(tidx)
+        bmin = self.lo[tidx].min(axis=0)
+        bmax = self.hi[tidx].max(axis=0)
+        if n <= self.max_prims or bit < 0:
+            off = len(self.order)
+            self.order.extend(tidx.tolist())
+            if n > self.max_prims:
+                return self._wide_leaf(tidx, bmin, bmax, off)
+            return self.emit(bmin, bmax, off, n, 0)
+        bits = (tm >> np.uint32(bit)) & 1
+        split = int(np.searchsorted(bits, 1))  # Morton-sorted => bit-sorted
+        if split == 0 or split == n:
+            return self._emit_treelet(tidx, tm, bit - 1)
+        axis = bit % 3  # interleave order: bit 3k+0 = x, +1 = y, +2 = z
+        node = self.emit(bmin, bmax, 0, 0, axis)
+        self._emit_treelet(tidx[:split], tm[:split], bit - 1)
+        second = self._emit_treelet(tidx[split:], tm[split:], bit - 1)
+        self.noff[node] = second
+        return node
+
+    def _upper_sah(self, treelets):
+        """Binned SAH over treelet roots (bvh.rs build_upper_sah :577-660)."""
+        if len(treelets) == 1:
+            ti, tm = treelets[0]
+            return self._emit_treelet(ti, tm, 17)
+        tb_min = np.stack([self.lo[t].min(axis=0) for t, _ in treelets])
+        tb_max = np.stack([self.hi[t].max(axis=0) for t, _ in treelets])
+        tc = 0.5 * (tb_min + tb_max)
+        bmin = tb_min.min(axis=0)
+        bmax = tb_max.max(axis=0)
+        cmin = tc.min(axis=0)
+        cmax = tc.max(axis=0)
+        diag = cmax - cmin
+        axis = int(np.argmax(diag))
+        if diag[axis] < 1e-12:
+            mid = len(treelets) // 2
+            left, right = treelets[:mid], treelets[mid:]
+        else:
+            b = np.minimum((N_BUCKETS * (tc[:, axis] - cmin[axis]) / diag[axis]).astype(np.int32),
+                           N_BUCKETS - 1)
+            order = np.argsort(b, kind="stable")
+            bs = b[order]
+            costs = []
+            for cut in range(N_BUCKETS - 1):
+                k = int(np.searchsorted(bs, cut + 1))
+                if k == 0 or k == len(order):
+                    costs.append(np.inf)
+                    continue
+                li = order[:k]
+                ri = order[k:]
+
+                def area(mn, mx):
+                    d = np.maximum(mx - mn, 0.0)
+                    return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[0] * d[2])
+
+                la = area(tb_min[li].min(axis=0), tb_max[li].max(axis=0))
+                ra = area(tb_min[ri].min(axis=0), tb_max[ri].max(axis=0))
+                costs.append(la * len(li) + ra * len(ri))
+            best = int(np.argmin(costs))
+            k = int(np.searchsorted(bs, best + 1))
+            if k == 0 or k == len(order):
+                k = len(order) // 2
+            left = [treelets[i] for i in order[:k]]
+            right = [treelets[i] for i in order[k:]]
+        node = self.emit(bmin, bmax, 0, 0, axis)
+        self._upper_sah(left)
+        second = self._upper_sah(right)
+        self.noff[node] = second
+        return node
+
     def _leaf(self, idx, bmin, bmax):
         off = len(self.order)
         self.order.extend(idx.tolist())
@@ -170,9 +273,9 @@ def build_bvh(lo: np.ndarray, hi: np.ndarray, max_prims_in_node: int = MAX_PRIMS
     """Build a flattened BVH over primitive AABBs (lo/hi: (P, 3)).
 
     split_method: "sah" (default, binned, bvh.rs:301-375), "middle"
-    (centroid-midpoint partition), or "equal" (median split) — the
-    reference's SplitMethod set minus HLBVH (whose value is parallel build
-    speed; the NumPy binned SAH is already fast enough host-side)."""
+    (centroid-midpoint partition), "equal" (median split), or "hlbvh"
+    (Morton treelets + SAH upper tree, bvh.rs:377-660) — the reference's
+    full SplitMethod set."""
     lo = np.asarray(lo, dtype=np.float64)
     hi = np.asarray(hi, dtype=np.float64)
     p = len(lo)
@@ -192,7 +295,10 @@ def build_bvh(lo: np.ndarray, hi: np.ndarray, max_prims_in_node: int = MAX_PRIMS
     sys.setrecursionlimit(max(old_limit, 10000 + 64 * int(np.log2(p + 2))))
     b = _Builder(lo, hi, max_prims_in_node, split_method)
     try:
-        b.build(np.arange(p, dtype=np.int64))
+        if split_method == "hlbvh":
+            b.build_hlbvh(np.arange(p, dtype=np.int64))
+        else:
+            b.build(np.arange(p, dtype=np.int64))
     finally:
         sys.setrecursionlimit(old_limit)
     return FlatBVH(

@@ -1,8 +1,6 @@
-"""BVH split-method parity (bvh.rs SplitMethod: SAH / Middle / EqualCounts).
-
-Any valid accelerator must produce identical closest hits; only the tree
-shape differs. HLBVH maps to SAH (its value in the reference is parallel
-build speed, which the vectorized host build doesn't need)."""
+"""BVH split-method parity (bvh.rs SplitMethod: SAH / Middle / EqualCounts /
+HLBVH). Any valid accelerator must produce identical closest hits; only the
+tree shape differs."""
 import numpy as np
 import jax.numpy as jnp
 
@@ -14,10 +12,11 @@ def test_split_methods_identical_hits():
     # tri soup AABBs stand in for prims; we compare BVH-reported leaf sets
     lo = rs.rand(300, 3) * 4
     hi = lo + 0.05 + 0.2 * rs.rand(300, 3)
-    trees = {m: build_bvh(lo, hi, 4, m) for m in ("sah", "middle", "equal")}
+    trees = {m: build_bvh(lo, hi, 4, m) for m in ("sah", "middle", "equal", "hlbvh")}
     for m, t in trees.items():
         # every prim appears exactly once in leaf order
         assert (np.sort(t.prim_ids) == np.arange(300)).all(), m
+        assert (t.n_prims[t.n_prims > 0] <= t.max_leaf).all(), m
         # every leaf's bounds enclose its prims
         for ni in range(len(t.n_prims)):
             n = int(t.n_prims[ni])
