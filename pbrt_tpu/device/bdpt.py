@@ -201,7 +201,7 @@ def _random_walk(sa, static, possible, prov, dim0, v, start, n_steps, o, d, beta
 
         beta = jnp.where(cont[:, None], beta * thru, beta)
         pdf_dir = jnp.where(bs["specular"], 0.0, bs["pdf"])
-        o = _offset_ray(si["p"], si["ng"], wi_w)
+        o = _offset_ray(si["p"], si["ng"], wi_w, si.get("p_err"))
         d = wi_w
         alive = cont
 

@@ -40,15 +40,41 @@ def power_heuristic(nf, f_pdf, ng, g_pdf):
     return jnp.where(f > 0, f * f / jnp.maximum(f * f + g * g, 1e-30), 0.0)
 
 
-def _offset_ray(p, ng, w):
+def _next_float_away(x, direction):
+    """Next representable f32 away from zero-crossing in `direction`'s sign;
+    unchanged where direction == 0 (pbrt.rs next_float_up/down, batched as
+    one signed bit-bump)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    # moving a float's magnitude by one ulp toward +inf (x>=0) or -inf (x<0)
+    # is bits+1; toward zero is bits-1. direction>0 wants next-up, <0 down.
+    up = direction > 0
+    nonneg = x >= 0
+    bump = jnp.where(up == nonneg, jnp.uint32(1), jnp.uint32(0xFFFFFFFF))  # +1 or -1
+    moved = jax.lax.bitcast_convert_type(bits + bump, F32)
+    # zero can't be bit-bumped meaningfully (denormals flush on TPU): step
+    # to the smallest normal of the right sign instead
+    tiny = jnp.float32(1.17549435e-38)
+    moved = jnp.where(x == 0.0, jnp.where(up, tiny, -tiny), moved)
+    return jnp.where(direction == 0.0, x, moved)
+
+
+def _offset_ray(p, ng, w, p_err=None):
     """Offset a secondary-ray origin off the surface along the geometric
-    normal. The displacement scales with the point's magnitude — the f32
-    error in p = o + t*d grows with |p| (transform.rs offset_ray_origin
-    uses per-hit error bounds; a magnitude-proportional bound is the
-    batched stand-in)."""
-    s = jnp.sign(_dot(ng, w))[:, None]
-    mag = jnp.max(jnp.abs(p), axis=-1, keepdims=True)
-    return p + ng * s * (RAY_EPS * (0.1 + 0.05 * mag))
+    normal past the hit point's FP error bound, then round each component
+    one ulp away (transform.rs offset_ray_origin :455-475 over the
+    efloat.rs error intervals carried by surface_interaction as p_err).
+
+    p_err=None (medium/synthetic points without bounds): a conservative
+    magnitude-proportional displacement stands in."""
+    if p_err is None:
+        s = jnp.sign(_dot(ng, w))[:, None]
+        mag = jnp.max(jnp.abs(p), axis=-1, keepdims=True)
+        return p + ng * s * (RAY_EPS * (0.1 + 0.05 * mag))
+    d = jnp.sum(jnp.abs(ng) * p_err, axis=-1, keepdims=True)
+    offset = d * ng
+    offset = jnp.where(_dot(w, ng)[:, None] < 0, -offset, offset)
+    po = p + offset
+    return _next_float_away(po, offset)
 
 
 def _to_local(si, w):
@@ -248,13 +274,13 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
                  n_vertices, medium, bounces, dd_x, dd_y)
         return state, si, hit, in_scatter, med_vertex
 
-    def _shadow_visible_tr(p_v, ng_v, wi, dist, medium_v, b, needed=None):
+    def _shadow_visible_tr(p_v, ng_v, wi, dist, medium_v, b, needed=None, p_err=None):
         """Shadow factor: binary visibility, or transmittance when media/null
         boundaries are present (VisibilityTester::unoccluded vs ::tr).
 
         needed: lanes whose result matters; others get t_max < 0 so the
         shadow traversal skips them."""
-        o_sh = _offset_ray(p_v, ng_v, wi)
+        o_sh = _offset_ray(p_v, ng_v, wi, p_err)
         t_sh = dist * (1.0 - 2.0 * RAY_EPS)
         if pass_null:
             key = (jnp.asarray(seed, jnp.uint32) * jnp.uint32(31) + jnp.asarray(sample_idx, jnp.uint32)) ^ (b.astype(jnp.uint32) * jnp.uint32(0x68E31DA4))
@@ -309,7 +335,8 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         contributes = alive_m & (p_l > 0) & jnp.any(f_val * ls["li"] > 0, axis=-1)
 
         if medium_vertex is None:
-            vis = _shadow_visible_tr(p_v, ng_v, wi, ls["dist"], medium_v, b, needed=contributes)
+            vis = _shadow_visible_tr(p_v, ng_v, wi, ls["dist"], medium_v, b, needed=contributes,
+                                     p_err=si.get("p_err"))
         else:
             # medium points have no normal; offset along wi itself
             ng_sh = jnp.where(medium_vertex["active"][:, None], wi, ng_v)
@@ -433,7 +460,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         f_sw = sw_factor(eta_m, cos_z) * eta_m * eta_m
         beta2 = beta2 * (f_sw * jnp.pi)[:, None]  # f * cos / (cos/pi)
 
-        new_o = jnp.where(act[:, None], _offset_ray(si2["p"], si2["ng"], wi2), new_o)
+        new_o = jnp.where(act[:, None], _offset_ray(si2["p"], si2["ng"], wi2, si2.get("p_err")), new_o)
         new_d = jnp.where(act[:, None], wi2, new_d)
         new_beta = jnp.where(act[:, None], beta2, new_beta)
         new_alive = jnp.where(mask, act & jnp.any(beta2 > 0, axis=-1), new_alive)
@@ -499,7 +526,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         new_alive = surf_cont
         new_beta = jnp.where(surf_cont[:, None], beta * thru, beta)
         new_d = jnp.where(surf_cont[:, None], wi_w, d)
-        new_o = jnp.where(surf_cont[:, None], _offset_ray(si["p"], si["ng"], wi_w), o)
+        new_o = jnp.where(surf_cont[:, None], _offset_ray(si["p"], si["ng"], wi_w, si.get("p_err")), o)
         new_spec = bs["specular"] & surf_cont
         new_pdf = jnp.where(surf_cont, jnp.maximum(bs["pdf"], 1e-30), prev_pdf)
         new_prev_p = jnp.where(surf_cont[:, None], si["p"], prev_p)
@@ -551,7 +578,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         if pass_null:
             new_alive = new_alive | is_null
             new_d = jnp.where(is_null[:, None], d, new_d)
-            new_o = jnp.where(is_null[:, None], _offset_ray(si["p"], si["ng"], d), new_o)
+            new_o = jnp.where(is_null[:, None], _offset_ray(si["p"], si["ng"], d, si.get("p_err")), new_o)
             new_spec = jnp.where(is_null, prev_specular, new_spec)
             new_pdf = jnp.where(is_null, prev_pdf, new_pdf)
             new_prev_p = jnp.where(is_null[:, None], prev_p, new_prev_p)
@@ -664,7 +691,7 @@ def trace_persistent(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dic
         p_b = bsdf_pdf(lobes, wo_l, wi_l)
         p_l = ls["pdf"] * spdf
         contributes = alive_m & (p_l > 0) & jnp.any(f_val * ls["li"] > 0, axis=-1)
-        o_sh = _offset_ray(si["p"], si["ng"], wi)
+        o_sh = _offset_ray(si["p"], si["ng"], wi, si.get("p_err"))
         t_sh = jnp.where(contributes, ls["dist"] * (1.0 - 2.0 * RAY_EPS), -1.0)
         occ = intersect_p(sa, static, o_sh, wi, t_sh, sort_rays=True)
         vis = jnp.where(occ[:, None], 0.0, 1.0)
@@ -724,7 +751,7 @@ def trace_persistent(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dic
         new_alive = surf_cont
         new_beta = jnp.where(surf_cont[:, None], beta * thru, beta)
         new_d = jnp.where(surf_cont[:, None], wi_w, d)
-        new_o = jnp.where(surf_cont[:, None], _offset_ray(si["p"], si["ng"], wi_w), o)
+        new_o = jnp.where(surf_cont[:, None], _offset_ray(si["p"], si["ng"], wi_w, si.get("p_err")), o)
         new_spec = bs["specular"] & surf_cont
         new_pdf = jnp.where(surf_cont, jnp.maximum(bs["pdf"], 1e-30), prev_pdf)
         new_prev_p = jnp.where(surf_cont[:, None], si["p"], prev_p)
@@ -821,7 +848,7 @@ def _trace_ao(sa, static, icfg, scfg, seed, o, d, pixel, sample_idx, time=None):
             w_l = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
             pdf = jnp.full(R, 1.0 / (2 * jnp.pi), F32)
         w = w_l[..., 0:1] * si_f["ss"] + w_l[..., 1:2] * si_f["ts"] + w_l[..., 2:3] * ns
-        o_sh = _offset_ray(si["p"], ng, w)
+        o_sh = _offset_ray(si["p"], ng, w, si.get("p_err"))
         occ = intersect_p(sa, static, o_sh, w, jnp.full(R, jnp.inf, F32), time=time)
         cos_w = _dot(w, ns)
         return acc + jnp.where(valid & ~occ & (cos_w > 0), cos_w / (jnp.pi * pdf), 0.0)

@@ -322,7 +322,7 @@ def transmittance_shadow(sa: SceneArrays, static: SceneStatic, o, d, t_max, medi
         new_med = jnp.where(entering, pm[:, 0], pm[:, 1])
         transition = (pm[:, 0] != pm[:, 1])
         cur_med = jnp.where(~done & is_null & transition, new_med, cur_med)
-        cur_o = jnp.where((~done)[:, None], _offset_ray(p_hit, si["ng"], d), cur_o)
+        cur_o = jnp.where((~done)[:, None], _offset_ray(p_hit, si["ng"], d, si.get("p_err")), cur_o)
         cur_t = jnp.where(~done, cur_t - hit["t"] - RAY_EPS, cur_t)
         cur_t = jnp.maximum(cur_t, 0.0)
 

@@ -28,6 +28,15 @@ def _normalize(v):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
 
 
+# gamma(n) = n*eps/(1 - n*eps), eps = 2^-24 (pbrt.rs gamma; efloat.rs) —
+# the running FP error bounds the reference carries through intersections
+_EPS32 = float(2.0 ** -24)
+
+
+def _gamma(n: int) -> float:
+    return n * _EPS32 / (1.0 - n * _EPS32)
+
+
 def coordinate_system(n):
     """Build an orthonormal basis around n (src/core/geometry/geometry.rs)."""
     sign = jnp.where(n[..., 2] >= 0.0, 1.0, -1.0)
@@ -63,6 +72,7 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
     uv = jnp.zeros((R, 2), F32)
     dpdu = jnp.zeros((R, 3), F32)
     dpdv = jnp.zeros((R, 3), F32)
+    p_err = jnp.full((R, 3), 1e-4, F32)  # fallback bound for odd kinds
 
     has_inst = sa.prim_inst is not None and sa.inst_i2w is not None and sa.inst_i2w.shape[0] > 1
     if sa.tri_p.shape[0] > 0:
@@ -111,11 +121,18 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
         degen = jnp.abs(det) <= 1e-12
         dpdu_t = jnp.where(degen[:, None], e1, dpdu_t)
         dpdv_t = jnp.where(degen[:, None], e2, dpdv_t)
+        # triangle hit-point error bound (triangle.rs: gamma(7) * sum |b_i v_i|)
+        perr_t = _gamma(7) * (
+            jnp.abs(b0)[:, None] * jnp.abs(tv[:, 0])
+            + jnp.abs(b1)[:, None] * jnp.abs(tv[:, 1])
+            + jnp.abs(b2)[:, None] * jnp.abs(tv[:, 2])
+        )
         ng = jnp.where(is_tri[:, None], ng_t, ng)
         ns = jnp.where(is_tri[:, None], ns_t, ns)
         uv = jnp.where(is_tri[:, None], uv_t, uv)
         dpdu = jnp.where(is_tri[:, None], dpdu_t, dpdu)
         dpdv = jnp.where(is_tri[:, None], dpdv_t, dpdv)
+        p_err = jnp.where(is_tri[:, None], perr_t, p_err)
 
     if sa.sph_param.shape[0] > 0:
         si = jnp.where(~is_tri, geom, 0)
@@ -233,11 +250,19 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
         dpdv_o = jnp.where(is_hyp[:, None], dpdv_hyp, dpdv_o)
         dpdu_s = xf_vector(o2w[:, :, :3], dpdu_o)
         dpdv_s = xf_vector(o2w[:, :, :3], dpdv_o)
+        # quadric hit-point error: gamma(5)|p_obj| in object space
+        # (sphere.rs etc.), pushed through the affine o2w with the
+        # transform_point_error bound (transform.rs:433)
+        absA = jnp.abs(o2w[:, :, :3])
+        abs_p = jnp.abs(p_obj)
+        perr_s = (_gamma(5) + _gamma(3)) * jnp.einsum("rij,rj->ri", absA, abs_p) \
+            + _gamma(3) * jnp.abs(o2w[:, :, 3])
         ng = jnp.where(is_tri[:, None], ng, ng_s)
         ns = jnp.where(is_tri[:, None], ns, ng_s)
         uv = jnp.where(is_tri[:, None], uv, uv_s)
         dpdu = jnp.where(is_tri[:, None], dpdu, dpdu_s)
         dpdv = jnp.where(is_tri[:, None], dpdv, dpdv_s)
+        p_err = jnp.where(is_tri[:, None], p_err, perr_s)
 
     # shading frame: tangent from dpdu (reflection.rs BSDF ctor ss =
     # normalize(dpdu)), orthogonalized against the shading normal; falls
@@ -251,6 +276,7 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
     return {
         "valid": valid,
         "p": p,
+        "p_err": p_err,
         "ng": ng,
         "ns": ns,
         "uv": uv,

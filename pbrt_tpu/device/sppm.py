@@ -138,7 +138,7 @@ def _camera_pass(sa, static, icfg, scfg, cam, seed, px, py, pids, it):
 
             p_b = bsdf_pdf(lobes, wo_l, wi_l)
             p_l = ls["pdf"] * sel_pdf
-            o_sh = _offset_ray(si["p"], si["ng"], ls["wi"])
+            o_sh = _offset_ray(si["p"], si["ng"], ls["wi"], si.get("p_err"))
             occ = intersect_p(sa, static, o_sh, ls["wi"], ls["dist"] * 0.998)
             ok = alive_sh & (p_l > 0) & ~occ
             w_l = jnp.where(ls["delta"], 1.0, power_heuristic(1.0, p_l, 1.0, p_b))
@@ -172,7 +172,7 @@ def _camera_pass(sa, static, icfg, scfg, cam, seed, px, py, pids, it):
         prev_spec = bs["specular"]
         prev_pdf = jnp.maximum(bs["pdf"], 1e-30)
         prev_p = si["p"]
-        o = _offset_ray(si["p"], si["ng"], wi_w)
+        o = _offset_ray(si["p"], si["ng"], wi_w, si.get("p_err"))
         d = wi_w
 
     vp = {
@@ -334,7 +334,7 @@ def _photon_pass(sa, static, icfg, seed, it, n_photons, power_cdf, vp, radius,
         killed = u_rr < q
         alive = alive & ~killed
         beta = jnp.where(alive[:, None], bnew / jnp.maximum(1.0 - q, 1e-6)[:, None], beta)
-        o = _offset_ray(si["p"], si["ng"], wi_w)
+        o = _offset_ray(si["p"], si["ng"], wi_w, si.get("p_err"))
         d = wi_w
 
     return phi, m_cnt, overflow

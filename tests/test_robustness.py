@@ -96,3 +96,33 @@ def test_exr_decodes_match_hdr():
     rel = np.abs(exr - hdr) / denom
     assert np.median(rel) < 0.01
     assert rel.mean() < 0.05
+
+
+def test_error_bounded_ray_offsets():
+    """offset_ray_origin parity (transform.rs:455-475): the offset origin
+    must clear the hit point's error box on the outgoing side, with each
+    component rounded one ulp away."""
+    from pbrt_tpu.device.integrator import _next_float_away, _offset_ray
+
+    rs = np.random.RandomState(11)
+    R = 256
+    p = jnp.asarray(rs.randn(R, 3).astype(np.float32) * 10)
+    ng = rs.randn(R, 3).astype(np.float32)
+    ng /= np.linalg.norm(ng, axis=1, keepdims=True)
+    ng = jnp.asarray(ng)
+    w = jnp.asarray(rs.randn(R, 3).astype(np.float32))
+    perr = jnp.asarray(np.abs(rs.randn(R, 3)).astype(np.float32) * 1e-5)
+
+    po = np.asarray(_offset_ray(p, ng, w, perr))
+    d = np.sum(np.abs(np.asarray(ng)) * np.asarray(perr), axis=1)
+    side = np.sign(np.sum(np.asarray(w) * np.asarray(ng), axis=1))
+    adv = np.sum((po - np.asarray(p)) * np.asarray(ng), axis=1) * side
+    # the offset clears the error bound on the w side of the surface
+    assert (adv >= d * (1.0 - 1e-5)).all()
+
+    # next-float bumps move strictly away per component
+    x = jnp.asarray(np.array([1.5, -2.25, 0.0, 3e-20, -3e-20], np.float32))
+    dirs = jnp.asarray(np.array([1.0, 1.0, 1.0, -1.0, -1.0], np.float32))
+    y = np.asarray(_next_float_away(x, dirs))
+    assert y[0] > 1.5 and y[1] > -2.25 and y[2] > 0.0
+    assert y[3] < 3e-20 and y[4] < -3e-20

@@ -28,7 +28,9 @@ Scenes:
 Writes FIDELITY.json at the repo root; tests/test_fidelity.py asserts the
 committed numbers stay under their thresholds.
 
-Usage: python tools/fidelity.py [--fast]
+Usage: python tools/fidelity.py [--fast] [--only spheres|caustic-glass]
+(--only merges the selected scene's fresh numbers into the existing
+FIDELITY.json instead of rewriting every entry)
 """
 from __future__ import annotations
 
@@ -111,6 +113,9 @@ def _stage_spheres_scene() -> str:
 
 def main():
     fast = "--fast" in sys.argv
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
     import jax  # noqa: F401  (platform chosen by environment; TPU for real runs)
 
     from pbrt_tpu.parser.api import pbrt_parse
@@ -122,6 +127,37 @@ def main():
                "scenes": {}}
 
     # --- spheres (directlighting) -------------------------------------------
+    if only in (None, "spheres"):
+        _run_spheres(results, fast)
+    if only in (None, "caustic-glass"):
+        _run_glass(results, fast)
+
+    # --- sss dragon -----------------------------------------------------------
+    results["scenes"]["sss-dragon"] = {
+        "skipped": "geometry missing from the reference repository (src/scenes/geometry/ "
+                   "lacks the dragon PLYs; the scene parses to 0 prims)"
+    }
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "FIDELITY.json")
+    if only is not None and os.path.exists(out):
+        with open(out) as fh:
+            prev = json.load(fh)
+        prev.setdefault("scenes", {}).update(results["scenes"])
+        prev["protocol"] = results["protocol"]
+        results = prev
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=1)
+    print("wrote", out, flush=True)
+    ok = all(s.get("passed", True) for s in results["scenes"].values())
+    sys.exit(0 if ok else 1)
+
+
+def _run_spheres(results, fast):
+    import numpy as np  # noqa: F811
+    from pbrt_tpu.parser.api import pbrt_parse
+    from pbrt_tpu.render import render
+    from pbrt_tpu.core.imageio import read_image
+
     t0 = time.time()
     desc = pbrt_parse(_stage_spheres_scene())
     spp = 4 if fast else 16
@@ -136,7 +172,13 @@ def main():
     results["scenes"]["spheres"] = m
     print("spheres:", json.dumps(m), flush=True)
 
-    # --- caustic glass (SPPM) ------------------------------------------------
+
+def _run_glass(results, fast):
+    import numpy as np  # noqa: F811
+    from pbrt_tpu.parser.api import pbrt_parse
+    from pbrt_tpu.render import render
+    from pbrt_tpu.core.imageio import read_image
+
     t0 = time.time()
     desc = pbrt_parse(f"{REF}/src/scenes/caustic-glass.pbrt")
     iters = 8 if fast else 32
@@ -152,19 +194,6 @@ def main():
              threshold=THRESHOLDS["caustic-glass"], passed=bool(m["blurred_mse"] < THRESHOLDS["caustic-glass"]))
     results["scenes"]["caustic-glass"] = m
     print("caustic-glass:", json.dumps(m), flush=True)
-
-    # --- sss dragon -----------------------------------------------------------
-    results["scenes"]["sss-dragon"] = {
-        "skipped": "geometry missing from the reference repository (src/scenes/geometry/ "
-                   "lacks the dragon PLYs; the scene parses to 0 prims)"
-    }
-
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "FIDELITY.json")
-    with open(out, "w") as fh:
-        json.dump(results, fh, indent=1)
-    print("wrote", out, flush=True)
-    ok = all(s.get("passed", True) for s in results["scenes"].values())
-    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":
