@@ -96,8 +96,25 @@ def render_sharded_step(cs, desc, mesh: Mesh, spp: int | None = None, seed: int 
     pids = jax.device_put(jnp.asarray(pids), ray_sh)
     sa = cs.arrays  # replicated by closure capture inside shard_map
 
+    from ..render import make_regen, persistent_eligible
+
+    use_persistent = persistent_eligible(desc, static, cam)
+
     def local_step(px_l, py_l, pids_l, seed_l):
         # runs per device on its pixel slice; sorts stay device-local
+        if use_persistent:
+            # per-device persistent wavefront (device/integrator
+            # .trace_persistent): each device's lanes regenerate their own
+            # pixels' samples in place — no cross-device traffic at all
+            from ..device.integrator import trace_persistent
+
+            regen = make_regen(cam, static, scfg, fcfg, px_l, py_l, pids_l, seed_l)
+            Lsum, wsum, _nv = trace_persistent(
+                sa, static, icfg, scfg, seed_l, pids_l, jnp.uint32(0), spp, regen,
+                max_sample_luminance=float(fcfg["max_sample_luminance"]),
+            )
+            return Lsum / jnp.maximum(wsum, 1e-9)[:, None]
+
         def one(s, acc):
             Lw, w, _nv = _one_sample_wave(sa, static, icfg, scfg, fcfg, cam, px_l, py_l, pids_l, s.astype(jnp.uint32), seed_l)
             return acc[0] + Lw, acc[1] + w
