@@ -222,12 +222,16 @@ def _build_grid(vp, radius, grid_min, inv_cell, n_cells):
 
 
 def _photon_pass(sa, static, icfg, seed, it, n_photons, power_cdf, vp, radius,
-                 sorted_cells, sorted_vp, grid_min, inv_cell, n_cells, vp_possible=None):
-    """Trace photons and deposit phi/m on visible points."""
+                 sorted_cells, sorted_vp, grid_min, inv_cell, n_cells, vp_possible=None,
+                 pid0=0):
+    """Trace photons and deposit phi/m on visible points.
+
+    pid0: photon-id base — lets the driver split one iteration's photon
+    budget into bounded-memory slices with disjoint sample streams."""
     R = radius.shape[0]
     P = n_photons
     max_depth = icfg["max_depth"]
-    pid = jnp.arange(P, dtype=jnp.uint32)
+    pid = jnp.asarray(pid0, jnp.uint32) + jnp.arange(P, dtype=jnp.uint32)
     phseed = jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0xC0FFEE)
 
     def ph_u1(dim):
@@ -385,9 +389,21 @@ def render_sppm(cs, seed: int = 0, progress=None):
     _probe = make_bsdf(sa, static, jnp.zeros(1, jnp.int32), jnp.zeros((1, 2), F32), jnp.zeros((1, 3), F32))
     vp_possible = _probe["possible"]
 
+    # photon budget per device pass: the 6x64-entry deposit scan keeps
+    # ~KMAX*P-row contribution buffers alive per chunk, so one monolithic
+    # 2^18-photon pass exhausts worker HBM on full-size films — slice the
+    # iteration's photons and accumulate (disjoint pid ranges keep the
+    # sample streams identical to the unsliced pass)
+    PHOTON_SLICE = 1 << 16
+    n_slices = max(1, -(-n_photons // PHOTON_SLICE))
+    n_slice = -(-n_photons // n_slices)
+    n_photons = n_slice * n_slices  # actual traced count (>= requested);
+    # the tau normalization below uses this value, keeping the estimator
+    # unbiased when the request doesn't divide evenly
     photon_jit = jax.jit(
-        lambda it, r_seed, vp, radius, sc, sv, inv_cell: _photon_pass(
-            sa, static, icfg, r_seed, it, n_photons, cdf, vp, radius, sc, sv, grid_min, inv_cell, n_cells, vp_possible
+        lambda it, r_seed, vp, radius, sc, sv, inv_cell, pid0: _photon_pass(
+            sa, static, icfg, r_seed, it, n_slice, cdf, vp, radius, sc, sv, grid_min, inv_cell, n_cells, vp_possible,
+            pid0=pid0,
         )
     )
     grid_jit = jax.jit(lambda vp, radius, inv_cell: _build_grid(vp, radius, grid_min, inv_cell, n_cells))
@@ -404,8 +420,16 @@ def render_sppm(cs, seed: int = 0, progress=None):
         cell = max(2.0 * max_r, 1e-6)
         inv_cell = jnp.float32(1.0 / cell)
         sc, sv = grid_jit(vp, radius, inv_cell)
-        phi, m_cnt, overflow = photon_jit(it_j, seed_j, vp, radius, sc, sv, inv_cell)
-        ov = int(overflow)
+        phi = jnp.zeros((R, 3), F32)
+        m_cnt = jnp.zeros(R, F32)
+        ov = 0
+        for s_i in range(n_slices):
+            p0 = s_i * n_slice
+            phi_s, m_s, overflow = photon_jit(it_j, seed_j, vp, radius, sc, sv, inv_cell,
+                                              jnp.uint32(p0))
+            phi = phi + phi_s
+            m_cnt = m_cnt + m_s
+            ov += int(overflow)
         if ov > 0:
             log.warning("sppm iter %d: %d photon-VP pairs dropped by the %d-entry scan cap", it, ov, KMAX * N_CHUNKS)
 
