@@ -181,7 +181,7 @@ def _run_glass(results, fast):
 
     t0 = time.time()
     desc = pbrt_parse(f"{REF}/src/scenes/caustic-glass.pbrt")
-    iters = 8 if fast else 32
+    iters = 8 if fast else 16
     desc.integrator.num_iterations = iters
     desc.integrator.photons_per_iteration = 1 << 18
     desc.film.x_resolution = 350
