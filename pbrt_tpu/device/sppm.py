@@ -417,7 +417,11 @@ def render_sppm(cs, seed: int = 0, progress=None):
         vp["beta"] = jnp.where(jnp.isfinite(vp["beta"]), vp["beta"], 0.0)
 
         max_r = float(jnp.max(jnp.where(vp["valid"], radius, 0.0)))
-        cell = max(2.0 * max_r, 1e-6)
+        # cell >= diameter AND grid <= 1022^3: the packed 10-bit/axis cell
+        # key is exact only below 1024 cells per axis — beyond that, keys
+        # alias and unrelated voxels merge into one sorted run, wasting the
+        # deposit scan budget on false neighbors
+        cell = max(2.0 * max_r, 2.0 * wr / 1022.0, 1e-6)
         inv_cell = jnp.float32(1.0 / cell)
         sc, sv = grid_jit(vp, radius, inv_cell)
         phi = jnp.zeros((R, 3), F32)

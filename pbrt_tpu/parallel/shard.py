@@ -180,7 +180,10 @@ def render_sppm_sharded_step(cs, desc, mesh: Mesh, n_iters: int = 1, seed: int =
         vp = {k: jax.lax.all_gather(v, "rays", tiled=True) for k, v in vp_l.items()}
         radius = jax.lax.all_gather(radius_l, "rays", tiled=True)
         # --- grid + local photon shard ---
-        cell = jnp.maximum(2.0 * jnp.max(jnp.where(vp["valid"], radius, 0.0)), 1e-6)
+        # grid capped at 1022^3 cells: the 10-bit/axis key is exact only
+        # below 1024 (see device/sppm.py)
+        cell = jnp.maximum(jnp.maximum(2.0 * jnp.max(jnp.where(vp["valid"], radius, 0.0)),
+                                       2.0 * wr / 1022.0), 1e-6)
         inv_cell = 1.0 / cell
         sc, sv = dsppm._build_grid(vp, radius, grid_min, inv_cell, Rp)
         idx = jax.lax.axis_index("rays")
