@@ -121,6 +121,11 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
         degen = jnp.abs(det) <= 1e-12
         dpdu_t = jnp.where(degen[:, None], e1, dpdu_t)
         dpdv_t = jnp.where(degen[:, None], e2, dpdv_t)
+        # hit point by barycentric interpolation (triangle.rs:300): p = o+t*d
+        # suffers cancellation error ~|o|*2^-24 that would dwarf the gamma(7)
+        # bound below — interpolation keeps the error within the bound
+        p_t = b0[:, None] * tv[:, 0] + b1[:, None] * tv[:, 1] + b2[:, None] * tv[:, 2]
+        p = jnp.where(is_tri[:, None], p_t, p)
         # triangle hit-point error bound (triangle.rs: gamma(7) * sum |b_i v_i|)
         perr_t = _gamma(7) * (
             jnp.abs(b0)[:, None] * jnp.abs(tv[:, 0])
@@ -250,6 +255,10 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
         dpdv_o = jnp.where(is_hyp[:, None], dpdv_hyp, dpdv_o)
         dpdu_s = xf_vector(o2w[:, :, :3], dpdu_o)
         dpdv_s = xf_vector(o2w[:, :, :3], dpdv_o)
+        # hit point from the REPROJECTED object-space point (sphere.rs
+        # refine; keeps p inside the gamma(5) bound rather than o + t*d)
+        p_s = xf_point_b(o2w, p_obj)
+        p = jnp.where(is_tri[:, None], p, p_s)
         # quadric hit-point error: gamma(5)|p_obj| in object space
         # (sphere.rs etc.), pushed through the affine o2w with the
         # transform_point_error bound (transform.rs:433)

@@ -437,7 +437,11 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
     if persistent_eligible(desc, cs.static, cam0) and checkpoint_path is None:
         # persistent wavefront: lanes regenerate in place, samples chunked
         # for f64 host accumulation (see device/integrator.trace_persistent)
-        wave_p = make_persistent_fn(cs, cam0)
+        cached = _WAVE_CACHE.get("pscene")
+        if cached is not cs:
+            _WAVE_CACHE["pscene"] = cs
+            _WAVE_CACHE["pwave"] = make_persistent_fn(cs, cam0)
+        wave_p = _WAVE_CACHE["pwave"]
         t0 = time.time()
         s = 0
         while s < spp:

@@ -150,7 +150,7 @@ class SceneArrays:
     tri_p_end: jax.Array | None = None  # (T, 3, 3)
     sph_w2o_end: jax.Array | None = None  # (S, 3, 4)
     sph_o2w_end: jax.Array | None = None  # (S, 3, 4)
-    prim_test_data_end: jax.Array | None = None  # (P, 16)
+    prim_test_data_end: jax.Array | None = None  # (P, 20), layout as prim_test_data
     # --- textures: per-texture image stack entries live in a dict of leaves ---
     tex_images: dict = field(default_factory=dict)  # name "img{i}" -> (H, W, 3) f32
     med_grids: dict = field(default_factory=dict)  # name "med{i}" -> (nz, ny, nx) f32 density

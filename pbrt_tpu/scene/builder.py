@@ -605,6 +605,13 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
                     ch = (ah * xy2 - 1.0) / (p2[2] * p2[2])
                     if np.isfinite(ah):
                         break
+                if not (np.isfinite(ah) and np.isfinite(ch)):
+                    # degenerate inputs (e.g. both endpoints at z=0): the
+                    # reference spins forever on these (hyperboloid.rs:52
+                    # loop); warn and emit a never-hit shape instead
+                    log.warning("degenerate hyperboloid p1=%s p2=%s: implicit "
+                                "coefficients are non-finite; shape will not render", p1, p2)
+                    ah = ch = 0.0
                 rmax = max(np.hypot(p1[0], p1[1]), np.hypot(p2[0], p2[1]))
                 zmin = min(p1[2], p2[2])
                 zmax = max(p1[2], p2[2])

@@ -115,7 +115,10 @@ def main():
     fast = "--fast" in sys.argv
     only = None
     if "--only" in sys.argv:
-        only = sys.argv[sys.argv.index("--only") + 1]
+        i = sys.argv.index("--only")
+        if i + 1 >= len(sys.argv) or sys.argv[i + 1] not in ("spheres", "caustic-glass"):
+            sys.exit("--only requires a scene name: spheres | caustic-glass")
+        only = sys.argv[i + 1]
     import jax  # noqa: F401  (platform chosen by environment; TPU for real runs)
 
     from pbrt_tpu.parser.api import pbrt_parse
