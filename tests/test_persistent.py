@@ -71,3 +71,37 @@ def test_persistent_chunked_resume_is_consistent():
     L2, w2, _ = wave_p(cs.arrays, px, py, pids, jnp.uint32(2), 2, jnp.uint32(0))
     np.testing.assert_allclose(np.asarray(L1) + np.asarray(L2), np.asarray(La), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(w1) + np.asarray(w2), np.asarray(wa), atol=1e-6)
+
+
+def test_persistent_parity_power_strategy_multi_light():
+    """Parity must hold across light-selection strategies and light mixes,
+    not just the single-distant-light default config."""
+    import numpy as np
+
+    from pbrt_tpu.render import make_persistent_fn, make_wave_fn
+    from pbrt_tpu.scene.builder import compile_scene
+    from pbrt_tpu.scene.host import HostLight
+
+    desc = _scene()
+    desc.integrator.light_strategy = "power"
+    desc.lights.append(HostLight(kind="point", from_point=np.array([2.0, 3.0, 1.0]),
+                                 intensity=np.array([8.0, 4.0, 2.0])))
+    desc.lights.append(HostLight(kind="spot", from_point=np.array([-2.0, 4.0, 2.0]),
+                                 to_point=np.zeros(3), intensity=np.array([6.0, 6.0, 9.0]),
+                                 cone_angle=35.0, cone_delta=8.0))
+    cs = compile_scene(desc)
+    W, H = desc.film.x_resolution, desc.film.y_resolution
+    ys, xs = np.mgrid[0:H, 0:W]
+    px = jnp.asarray(xs.ravel().astype(np.int32))
+    py = jnp.asarray(ys.ravel().astype(np.int32))
+    pids = jnp.asarray((ys * W + xs).ravel().astype(np.uint32))
+    spp = 2
+
+    wave = make_wave_fn(cs)
+    acc = np.zeros((W * H, 3))
+    for s in range(spp):
+        Lw, w, _ = wave(cs.arrays, px, py, pids, jnp.uint32(s), jnp.uint32(3))
+        acc += np.asarray(Lw)
+    wave_p = make_persistent_fn(cs)
+    Lp, wp, _ = wave_p(cs.arrays, px, py, pids, jnp.uint32(0), spp, jnp.uint32(3))
+    np.testing.assert_allclose(np.asarray(Lp), acc, rtol=2e-4, atol=2e-4)
