@@ -39,6 +39,19 @@ triangle.rs:136-399 (per-ray permutation/shear constants precomputed in
 pack_rays) so shared-edge hits can never fall through a crack, matching the
 XLA path (intersect.ray_triangle). The kernel returns (t, slot);
 barycentrics are recomputed by the XLA wrapper on the single hit prim.
+
+Negative result (measured, do not retry without new ideas): a "mini-tree
+forest" design — cut the BVH into <=1024-tri subtrees, dense-cull every
+256-ray block against all subtree AABBs (pure VPU), then stream each hit
+subtree's 64 leaf boxes + one-hot-matmul triangle fetches through a
+scalar-prefetched grid with per-LANE (stackless) leaf walks — was built and
+benchmarked on the 123k-tri terrain scene.  Despite eliminating all
+per-visit scalar serialization and packet-union waste inside subtrees, it
+reached only ~4.7 Mrays/s on pixel-coherent rays vs 9.1 for this kernel
+(and 21% of blocks overflowed the per-block subtree cap, requiring a packet
+fallback pass).  The dense 64-leaf sweep + per-round 176x128x256 matmul
+fetch costs more than the scalar pops it saves; the scheme also needs
+K-nearest subtree selection glue in XLA whose cost scales with S.
 """
 from __future__ import annotations
 
