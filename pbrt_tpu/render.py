@@ -285,6 +285,21 @@ def make_persistent_fn(cs: CompiledScene, cam=None):
     }
     static = cs.static
 
+    # Pallas persistent megakernel for the brute-force small-scene class:
+    # the whole bounce loop runs in one kernel with path state resident in
+    # VMEM (device/megakernel.py). Estimator-equivalent to the XLA loop
+    # below (tests/test_megakernel.py); PBRT_TPU_NO_MEGAKERNEL=1 opts out.
+    if not os.environ.get("PBRT_TPU_NO_MEGAKERNEL"):
+        try:
+            from .device.megakernel import make_megakernel_fn
+
+            mk = make_megakernel_fn(cs, cam, icfg, scfg, fcfg)
+        except Exception as e:  # pragma: no cover - defensive fallback
+            logging.getLogger(__name__).warning("megakernel build failed (%s); using XLA persistent wave", e)
+            mk = None
+        if mk is not None:
+            return mk
+
     @partial(jax.jit, static_argnums=(5,))
     def wave_p(sa, px, py, pixel_ids, s0, n_samples, seed):
         regen = make_regen(cam, static, scfg, fcfg, px, py, pixel_ids, seed)
