@@ -131,9 +131,10 @@ def ray_quadric(o, d, w2o, params, qkind, t_max):
       (with the CORRECT k = (radius/height)^2 — the reference's cone has a
       transcription bug, k = (radius/radius)^2 = 1, at cone.rs:73-75)
     - paraboloid (paraboloid.rs): params = radius, zmin, zmax, phimax, _, _
-    - hyperboloid (hyperboloid.rs): params = rmax, zmin, zmax, phimax, ah, ch
-      (implicit ah (x^2+y^2) - ch z^2 = 1; analytic only for full phimax —
-      the partial-phi twist clip needs p1/p2 and falls back to tessellation)
+    - hyperboloid (hyperboloid.rs): params = rmax, zmin, zmax, phimax, ah,
+      ch, p1 (3), p2 (3) (implicit ah (x^2+y^2) - ch z^2 = 1; partial-phi
+      clips against the TWISTED frame: phi is measured relative to the
+      revolved segment point at the hit's v, hyperboloid.rs:96-105)
     Returns (hit, t, p_obj) with p_obj the (re-projected) object-space hit.
     """
     from ..scene.arrays import (
@@ -198,6 +199,18 @@ def ray_quadric(o, d, w2o, params, qkind, t_max):
         pn = jnp.stack([p[..., 0] * scale, p[..., 1] * scale, zs], axis=-1)
         z = pn[..., 2]
         phi = jnp.arctan2(pn[..., 1], pn[..., 0])
+        if params.shape[-1] >= 12:
+            # hyperboloid phi is measured against the twisted frame: the
+            # p1->p2 segment point at the hit's v, rotated with the surface
+            # (hyperboloid.rs:96-105 pr = lerp(v, p1, p2))
+            hp1 = params[..., 6:9]
+            hp2 = params[..., 9:12]
+            dz_h = hp2[..., 2] - hp1[..., 2]
+            v_h = (z - hp1[..., 2]) / jnp.where(jnp.abs(dz_h) > 1e-12, dz_h, 1.0)
+            pr = hp1 + v_h[..., None] * (hp2 - hp1)
+            phi_h = jnp.arctan2(pr[..., 0] * pn[..., 1] - pn[..., 0] * pr[..., 1],
+                                pn[..., 0] * pr[..., 0] + pn[..., 1] * pr[..., 1])
+            phi = jnp.where(is_hyp, phi_h, phi)
         phi = jnp.where(phi < 0, phi + 2.0 * jnp.pi, phi)
         zlim = jnp.where(is_cyl, jnp.inf, radius)
         full = (p1 <= -zlim + 1e-7 * radius) & (p2 >= zlim - 1e-7 * radius) & \

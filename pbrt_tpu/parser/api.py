@@ -837,30 +837,18 @@ class API:
             phimax_h = math.radians(np.clip(params.find_one_float("phimax", 360.0), 0.0, 360.0))
             p1_h = params.find_one_point3("p1", [0.0, 0.0, 0.0])
             p2_h = params.find_one_point3("p2", [1.0, 1.0, 1.0])
-            if phimax_h >= 2.0 * math.pi - 1e-6:
-                # analytic quadric (hyperboloid.rs); partial-phi hyperboloids
-                # need the twisted phi clip inside intersect and stay
-                # tessellated
-                return [
-                    ShapeRecord(
-                        sphere=Sphere(
-                            kind="hyperboloid",
-                            object_to_world=o2w,
-                            p1=np.asarray(p1_h, np.float64),
-                            p2=np.asarray(p2_h, np.float64),
-                            phi_max=phimax_h,
-                            reverse_orientation=rev,
-                        )
-                    )
-                ]
+            # analytic quadric (hyperboloid.rs), full AND partial phimax —
+            # the intersect clip measures phi against the twisted frame
+            # (intersect.ray_quadric)
             return [
                 ShapeRecord(
-                    mesh=host.tessellate_hyperboloid(
-                        o2w,
-                        p1_h,
-                        p2_h,
-                        phimax_h,
-                        rev,
+                    sphere=Sphere(
+                        kind="hyperboloid",
+                        object_to_world=o2w,
+                        p1=np.asarray(p1_h, np.float64),
+                        p2=np.asarray(p2_h, np.float64),
+                        phi_max=phimax_h,
+                        reverse_orientation=rev,
                     )
                 )
             ]

@@ -230,9 +230,9 @@ WorldEnd
     from pbrt_tpu.scene.arrays import QUADRIC_HYPERBOLOID
 
     assert int(np.asarray(cs_a.arrays.sph_kind)[0]) == QUADRIC_HYPERBOLOID
-    # partial phimax falls back to tessellation
+    # partial phimax is analytic too (twisted phi clip in ray_quadric)
     cs_half = compile_src(' "float phimax" [180.0]')
-    assert cs_half.static.n_tris > 0 and cs_half.static.n_spheres == 0
+    assert cs_half.static.n_spheres == 1 and cs_half.static.n_tris == 0
 
     # dense FULL tessellation as the ground truth for t comparison
     from pbrt_tpu.core.transform import Transform
@@ -290,6 +290,45 @@ WorldEnd
     grad /= np.linalg.norm(grad, axis=1, keepdims=True)
     cosang = np.abs((ng * grad).sum(1))
     assert cosang.min() > 0.999
+
+    # PARTIAL phimax: the analytic twisted-phi clip (hyperboloid.rs:96-105)
+    # must match a dense half tessellation
+    mesh_h = host.tessellate_hyperboloid(
+        Transform.translate([0, 0, 0]), [1.0, 0.0, -0.7], [0.8, 0.6, 0.9],
+        np.pi, False, nu=256, nv=64,
+    )
+    desc_h = SceneDescription(
+        primitives=[HostPrimitive(shape=ShapeRecord(mesh=mesh_h), material=HostMaterial(kind="matte", params={}))],
+        lights=[], camera=CameraConfig(kind="perspective", camera_to_world=Transform.translate([0, 0, 0]), fov=45.0),
+        film=FilmConfig(x_resolution=16, y_resolution=16),
+    )
+    cs_ht = compile_scene(desc_h)
+    hh_a = intersect(cs_half.arrays, cs_half.static, o, d, tm)
+    hh_t = intersect(cs_ht.arrays, cs_ht.static, o, d, tm)
+    ta_h = np.asarray(hh_a["t"])
+    tt_h = np.asarray(hh_t["t"])
+    hit_ah = np.isfinite(ta_h)
+    # the clip really removes hits vs the full shell
+    assert hit_ah.sum() < hit_a.sum()
+    assert hit_ah.sum() > 20
+    # dense-tessellation hits must be matched by the analytic clip
+    missed_h = np.isfinite(tt_h) & ~hit_ah
+    assert missed_h.sum() <= 3
+    both_h = hit_ah & np.isfinite(tt_h)
+    agree_h = np.abs(ta_h[both_h] - tt_h[both_h]) < 0.05 * np.maximum(ta_h[both_h], 1.0)
+    assert agree_h.mean() > 0.9
+    # analytic-only extras sit near the tessellation (clip boundary / chord
+    # error), and every analytic hit's TWISTED phi is inside [0, pi]
+    si_h = surface_interaction(cs_half.arrays, hh_a, o, d)
+    ph = np.asarray(si_h["p"])[hit_ah]
+    p1h = np.array([1.0, 0.0, -0.7])
+    p2h = np.array([0.8, 0.6, 0.9])
+    vv = (ph[:, 2] - p1h[2]) / (p2h[2] - p1h[2])
+    pr = p1h[None, :] + vv[:, None] * (p2h - p1h)[None, :]
+    phi_tw = np.arctan2(pr[:, 0] * ph[:, 1] - ph[:, 0] * pr[:, 1],
+                        ph[:, 0] * pr[:, 0] + ph[:, 1] * pr[:, 1])
+    phi_tw = np.where(phi_tw < 0, phi_tw + 2 * np.pi, phi_tw)
+    assert (phi_tw <= np.pi + 1e-3).all()
 
 
 def test_hyperboloid_area_formula():
