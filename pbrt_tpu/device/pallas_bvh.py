@@ -134,17 +134,13 @@ def _traverse_kernel_impl(nodes_ref, prims_ref, rays_ref, out_ref,
     def run_packet(g, _):
         rr = rays_ref[g]
         ox, oy, oz = rr[0:1, :], rr[1:2, :], rr[2:3, :]
-        dx, dy, dz = rr[3:4, :], rr[4:5, :], rr[5:6, :]
+        # rows 3-5 hold 1/d, precomputed by pack_rays (host side)
+        ix, iy, iz = rr[3:4, :], rr[4:5, :], rr[5:6, :]
         sx, sy, sz = rr[6:7, :], rr[7:8, :], rr[8:9, :]
         t_max = rr[9:10, :]
         live = rr[13:14, :] > 0
         k0 = rr[14:15, :] > 0  # watertight permutation: max |d| axis == x
         k1 = rr[15:16, :] > 0  # == y
-
-        def _inv(c):
-            return 1.0 / jnp.where(jnp.abs(c) < 1e-30, jnp.where(c < 0, -1e-30, 1e-30), c)
-
-        ix, iy, iz = _inv(dx), _inv(dy), _inv(dz)
 
         # per-packet majority sign of d per axis, hoisted to scalars once
         m0 = jnp.sum(rr[10:11, 0:1])
@@ -314,44 +310,281 @@ def _traverse_kernel_impl(nodes_ref, prims_ref, rays_ref, out_ref,
 
             return it + 1, sp_ref[0]
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
+        it_fin, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
         out_ref[g, 0:1, :] = best_ref[0:1, :]
         out_ref[g, 1:2, :] = best_ref[1:2, :]
         if not any_hit:
             out_ref[g, 2:5, :] = best_ref[2:5, :]
+        # row 5: per-packet pop (visit) count, broadcast to all lanes —
+        # feeds the bvh node-visit stats and ns/pop calibration
+        out_ref[g, 5:6, :] = jnp.full((1, PACKET), 1.0, F32) * it_fin.astype(F32)
         return 0
 
     jax.lax.fori_loop(0, GRID_G, run_packet, 0)
 
 
+def _traverse_kernel_joint(meta_ref, nodes_ref, prims_ref, rays_ref, out_ref,
+                           stack_ref, sp_ref, dirb_ref, pops_ref, best_ref,
+                           *, root: int, any_hit: bool):
+    """All GRID_G packets advance in ONE while_loop, one pop each per
+    iteration, with a fully BRANCHLESS body.
+
+    The legacy kernel (below) runs packets sequentially, so each pop pays
+    the full latency of its serial dependency chain: stack pop -> SMEM meta
+    load -> VMEM node fetch -> VPU box/triangle phase -> mask vector->scalar
+    transfer -> stack push. Measured ~450-580ns per pop on v5e — latency,
+    not throughput (a microbenchmark of the same chain shape shows 8
+    interleaved independent straight-line chains run at ~0.6ns/chain-step
+    vs 8.6 for one). A first interleaved variant that kept the
+    pl.when(interior)/pl.when(leaf) phase predication measured NO gain
+    (~450ns/pop still): the scalar branches order the regions and defeat
+    VLIW interleaving of the chains. So this kernel executes BOTH phases
+    for EVERY packet every iteration with masked effects — ~2x the vector
+    flops of the predicated form, but the vector units were idle waiting on
+    chain latency anyway, and the straight-line body lets the scheduler
+    overlap all GRID_G chains.
+
+    Per-packet traversal order and results are IDENTICAL to the legacy
+    kernel. Packets that finish early keep executing with effects masked
+    (their pops are not counted); the loop ends when every packet's stack
+    is empty.
+
+    Only the SMEM-meta stack layout is supported here: stack entries pack
+    (parent node id | child mask | dir), child metas come from scalar SMEM
+    loads. Trees whose meta table exceeds SMEM_META_MAX_BYTES use the
+    legacy VMEM-vstack kernel.
+
+    Scratch: stack_ref (GRID_G*STACK,) SMEM; sp_ref/dirb_ref/pops_ref
+    (GRID_G,) SMEM; best_ref (GRID_G*8, PACKET) VMEM (rows g*8+0..4 = t,
+    slot, prim, b1, b2).
+    """
+    iota16 = jax.lax.broadcasted_iota(I32, (16, PACKET), 0)
+    iota8c = jax.lax.broadcasted_iota(I32, (8, 1), 0)
+    pw2 = (1 << iota8c).astype(F32)
+    n_node_rows = nodes_ref.shape[0]
+    n_prim_rows = prims_ref.shape[0]
+
+    def _sel16(blk, j):
+        return jax.lax.switch(j, tuple(
+            (lambda ss: (lambda: blk[:, ss * 16:(ss + 1) * 16]))(sl) for sl in range(8)
+        ))
+
+    # ---- per-packet init ----
+    for g in range(GRID_G):
+        rr = rays_ref[g]
+        stack_ref[g * STACK] = (0 << 9) | (1 << 1) | 0  # sentinel parent 0, child 0 = root
+        sp_ref[g] = 1
+        pops_ref[g] = 0
+        b = g * 8
+        best_ref[b:b + 1, :] = rr[9:10, :]  # t_max
+        best_ref[b + 1:b + 2, :] = jnp.full((1, PACKET), -1.0, F32)
+        if not any_hit:
+            best_ref[b + 2:b + 3, :] = jnp.full((1, PACKET), -1.0, F32)
+            best_ref[b + 3:b + 5, :] = jnp.zeros((2, PACKET), F32)
+        # per-packet majority-direction bits, packed b0|b1<<1|b2<<2
+        neg0 = jnp.sum(rr[10:11, 0:1]) < 0
+        neg1 = jnp.sum(rr[11:12, 0:1]) < 0
+        neg2 = jnp.sum(rr[12:13, 0:1]) < 0
+        dirb_ref[g] = (neg0.astype(I32) | (neg1.astype(I32) << 1)
+                       | (neg2.astype(I32) << 2))
+
+    def cond(state):
+        it, alive = state
+        return (alive > 0) & (it < 1_000_000)
+
+    def body(state):
+        it, _ = state
+        for g in range(GRID_G):
+            rr = rays_ref[g]
+            b = g * 8
+            base = g * STACK
+
+            sp = sp_ref[g]
+            alive = sp > 0
+            pops_ref[g] = pops_ref[g] + jnp.where(alive, 1, 0)
+            spc = jnp.maximum(sp, 1)
+            top = stack_ref[base + spc - 1]
+            dirb = top & 1
+            m = (top >> 1) & 255
+            pn = top >> 9
+            k = jnp.where(dirb > 0, _high_bit_index(m), _low_bit_index(m))
+            m2 = m & (~(1 << k))
+            # consume child k from the top entry (dead packets write the
+            # sacrificial slot so their stale slot 0 stays untouched)
+            wtop = jnp.where(alive, base + spc - 1, base + STACK - 1)
+            stack_ref[wtop] = (pn << 9) | (m2 << 1) | dirb
+            sp_pop = jnp.where(m2 == 0, spc - 1, spc)
+
+            # stale/dead entries index within-table (entries only ever hold
+            # real node ids), so the meta load is safe without a clamp
+            e = meta_ref[pn * 8 + k]
+            is_int = alive & (e > 0)
+            is_leaf = alive & (e < 0)
+
+            # ---- interior phase (always executed, effects masked) ----
+            ox, oy, oz = rr[0:1, :], rr[1:2, :], rr[2:3, :]
+            ix, iy, iz = rr[3:4, :], rr[4:5, :], rr[5:6, :]
+            t_best = best_ref[b:b + 1, :]
+            nid = e & 0x1FFFFF
+            axis_i = e >> 21
+            nrow = jnp.minimum((nid // 8) * 8, n_node_rows - 8)
+            nblk = nodes_ref[pl.ds(nrow, 8), :]
+            nsub = _sel16(nblk, nid % 8)
+            t0x = (nsub[:, 0:1] - ox) * ix
+            t1x = (nsub[:, 3:4] - ox) * ix
+            t0y = (nsub[:, 1:2] - oy) * iy
+            t1y = (nsub[:, 4:5] - oy) * iy
+            t0z = (nsub[:, 2:3] - oz) * iz
+            t1z = (nsub[:, 5:6] - oz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z)) * 1.0000004
+            bhit = (tn <= tf) & (tf > 0) & (tn < t_best)
+            meta_col = nsub[:, 6:7]
+            anyc = jnp.max(jnp.where(bhit, 1.0, 0.0), axis=1, keepdims=True) * \
+                jnp.where(meta_col != 0, 1.0, 0.0)
+            mask_new = jnp.sum(anyc * pw2).astype(I32)
+            dir_new = (dirb_ref[g] >> axis_i) & 1
+            do_push = is_int & (mask_new != 0)
+            wslot = jnp.where(do_push, base + sp_pop, base + STACK - 1)
+            stack_ref[wslot] = (nid << 9) | (mask_new << 1) | dir_new
+
+            # ---- leaf phase (always executed, effects masked) ----
+            sx, sy, sz = rr[6:7, :], rr[7:8, :], rr[8:9, :]
+            k0 = rr[14:15, :] > 0
+            k1 = rr[15:16, :] > 0
+            o_ = jnp.maximum(-e - 1, 0)
+            prow = jnp.minimum((o_ // 8) * 8, n_prim_rows - 8)
+            pblk = prims_ref[pl.ds(prow, 8), :]
+            psub = jnp.concatenate(
+                [_sel16(pblk, o_ % 8), _sel16(pblk, o_ % 8 + 1)], axis=0
+            )
+            valid = psub[:, 9:10] > 0
+            pid_col = psub[:, 10:11]
+
+            def _shear(j, psub=psub, ox=ox, oy=oy, oz=oz, sx=sx, sy=sy, sz=sz, k0=k0, k1=k1):
+                vx = psub[:, 3 * j:3 * j + 1] - ox
+                vy = psub[:, 3 * j + 1:3 * j + 2] - oy
+                vz = psub[:, 3 * j + 2:3 * j + 3] - oz
+                px = jnp.where(k0, vy, jnp.where(k1, vz, vx))
+                py = jnp.where(k0, vz, jnp.where(k1, vx, vy))
+                pz = jnp.where(k0, vx, jnp.where(k1, vy, vz))
+                return px + sx * pz, py + sy * pz, sz * pz
+
+            x0, y0, z0 = _shear(0)
+            x1, y1, z1 = _shear(1)
+            x2, y2, z2 = _shear(2)
+            e0 = x1 * y2 - y1 * x2
+            e1_ = x2 * y0 - y2 * x0
+            e2_ = x0 * y1 - y0 * x1
+            same = ((e0 >= 0) & (e1_ >= 0) & (e2_ >= 0)) | \
+                ((e0 <= 0) & (e1_ <= 0) & (e2_ <= 0))
+            det = e0 + e1_ + e2_
+            dok = det != 0
+            inv = 1.0 / jnp.where(dok, det, 1.0)
+            t = (e0 * z0 + e1_ * z1 + e2_ * z2) * inv
+            phit = valid & same & dok & (t > EPS) & (t < t_best)
+            tc = jnp.where(phit, t, jnp.float32(1e30))
+            tmin = jnp.min(tc, axis=0, keepdims=True)
+            improved = is_leaf & (tmin < jnp.minimum(t_best, jnp.float32(1e29)))
+            slotf = (o_ * 8 + iota16).astype(F32)
+            snew = jnp.max(jnp.where(tc == tmin, slotf, -1.0), axis=0, keepdims=True)
+            best_ref[b:b + 1, :] = jnp.where(improved, tmin, t_best)
+            best_ref[b + 1:b + 2, :] = jnp.where(improved, snew, best_ref[b + 1:b + 2, :])
+
+            if not any_hit:
+                win = (tc == tmin) & (slotf == snew)
+                prim_new = jnp.sum(jnp.where(win, pid_col, 0.0), axis=0, keepdims=True)
+                b1_new = jnp.sum(jnp.where(win, e1_ * inv, 0.0), axis=0, keepdims=True)
+                b2_new = jnp.sum(jnp.where(win, e2_ * inv, 0.0), axis=0, keepdims=True)
+                best_ref[b + 2:b + 3, :] = jnp.where(improved, prim_new, best_ref[b + 2:b + 3, :])
+                best_ref[b + 3:b + 4, :] = jnp.where(improved, b1_new, best_ref[b + 3:b + 4, :])
+                best_ref[b + 4:b + 5, :] = jnp.where(improved, b2_new, best_ref[b + 4:b + 5, :])
+
+            sp_new = jnp.where(alive, sp_pop + jnp.where(do_push, 1, 0), 0)
+            if any_hit:
+                # stop once every live lane has an occluder (only leaf
+                # visits can change this)
+                live = rr[13:14, :] > 0
+                missing = jnp.max(jnp.where(live & (best_ref[b + 1:b + 2, :] < 0), 1.0, 0.0))
+                sp_new = jnp.where(is_leaf & (missing == 0), 0, sp_new)
+            sp_ref[g] = sp_new
+
+        alive = sp_ref[0]
+        for g in range(1, GRID_G):
+            alive = alive + sp_ref[g]
+        return it + 1, alive
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
+    for g in range(GRID_G):
+        b = g * 8
+        out_ref[g, 0:1, :] = best_ref[b:b + 1, :]
+        out_ref[g, 1:2, :] = best_ref[b + 1:b + 2, :]
+        if not any_hit:
+            out_ref[g, 2:5, :] = best_ref[b + 2:b + 5, :]
+        out_ref[g, 5:6, :] = jnp.full((1, PACKET), 1.0, F32) * pops_ref[g].astype(F32)
+
+
+
 # SMEM child-meta sidetable budget: the whole (n_nodes*8,) i32 table must
-# fit comfortably in scalar memory next to the stack
-SMEM_META_MAX_BYTES = 96 * 1024
+# fit comfortably in scalar memory next to the stack. v5e SMEM holds at
+# least ~1MB (a 111KB table compiles and runs with headroom); 384KB covers
+# wide trees up to ~500k triangles, beyond which the legacy VMEM-vstack
+# kernel takes over.
+SMEM_META_MAX_BYTES = 384 * 1024
 
 
-@functools.partial(jax.jit, static_argnames=("root", "any_hit", "interpret"))
-def _run(nodes, prims, rays, root, any_hit, interpret, meta=None):
+def _joint_enabled():
+    import os
+
+    return os.environ.get("PBRT_TPU_JOINT", "1") != "0"
+
+
+@functools.partial(jax.jit, static_argnames=("root", "any_hit", "interpret", "joint"))
+def _run(nodes, prims, rays, root, any_hit, interpret, meta=None, joint=True):
     B = rays.shape[0]
     assert B % GRID_G == 0
     smem_meta = meta is not None
-    kernel = functools.partial(_traverse_kernel, root=root, any_hit=any_hit,
-                               smem_meta=smem_meta)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec((GRID_G, 16, PACKET), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
-    scratch = [
-        pltpu.SMEM((STACK,), jnp.int32),
-        pltpu.VMEM((STACK * 8, 128), F32),
-        pltpu.SMEM((1,), jnp.int32),
-        pltpu.VMEM((8, PACKET), F32),
-    ]
-    args = (nodes, prims, rays)
-    if smem_meta:
+    if smem_meta and joint:
+        # joint kernel: all GRID_G packets interleaved in one while_loop
+        kernel = functools.partial(_traverse_kernel_joint, root=root, any_hit=any_hit)
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
-        scratch = [scratch[0]] + scratch[2:]  # no vstack
-        args = (meta,) + args
+        scratch = [
+            pltpu.SMEM((GRID_G * STACK,), jnp.int32),
+            pltpu.SMEM((GRID_G,), jnp.int32),
+            pltpu.SMEM((GRID_G,), jnp.int32),
+            pltpu.SMEM((GRID_G,), jnp.int32),
+            pltpu.VMEM((GRID_G * 8, PACKET), F32),
+        ]
+        args = (meta, nodes, prims, rays)
+    elif smem_meta:
+        # sequential per-packet kernel, SMEM-meta stack layout
+        # (PBRT_TPU_JOINT=0 A/B path)
+        kernel = functools.partial(_traverse_kernel, root=root, any_hit=any_hit,
+                                   smem_meta=True)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        scratch = [
+            pltpu.SMEM((STACK,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((8, PACKET), F32),
+        ]
+        args = (meta, nodes, prims, rays)
+    else:
+        kernel = functools.partial(_traverse_kernel, root=root, any_hit=any_hit,
+                                   smem_meta=False)
+        scratch = [
+            pltpu.SMEM((STACK,), jnp.int32),
+            pltpu.VMEM((STACK * 8, 128), F32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((8, PACKET), F32),
+        ]
+        args = (nodes, prims, rays)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, 8, PACKET), F32),
@@ -403,9 +636,11 @@ def pack_rays(o, d, t_max, live=None):
     def row(x):
         return x.reshape(B, 1, PACKET)
 
+    inv_d = 1.0 / jnp.where(jnp.abs(d_p) < 1e-30,
+                            jnp.where(d_p < 0, -1e-30, 1e-30), d_p)
     blocks = jnp.concatenate(
         [row(o_p[:, 0]), row(o_p[:, 1]), row(o_p[:, 2]),
-         row(d_p[:, 0]), row(d_p[:, 1]), row(d_p[:, 2]),
+         row(inv_d[:, 0]), row(inv_d[:, 1]), row(inv_d[:, 2]),
          row(shear[:, 0]), row(shear[:, 1]), row(shear[:, 2]),
          row(tm),
          jnp.broadcast_to(maj[:, :, None], (B, 3, PACKET)),
@@ -443,6 +678,28 @@ def coherence_keys(o, d, world_lo, world_inv_extent):
     qd = jnp.clip((jnp.abs(d) * 15.999), 0.0, 15.0).astype(jnp.uint32)
     dm = _morton10(qd)  # 12 useful bits for 4-bit axes
     return (oc << 28) | ((_morton10(q) >> 14) << 12) | (dm & 0xFFF)
+
+
+def wide_pop_counts(sa, static, o, d, t_max, any_hit=False, interpret=False, sort=True):
+    """Per-packet traversal visit counts for the given wave (diagnostics:
+    stats + ns/pop calibration). Returns (B,) f32 pop counts."""
+    t_arr = jnp.broadcast_to(jnp.asarray(t_max, F32), (o.shape[0],))
+    if sort and o.shape[0] >= 2 * PACKET:
+        lo = sa.world_center - sa.world_radius
+        inv_ext = 1.0 / jnp.maximum(2.0 * sa.world_radius, 1e-20)
+        keys = coherence_keys(o, d, lo, inv_ext)
+        keys = jnp.where(t_arr > 0, keys, jnp.uint32(0xFFFFFFFF))
+        perm = jnp.argsort(keys)
+        packed = jnp.concatenate([o, d, t_arr[:, None], jnp.zeros_like(t_arr)[:, None]], axis=1)[perm]
+        o, d, t_arr = packed[:, 0:3], packed[:, 3:6], packed[:, 6]
+    live = jnp.where(t_arr > 0, 1.0, 0.0) if any_hit else None
+    blocks, R, B = pack_rays(o, d, t_arr, live)
+    meta = getattr(sa, "wmeta_tab", None)
+    if meta is not None and meta.shape[0] * 4 > SMEM_META_MAX_BYTES:
+        meta = None
+    out = _run(sa.wnode_tab, sa.wprim_tab, blocks, static.wide_root, any_hit, interpret,
+               meta=meta, joint=_joint_enabled())
+    return out[:, 5, 0]
 
 
 def wide_intersect(sa, static, o, d, t_max, any_hit=False, interpret=False, sort=True):
@@ -483,7 +740,7 @@ def wide_intersect(sa, static, o, d, t_max, any_hit=False, interpret=False, sort
     if meta is not None and meta.shape[0] * 4 > SMEM_META_MAX_BYTES:
         meta = None  # big trees keep the VMEM vstack path
     out = _run(sa.wnode_tab, sa.wprim_tab, blocks, static.wide_root, any_hit, interpret,
-               meta=meta)
+               meta=meta, joint=_joint_enabled())
     rows = 2 if any_hit else 5
     res = [out[:, j, :].reshape(-1)[:R] for j in range(rows)]
     if perm is not None:
