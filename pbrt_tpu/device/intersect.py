@@ -118,6 +118,7 @@ def ray_triangle(o, d, p0, p1, p2, t_max):
 
 
 from .affine import xf_point as _xform_point, xf_vector as _xform_vector
+from . import efloat as efl
 
 
 def ray_quadric(o, d, w2o, params, qkind, t_max):
@@ -154,11 +155,18 @@ def ray_quadric(o, d, w2o, params, qkind, t_max):
     is_para = qkind == QUADRIC_PARABOLOID
     is_hyp = qkind == QUADRIC_HYPERBOLOID
 
-    ox_, oy_, oz_ = oo[..., 0], oo[..., 1], oo[..., 2]
-    dx_, dy_, dz_ = od[..., 0], od[..., 1], od[..., 2]
-    dxy2 = dx_ * dx_ + dy_ * dy_
-    oxy_d = ox_ * dx_ + oy_ * dy_
-    oxy2 = ox_ * ox_ + oy_ * oy_
+    # EFloat interval coefficients (efloat.rs; sphere.rs:72-88 etc.): the
+    # transform's FP error seeds the o/d intervals, every product widens
+    # them, and root acceptance tests the resulting t BOUNDS — no fixed
+    # epsilon anywhere in the accept path
+    o_err, d_err = efl.transform_ray_error(w2o, o, d)
+    EOx = efl.ef(oo[..., 0], o_err[..., 0])
+    EOy = efl.ef(oo[..., 1], o_err[..., 1])
+    EOz = efl.ef(oo[..., 2], o_err[..., 2])
+    EDx = efl.ef(od[..., 0], d_err[..., 0])
+    EDy = efl.ef(od[..., 1], d_err[..., 1])
+    EDz = efl.ef(od[..., 2], d_err[..., 2])
+    oz_ = oo[..., 2]
     # cone: k = (r/h)^2, apex at z=h (cone.rs with the k fix)
     k_cone = (radius / jnp.maximum(jnp.abs(p1), 1e-12)) ** 2
     # paraboloid: z = k (x^2 + y^2), k = zmax / r^2 (paraboloid.rs:75-78)
@@ -166,27 +174,36 @@ def ray_quadric(o, d, w2o, params, qkind, t_max):
 
     ah = params[..., 4]
     ch = params[..., 5]
-    a = jnp.where(is_cyl, dxy2, _dot(od, od))
-    a = jnp.where(is_cone, dxy2 - k_cone * dz_ * dz_, a)
-    a = jnp.where(is_para, k_para * dxy2, a)
-    a = jnp.where(is_hyp, ah * dxy2 - ch * dz_ * dz_, a)
-    b = 2.0 * jnp.where(is_cyl, oxy_d, _dot(oo, od))
-    b = jnp.where(is_cone, 2.0 * (oxy_d - k_cone * dz_ * (oz_ - p1)), b)
-    b = jnp.where(is_para, 2.0 * k_para * oxy_d - dz_, b)
-    b = jnp.where(is_hyp, 2.0 * (ah * oxy_d - ch * oz_ * dz_), b)
-    c = jnp.where(is_cyl, oxy2, _dot(oo, oo)) - radius * radius
-    c = jnp.where(is_cone, oxy2 - k_cone * (oz_ - p1) * (oz_ - p1), c)
-    c = jnp.where(is_para, k_para * oxy2 - oz_, c)
-    c = jnp.where(is_hyp, ah * oxy2 - ch * oz_ * oz_ - 1.0, c)
-    disc = b * b - 4.0 * a * c
-    has_root = (disc > 0) & ~is_disk
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    q = jnp.where(b < 0, -0.5 * (b - sq), -0.5 * (b + sq))
-    safe = jnp.where(jnp.abs(q) > 1e-30, q, 1.0)
-    t0 = q / jnp.where(jnp.abs(a) > 1e-30, a, 1e-30)
-    t1 = c / safe
-    tn = jnp.minimum(t0, t1)
-    tf = jnp.maximum(t0, t1)
+
+    Edxy2 = efl.add(efl.sqr(EDx), efl.sqr(EDy))
+    Eoxyd = efl.add(efl.mul(EDx, EOx), efl.mul(EDy, EOy))
+    Eoxy2 = efl.add(efl.sqr(EOx), efl.sqr(EOy))
+    Edzz = efl.sqr(EDz)
+    Eozz = efl.sqr(EOz)
+    Eozdz = efl.mul(EOz, EDz)
+    Eoz_h = efl.sub(EOz, efl.ef(p1))  # oz - height (cone)
+    Er2 = efl.sqr(efl.ef(radius))
+
+    def w3(cond, A, B):
+        return tuple(jnp.where(cond, x, y) for x, y in zip(A, B))
+
+    Ea = w3(is_cyl, Edxy2, efl.add(Edxy2, Edzz))
+    Ea = w3(is_cone, efl.sub(Edxy2, efl.scale(Edzz, k_cone)), Ea)
+    Ea = w3(is_para, efl.scale(Edxy2, k_para), Ea)
+    Ea = w3(is_hyp, efl.sub(efl.scale(Edxy2, ah), efl.scale(Edzz, ch)), Ea)
+    Eb = efl.scale(w3(is_cyl, Eoxyd, efl.add(Eoxyd, Eozdz)), 2.0)
+    Eb = w3(is_cone, efl.scale(efl.sub(Eoxyd, efl.scale(efl.mul(EDz, Eoz_h), k_cone)), 2.0), Eb)
+    Eb = w3(is_para, efl.sub(efl.scale(Eoxyd, 2.0 * k_para), EDz), Eb)
+    Eb = w3(is_hyp, efl.scale(efl.sub(efl.scale(Eoxyd, ah), efl.scale(Eozdz, ch)), 2.0), Eb)
+    Ec = efl.sub(w3(is_cyl, Eoxy2, efl.add(Eoxy2, Eozz)), Er2)
+    Ec = w3(is_cone, efl.sub(Eoxy2, efl.scale(efl.sqr(Eoz_h), k_cone)), Ec)
+    Ec = w3(is_para, efl.sub(efl.scale(Eoxy2, k_para), EOz), Ec)
+    Ec = w3(is_hyp, efl.sub(efl.sub(efl.scale(Eoxy2, ah), efl.scale(Eozz, ch)), efl.ef(jnp.float32(1.0))), Ec)
+
+    has, T0, T1 = efl.quadratic(Ea, Eb, Ec)
+    has_root = has & ~is_disk
+    tn, tn_lo, tn_hi = T0
+    tf, tf_lo, tf_hi = T1
 
     def clip_ok(t):
         p = oo + od * t[..., None]
@@ -222,8 +239,10 @@ def ray_quadric(o, d, w2o, params, qkind, t_max):
 
     okn, pn_near = clip_ok(tn)
     okf, pn_far = clip_ok(tf)
-    near_valid = has_root & (tn > SHADOW_EPS) & (tn < t_max) & okn
-    far_valid = has_root & (tf > SHADOW_EPS) & (tf < t_max) & okf
+    # reference acceptance (sphere.rs:91-102): a root is usable iff its
+    # error interval is strictly positive and within t_max
+    near_valid = has_root & (tn_lo > 0) & (tn_hi < t_max) & okn
+    far_valid = has_root & (tf_lo > 0) & (tf_hi < t_max) & okf
     t = jnp.where(near_valid, tn, tf)
     p_obj = jnp.where(near_valid[..., None], pn_near, pn_far)
     hit = near_valid | far_valid
@@ -235,7 +254,9 @@ def ray_quadric(o, d, w2o, params, qkind, t_max):
     d2 = pd[..., 0] ** 2 + pd[..., 1] ** 2
     phi_d = jnp.arctan2(pd[..., 1], pd[..., 0])
     phi_d = jnp.where(phi_d < 0, phi_d + 2.0 * jnp.pi, phi_d)
-    disk_hit = (jnp.abs(dz) > 1e-12) & (td > SHADOW_EPS) & (td < t_max) & \
+    # disk.rs accepts any t in (0, t_max) — self-hits are prevented by the
+    # error-bounded origin offsets, not an epsilon
+    disk_hit = (jnp.abs(dz) > 1e-12) & (td > 0) & (td < t_max) & \
         (d2 <= radius * radius) & (d2 >= p2 * p2) & (phi_d <= phimax)
     pd = jnp.stack([pd[..., 0], pd[..., 1], jnp.broadcast_to(p1, pd[..., 2].shape)], axis=-1)
 
