@@ -99,6 +99,70 @@ def _l_fn(sa, static, possible, cam, power_cdf, u, depth, W, H):
     return pixel, L, spx_c, sval_c, lum
 
 
+def mlt_chain_step(sa, static, possible, cam, cdf, depth, W, H, sigma, p_large,
+                   chain_ids, u_cur, cur, key):
+    """One Metropolis mutation for every chain (pure; shard-mappable over
+    the chain axis — `chain_ids` are the GLOBAL chain indices so a sharded
+    run mutates with the same per-chain streams as the single-device run).
+
+    `cur` carries the CURRENT state's full evaluation (pixel, L, splats,
+    lum) between steps so the target is evaluated once per mutation (for
+    the proposal only), mirroring mlt.rs where the sampler state's
+    radiance is cached. Returns (u_next, cur_next, film_contrib (W*H, 3)).
+    """
+    n_pix = W * H
+    pix_o, L_o, spx_o, sval_o, lum_o = cur
+    R = u_cur.shape[0]
+    D = u_cur.shape[1]
+    key = rng.pcg_hash(key + chain_ids * jnp.uint32(0x9E3779B1))
+    u_large = rng.u32_to_float(rng.pcg_hash(key[:, None] * jnp.uint32(2654435761) + jnp.arange(D, dtype=jnp.uint32)[None, :]))
+    key2 = rng.pcg_hash(key ^ jnp.uint32(0x85EBCA6B))
+    is_large = rng.u32_to_float(key2) < p_large
+    # wrapped gaussian small step (Box-Muller)
+    ga = rng.u32_to_float(rng.pcg_hash(key2[:, None] + jnp.arange(D, dtype=jnp.uint32)[None, :] * jnp.uint32(0xC2B2AE35)))
+    gb = rng.u32_to_float(rng.pcg_hash(key2[:, None] ^ (jnp.arange(D, dtype=jnp.uint32)[None, :] * jnp.uint32(0x27D4EB2F))))
+    z = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(ga, 1e-12))) * jnp.cos(2.0 * jnp.pi * gb)
+    u_small = u_cur + sigma * z
+    u_small = u_small - jnp.floor(u_small)
+    u_prop = jnp.where(is_large[:, None], u_large, u_small)
+
+    pix_n, L_n, spx_n, sval_n, lum_n = _l_fn(sa, static, possible, cam, cdf, u_prop, depth, W, H)
+
+    a = jnp.clip(lum_n / jnp.maximum(lum_o, 1e-12), 0.0, 1.0)
+    # plain Metropolis expected-value splatting: both states weighted
+    # by acceptance probability over their target density (the
+    # reference's Kelemen-style reuse weighting, mlt.rs :357-366, is
+    # an equal-expectation variant)
+    w_new = a / jnp.maximum(lum_n, 1e-12)
+    w_old = (1.0 - a) / jnp.maximum(lum_o, 1e-12)
+
+    contrib_px = jnp.concatenate([pix_n, pix_o, spx_n, spx_o])
+    k_n = spx_n.shape[0] // R if R else 0
+    wn_rep = jnp.tile(w_new, max(k_n, 1))[: spx_n.shape[0]]
+    wo_rep = jnp.tile(w_old, max(k_n, 1))[: spx_o.shape[0]]
+    contrib_v = jnp.concatenate([
+        L_n * w_new[:, None], L_o * w_old[:, None],
+        sval_n * wn_rep[:, None] if spx_n.shape[0] else sval_n,
+        sval_o * wo_rep[:, None] if spx_o.shape[0] else sval_o,
+    ])
+    fs = jnp.stack(
+        [jax.ops.segment_sum(contrib_v[:, ch], contrib_px, num_segments=n_pix + 1)[:n_pix]
+         for ch in range(3)], axis=-1)
+
+    u_key = rng.pcg_hash(key2 + jnp.uint32(0x165667B1))
+    accept = rng.u32_to_float(u_key) < a
+    u_next = jnp.where(accept[:, None], u_prop, u_cur)
+    acc_rep = jnp.tile(accept, max(k_n, 1))[: spx_n.shape[0]]
+    nxt = (
+        jnp.where(accept, pix_n, pix_o),
+        jnp.where(accept[:, None], L_n, L_o),
+        jnp.where(acc_rep, spx_n, spx_o),
+        jnp.where(acc_rep[:, None], sval_n, sval_o),
+        jnp.where(accept, lum_n, lum_o),
+    )
+    return u_next, nxt, fs
+
+
 def render_mlt(cs, seed: int = 0, progress=None):
     """Host-driven MLT: bootstrap + chains per depth."""
     desc = cs.description
@@ -146,61 +210,12 @@ def render_mlt(cs, seed: int = 0, progress=None):
 
         n_mut = max((mpp * n_pix) // (n_chains * (max_depth + 1)), 1)
 
+        chain_ids = jnp.arange(n_chains, dtype=jnp.uint32)
+
         @jax.jit
         def chain_step(u_cur, cur, key):
-            # `cur` carries the CURRENT state's full evaluation (pixel, L,
-            # splats, lum) between steps so the target is evaluated once per
-            # mutation (for the proposal only), mirroring mlt.rs where the
-            # sampler state's radiance is cached.
-            pix_o, L_o, spx_o, sval_o, lum_o = cur
-            R = u_cur.shape[0]
-            key = rng.pcg_hash(key + jnp.arange(R, dtype=jnp.uint32) * jnp.uint32(0x9E3779B1))
-            u_large = rng.u32_to_float(rng.pcg_hash(key[:, None] * jnp.uint32(2654435761) + jnp.arange(D, dtype=jnp.uint32)[None, :]))
-            key2 = rng.pcg_hash(key ^ jnp.uint32(0x85EBCA6B))
-            is_large = rng.u32_to_float(key2) < p_large
-            # wrapped gaussian small step (Box-Muller)
-            ga = rng.u32_to_float(rng.pcg_hash(key2[:, None] + jnp.arange(D, dtype=jnp.uint32)[None, :] * jnp.uint32(0xC2B2AE35)))
-            gb = rng.u32_to_float(rng.pcg_hash(key2[:, None] ^ (jnp.arange(D, dtype=jnp.uint32)[None, :] * jnp.uint32(0x27D4EB2F))))
-            z = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(ga, 1e-12))) * jnp.cos(2.0 * jnp.pi * gb)
-            u_small = u_cur + sigma * z
-            u_small = u_small - jnp.floor(u_small)
-            u_prop = jnp.where(is_large[:, None], u_large, u_small)
-
-            pix_n, L_n, spx_n, sval_n, lum_n = _l_fn(sa, static, possible, cam, cdf, u_prop, depth, W, H)
-
-            a = jnp.clip(lum_n / jnp.maximum(lum_o, 1e-12), 0.0, 1.0)
-            # plain Metropolis expected-value splatting: both states weighted
-            # by acceptance probability over their target density (the
-            # reference's Kelemen-style reuse weighting, mlt.rs :357-366, is
-            # an equal-expectation variant)
-            w_new = a / jnp.maximum(lum_n, 1e-12)
-            w_old = (1.0 - a) / jnp.maximum(lum_o, 1e-12)
-
-            contrib_px = jnp.concatenate([pix_n, pix_o, spx_n, spx_o])
-            k_n = spx_n.shape[0] // R if R else 0
-            wn_rep = jnp.tile(w_new, max(k_n, 1))[: spx_n.shape[0]]
-            wo_rep = jnp.tile(w_old, max(k_n, 1))[: spx_o.shape[0]]
-            contrib_v = jnp.concatenate([
-                L_n * w_new[:, None], L_o * w_old[:, None],
-                sval_n * wn_rep[:, None] if spx_n.shape[0] else sval_n,
-                sval_o * wo_rep[:, None] if spx_o.shape[0] else sval_o,
-            ])
-            fs = jnp.stack(
-                [jax.ops.segment_sum(contrib_v[:, ch], contrib_px, num_segments=n_pix + 1)[:n_pix]
-                 for ch in range(3)], axis=-1)
-
-            u_key = rng.pcg_hash(key2 + jnp.uint32(0x165667B1))
-            accept = rng.u32_to_float(u_key) < a
-            u_next = jnp.where(accept[:, None], u_prop, u_cur)
-            acc_rep = jnp.tile(accept, max(k_n, 1))[: spx_n.shape[0]]
-            nxt = (
-                jnp.where(accept, pix_n, pix_o),
-                jnp.where(accept[:, None], L_n, L_o),
-                jnp.where(acc_rep, spx_n, spx_o),
-                jnp.where(acc_rep[:, None], sval_n, sval_o),
-                jnp.where(accept, lum_n, lum_o),
-            )
-            return u_next, nxt, fs
+            return mlt_chain_step(sa, static, possible, cam, cdf, depth, W, H,
+                                  sigma, p_large, chain_ids, u_cur, cur, key)
 
         cur = l_jit(u_cur)
         accum = np.zeros((n_pix, 3), np.float64)

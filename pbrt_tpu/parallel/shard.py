@@ -232,3 +232,133 @@ def render_sppm_sharded_step(cs, desc, mesh: Mesh, n_iters: int = 1, seed: int =
     )
     img = jax.jit(sharded)(px_j, py_j, pids_j, jnp.uint32(seed))
     return np.asarray(img[:R])
+
+
+def render_bdpt_sharded_step(cs, desc, mesh: Mesh, spp: int = 1, seed: int = 0):
+    """Sharded BDPT: camera/light subpaths + all (s,t) connections run on
+    each device's pixel slice; the t=1 film splats (which can land on ANY
+    pixel, bdpt.rs:798-803) are segment-summed locally and psum-reduced —
+    the only collective, the analog of the reference's AtomicFloat film.
+
+    Returns the film ((H*W, 3) ndarray, splats included)."""
+    from ..device.bdpt import bdpt_wave
+    from ..device.lights import compute_power
+    from ..device.materials import make_bsdf
+
+    sa = cs.arrays
+    static = cs.static
+    cam = make_camera(desc.camera, desc.film)
+    W = desc.film.x_resolution
+    H = desc.film.y_resolution
+    n_pix = W * H
+    max_depth = max(int(desc.integrator.max_depth), 1)
+    n_dev = math.prod(mesh.devices.shape)
+
+    px, py, pids, R, Rp = _pixel_arrays(W, H, n_dev)
+    ray_sh = NamedSharding(mesh, P("rays"))
+    px_j = jax.device_put(jnp.asarray(px), ray_sh)
+    py_j = jax.device_put(jnp.asarray(py), ray_sh)
+    pids_j = jax.device_put(jnp.asarray(pids), ray_sh)
+
+    power = compute_power(sa, static)
+    cdf = jnp.cumsum(power)
+    cdf = cdf / jnp.maximum(cdf[-1], 1e-12)
+    _probe = make_bsdf(sa, static, jnp.zeros(1, jnp.int32), jnp.zeros((1, 2), F32), jnp.zeros((1, 3), F32))
+    possible = _probe["possible"]
+
+    def local_step(px_l, py_l, pids_l, seed_l):
+        acc = jnp.zeros((px_l.shape[0], 3), F32)
+        splat = jnp.zeros((n_pix, 3), F32)
+        for s in range(spp):
+            L, spx, sval = bdpt_wave(sa, static, possible, cam, cdf, seed_l,
+                                     px_l, py_l, pids_l, jnp.uint32(s), max_depth, W, H)
+            fs = jnp.stack(
+                [jax.ops.segment_sum(sval[:, ch], spx, num_segments=n_pix + 1)[:n_pix]
+                 for ch in range(3)], axis=-1)
+            acc = acc + L
+            splat = splat + fs
+        return acc, jax.lax.psum(splat, "rays")
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("rays"), P("rays"), P("rays"), P()),
+        out_specs=(P("rays"), P()),
+        check_rep=False,
+    )
+    L, splat = jax.jit(sharded)(px_j, py_j, pids_j, jnp.uint32(seed))
+    img = np.asarray(L[:R], np.float64) + np.asarray(splat[:R], np.float64)
+    return (img / max(spp, 1)).astype(np.float32)
+
+
+def render_mlt_sharded_step(cs, desc, mesh: Mesh, seed: int = 0, depth: int = 1,
+                            n_chains: int | None = None, n_mut: int = 2,
+                            n_boot: int | None = None):
+    """Sharded MLT for one path depth: the Markov chains (embarrassingly
+    parallel, mlt.rs:324-377) are sharded over devices; every mutation's
+    film contribution is psum-reduced. Bootstrap runs sharded too, with the
+    normalization b computed from the GLOBAL mean (psum) so the estimator
+    matches the single-device one; chain seeds use global chain ids, so a
+    given chain mutates identically regardless of the mesh shape.
+
+    Returns the depth-d film ((H*W, 3) ndarray, already b-normalized)."""
+    from ..device import rng as drng
+    from ..device.mlt import _l_fn, mlt_chain_step
+    from ..device.lights import compute_power
+    from ..device.materials import make_bsdf
+
+    sa = cs.arrays
+    static = cs.static
+    cam = make_camera(desc.camera, desc.film)
+    W = desc.film.x_resolution
+    H = desc.film.y_resolution
+    n_pix = W * H
+    n_dev = math.prod(mesh.devices.shape)
+    sigma = float(getattr(desc.integrator, "sigma", 0.0)) or 0.01
+    p_large = float(getattr(desc.integrator, "large_step_probability", 0.0)) or 0.3
+    n_chains = _round_up(int(n_chains or max(getattr(desc.integrator, "n_chains", 64), n_dev)), n_dev)
+    n_boot = _round_up(int(n_boot or max(n_chains * 4, 256)), n_dev)
+    D = 160
+
+    power = compute_power(sa, static)
+    cdf = jnp.cumsum(power)
+    cdf = cdf / jnp.maximum(cdf[-1], 1e-12)
+    _probe = make_bsdf(sa, static, jnp.zeros(1, jnp.int32), jnp.zeros((1, 2), F32), jnp.zeros((1, 3), F32))
+    possible = _probe["possible"]
+
+    rstate = np.random.RandomState(seed + 17)
+    u_boot = rstate.rand(n_boot, D).astype(np.float32)
+
+    mesh_c = Mesh(mesh.devices, ("chains",))
+    chain_sh = NamedSharding(mesh_c, P("chains"))
+    u_boot_j = jax.device_put(jnp.asarray(u_boot), chain_sh)
+    chain_ids = jax.device_put(jnp.arange(n_chains, dtype=jnp.uint32), chain_sh)
+
+    def boot_local(u_b):
+        _, _, _, _, lum = _l_fn(sa, static, possible, cam, cdf, u_b, depth, W, H)
+        return jnp.where(jnp.isfinite(lum), lum, 0.0)
+
+    lum = jax.jit(shard_map(boot_local, mesh=mesh_c, in_specs=(P("chains"),),
+                            out_specs=P("chains"), check_rep=False))(u_boot_j)
+    lum_np = np.asarray(lum, np.float64)
+    b_d = lum_np.mean()
+    if b_d <= 0:
+        return np.zeros((n_pix, 3), np.float32)
+    # global bootstrap selection (mlt.rs Distribution1D over ALL samples)
+    picks = rstate.choice(n_boot, size=n_chains, p=lum_np / lum_np.sum())
+    u_cur = jax.device_put(jnp.asarray(u_boot[picks]), chain_sh)
+
+    def chains_local(u_c, ids):
+        cur = _l_fn(sa, static, possible, cam, cdf, u_c, depth, W, H)
+        film = jnp.zeros((n_pix, 3), F32)
+        for m in range(n_mut):
+            key = jnp.uint32(seed * 7919 + depth * 104729 + m)
+            u_c, cur, fs = mlt_chain_step(sa, static, possible, cam, cdf, depth,
+                                          W, H, sigma, p_large, ids, u_c, cur, key)
+            film = film + fs
+        return jax.lax.psum(film, "chains")
+
+    film = jax.jit(shard_map(chains_local, mesh=mesh_c,
+                             in_specs=(P("chains"), P("chains")),
+                             out_specs=P(), check_rep=False))(u_cur, chain_ids)
+    out = np.asarray(film, np.float64) * (b_d * n_pix / max(n_mut * n_chains, 1))
+    return out.astype(np.float32)

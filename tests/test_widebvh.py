@@ -121,3 +121,21 @@ def test_wide_matches_xla_traversal(monkeypatch):
     m = hit_ref & (prim == tt.argmin(axis=1))
     np.testing.assert_allclose(b1[m], np.asarray(b1r)[m], atol=1e-4)
     np.testing.assert_allclose(b2[m], np.asarray(b2r)[m], atol=1e-4)
+
+    # any-hit (shadow) parity: the joint SMEM-meta kernel's early-exit path
+    # must agree with the vstack kernel and with the brute-force occlusion
+    # set; bounded t_max leaves the far half of the rays unoccluded
+    tmax_sh = np.where(np.isfinite(t), t * 0.95, 2.0).astype(np.float32)
+    t_s, slot_s, hit_s = pallas_bvh.wide_intersect(
+        sa, st, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmax_sh),
+        any_hit=True, interpret=True,
+    )
+    t_v2, slot_v2, hit_v2 = pallas_bvh.wide_intersect(
+        sa2, st, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmax_sh),
+        any_hit=True, interpret=True,
+    )
+    assert (np.asarray(hit_s) == np.asarray(hit_v2)).all()
+    occ_ref = (tt < tmax_sh[:, None] - 1e-6).any(axis=1)
+    agree = np.asarray(hit_s) == occ_ref
+    # t*0.95 sits close to the surface; allow boundary-FP stragglers only
+    assert agree.mean() > 0.97
