@@ -321,11 +321,19 @@ def area_light_emission(sa: SceneArrays, light_ids, n_light, w):
 # ---------------------------------------------------------------------------
 
 
-def sample_li(sa: SceneArrays, static: SceneStatic, light_ids, p_ref, u1, u2):
+def sample_li(sa: SceneArrays, static: SceneStatic, light_ids, p_ref, u1, u2,
+              cone_spheres=False):
     """Sample incident direction from light `light_ids` toward p_ref.
 
     Returns dict {wi, li, pdf, dist, delta} — pdf in solid angle, dist the
     distance to the light sample (for the shadow ray t_max).
+
+    cone_spheres=True: full-sphere area lights seen from outside sample the
+    VISIBLE cone instead of uniform area (sphere.rs sample_interaction) —
+    large variance win for small/far sphere lights. Callers must pair it
+    with pdf_li_area_hit(cone_spheres=True) so both MIS directions use the
+    same density (only the sampler-integrator NEE does; BDPT/SPPM keep the
+    uniform-area density their vertex-pdf math assumes).
     """
     R = p_ref.shape[0]
     lid = jnp.maximum(light_ids, 0)
@@ -408,18 +416,102 @@ def sample_li(sa: SceneArrays, static: SceneStatic, light_ids, p_ref, u1, u2):
         pdf = jnp.where(m_area, jnp.where(jnp.abs(cos_l) > 1e-7, pdf_a, 0.0), pdf)
         dist = jnp.where(m_area, da, dist)
 
+        if cone_spheres and sa.sph_param.shape[0] > 0:
+            # visible-solid-angle cone sampling for full-sphere lights seen
+            # from outside (sphere.rs sample_interaction w/ reference point)
+            from .shading import coordinate_system
+
+            is_sph, c_w, r_w = _sphere_cone_info(sa, lprim)
+            to_c = c_w - p_ref
+            dc2 = jnp.maximum(_dot(to_c, to_c), 1e-12)
+            dc = jnp.sqrt(dc2)
+            use_cone = m_area & is_sph & (dc2 > r_w * r_w * 1.0001)
+            wc = to_c / dc[:, None]
+            vx, vy = coordinate_system(wc)
+            sin2_t_max = jnp.clip(r_w * r_w / dc2, 0.0, 1.0)
+            cos_t_max = jnp.sqrt(jnp.maximum(1.0 - sin2_t_max, 0.0))
+            cos_t = (1.0 - u1) + u1 * cos_t_max
+            sin2_t = jnp.maximum(1.0 - cos_t * cos_t, 0.0)
+            ds = dc * cos_t - jnp.sqrt(jnp.maximum(r_w * r_w - dc2 * sin2_t, 0.0))
+            cos_a = jnp.clip((dc2 + r_w * r_w - ds * ds) / jnp.maximum(2.0 * dc * r_w, 1e-12), -1.0, 1.0)
+            sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+            phi_c = 2.0 * jnp.pi * u2
+            # outward normal at the sampled point, in the frame looking
+            # from the sphere back toward p_ref (pbrt SphericalDirection
+            # with -wc as +z)
+            n_w = (sin_a * jnp.cos(phi_c))[:, None] * (-vx) + \
+                  (sin_a * jnp.sin(phi_c))[:, None] * (-vy) + cos_a[:, None] * (-wc)
+            p_s = c_w + r_w[:, None] * n_w
+            to_sc = p_s - p_ref
+            d2c = jnp.maximum(_dot(to_sc, to_sc), 1e-12)
+            dac = jnp.sqrt(d2c)
+            wi_c = to_sc / dac[:, None]
+            pdf_c = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_t_max), 1e-12)
+            # the sampled point always faces p_ref, so emission is
+            # unconditional (front face for one-sided spheres)
+            wi = jnp.where(use_cone[:, None], wi_c, wi)
+            li = jnp.where(use_cone[:, None], par[:, 0:3], li)
+            pdf = jnp.where(use_cone, pdf_c, pdf)
+            dist = jnp.where(use_cone, dac, dist)
+            n_lp = jnp.where(use_cone[:, None], n_w, n_lp)
+
     return {"wi": wi, "li": li, "pdf": pdf, "dist": dist, "delta": delta, "n": n_lp, "area": area_out}
 
 
-def pdf_li_area_hit(sa: SceneArrays, p_ref, hit_p, hit_ng, hit_light, prim_area_of_hit):
+def _sphere_cone_info(sa: SceneArrays, prim_ids):
+    """(is_full_sphere, center_world, radius_world) for light prims — the
+    shapes eligible for visible-solid-angle cone sampling
+    (sphere.rs sample_interaction)."""
+    from ..scene.arrays import GEOM_SPHERE, QUADRIC_SPHERE
+
+    prim = jnp.maximum(prim_ids, 0)
+    kind = gather_rows(sa.prim_kind, prim)
+    geom = gather_rows(sa.prim_geom, prim)
+    if sa.sph_param.shape[0] == 0:
+        z = jnp.zeros(prim.shape[0], F32)
+        return jnp.zeros(prim.shape[0], bool), jnp.zeros((prim.shape[0], 3), F32), z
+    gi = jnp.where(kind == GEOM_SPHERE, geom, 0)
+    qk = gather_rows(sa.sph_kind, gi)
+    par = gather_rows(sa.sph_param, gi)
+    o2w = gather_rows(sa.sph_o2w, gi)
+    flags = gather_rows(sa.prim_flags, prim)
+    r_o = par[:, 0]
+    full = (par[:, 1] <= -r_o + 1e-6 * r_o) & (par[:, 2] >= r_o - 1e-6 * r_o) & \
+        (par[:, 3] >= 2.0 * jnp.pi - 1e-6)
+    # reverse-oriented spheres emit inward; they keep uniform-area sampling
+    not_rev = (flags & 4) == 0  # builder.FLAG_REVERSE_ORIENTATION
+    is_sph = (kind == GEOM_SPHERE) & (qk == QUADRIC_SPHERE) & full & not_rev
+    center = o2w[:, :, 3]
+    # world radius under (assumed uniform) scale: length of column 0
+    scale = jnp.linalg.norm(o2w[:, :, 0], axis=-1)
+    return is_sph, center, r_o * scale
+
+
+def pdf_li_area_hit(sa: SceneArrays, p_ref, hit_p, hit_ng, hit_light, prim_area_of_hit,
+                    cone_spheres=False):
     """pdf_li for a BSDF-sampled ray that hit area light `hit_light` at hit_p
-    with normal hit_ng — used for the MIS weight of the emission pickup."""
+    with normal hit_ng — used for the MIS weight of the emission pickup.
+
+    cone_spheres mirrors sample_li's visible-solid-angle sphere sampling
+    (sphere.rs pdf_interaction): full-sphere lights seen from outside use
+    the uniform-cone pdf; everything else stays area->solid-angle."""
     to_s = hit_p - p_ref
     d2 = jnp.maximum(_dot(to_s, to_s), 1e-12)
     wi = to_s / jnp.sqrt(d2)[:, None]
     cos_l = jnp.abs(_dot(hit_ng, -wi))
     pdf = d2 / jnp.maximum(cos_l * prim_area_of_hit, 1e-12)
-    return jnp.where(cos_l > 1e-7, pdf, 0.0)
+    pdf = jnp.where(cos_l > 1e-7, pdf, 0.0)
+    if cone_spheres and sa.sph_param.shape[0] > 0:
+        lprim = gather_rows(sa.light_prim, jnp.maximum(hit_light, 0))
+        is_sph, c_w, r_w = _sphere_cone_info(sa, lprim)
+        to_c = c_w - p_ref
+        dc2 = jnp.maximum(_dot(to_c, to_c), 1e-12)
+        outside = dc2 > r_w * r_w * 1.0001
+        sin2_t_max = jnp.clip(r_w * r_w / dc2, 0.0, 1.0)
+        cos_t_max = jnp.sqrt(jnp.maximum(1.0 - sin2_t_max, 0.0))
+        pdf_cone = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_t_max), 1e-12)
+        pdf = jnp.where(is_sph & outside, pdf_cone, pdf)
+    return pdf
 
 
 # ---------------------------------------------------------------------------
