@@ -26,6 +26,10 @@ def build_arg_parser():
     p.add_argument("--spp", type=int, default=None, help="override sampler pixel samples")
     p.add_argument("--checkpoint", default="", help="checkpoint file for resumable renders")
     p.add_argument("--checkpoint-every", type=int, default=32, help="samples between checkpoints")
+    p.add_argument("--profile", default="", metavar="DIR",
+                   help="write a jax.profiler device trace of the render to DIR "
+                        "(view with tensorboard/xprof; the ProfilePhase equivalent, "
+                        "SURVEY.md section 5)")
     return p
 
 
@@ -66,14 +70,24 @@ def main(argv=None):
             sys.stderr.write(f"\r[{done}/{total} spp]")
             sys.stderr.flush()
 
-    img = render(
-        desc,
-        seed=args.seed,
-        spp=args.spp,
-        progress=progress,
-        checkpoint_path=args.checkpoint or None,
-        checkpoint_every=args.checkpoint_every,
-    )
+    import contextlib
+
+    prof_ctx = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        prof_ctx = jax.profiler.trace(args.profile, create_perfetto_trace=True)
+    with prof_ctx:
+        img = render(
+            desc,
+            seed=args.seed,
+            spp=args.spp,
+            progress=progress,
+            checkpoint_path=args.checkpoint or None,
+            checkpoint_every=args.checkpoint_every,
+        )
+    if args.profile:
+        log.info("profiler trace written to %s", args.profile)
     if not args.quiet:
         sys.stderr.write("\n")
 
