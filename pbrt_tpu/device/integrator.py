@@ -262,7 +262,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
             le = area_light_emission(sa, lid, si["ng"], si["wo"])
             if nee_on:
                 area = gather_rows(sa.prim_area, jnp.maximum(si["prim"], 0))
-                p_l = pdf_li_area_hit(sa, prev_p, si["p"], si["ng"], lid, area, cone_spheres=True) * _sel_pmf_of(jnp.maximum(lid, 0), prev_p)
+                p_l = pdf_li_area_hit(sa, prev_p, si["p"], si["ng"], lid, area, cone_spheres=static.has_cone_sphere_lights) * _sel_pmf_of(jnp.maximum(lid, 0), prev_p)
                 w = jnp.where(prev_specular, 1.0, power_heuristic(1.0, prev_pdf, 1.0, p_l))
             else:
                 w = jnp.ones(R, F32)
@@ -316,7 +316,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
             p_v = jnp.where(medium_vertex["active"][:, None], medium_vertex["p"], si["p"])
             ng_v = si["ng"]
 
-        ls = sample_li(sa, static, lid, p_v, u1, u2, cone_spheres=True)
+        ls = sample_li(sa, static, lid, p_v, u1, u2, cone_spheres=static.has_cone_sphere_lights)
         wi = ls["wi"]
 
         # surface: BSDF eval
@@ -682,7 +682,7 @@ def trace_persistent(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dic
         u_sel = sample_1d(kind_s, seed, pixel, s_cur, dim_base, spp)
         u1, u2 = sample_2d(kind_s, seed, pixel, s_cur, dim_base + 1, spp)
         lid, spdf = _select_light(u_sel, si["p"])
-        ls = sample_li(sa, static, lid, si["p"], u1, u2, cone_spheres=True)
+        ls = sample_li(sa, static, lid, si["p"], u1, u2, cone_spheres=static.has_cone_sphere_lights)
         wi = ls["wi"]
         wo_l = _to_local(si, si["wo"])
         wi_l = _to_local(si, wi)
@@ -724,7 +724,7 @@ def trace_persistent(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dic
             emitting = alive & (lid >= 0)
             le = area_light_emission(sa, lid, si["ng"], si["wo"])
             area = gather_rows(sa.prim_area, jnp.maximum(si["prim"], 0))
-            p_l = pdf_li_area_hit(sa, prev_p, si["p"], si["ng"], lid, area, cone_spheres=True) * _sel_pmf_of(jnp.maximum(lid, 0), prev_p)
+            p_l = pdf_li_area_hit(sa, prev_p, si["p"], si["ng"], lid, area, cone_spheres=static.has_cone_sphere_lights) * _sel_pmf_of(jnp.maximum(lid, 0), prev_p)
             w = jnp.where(prev_spec, 1.0, power_heuristic(1.0, prev_pdf, 1.0, p_l))
             L = L + jnp.where(emitting[:, None], beta * le * w[:, None], 0.0)
 

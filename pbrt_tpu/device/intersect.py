@@ -560,10 +560,16 @@ def _traverse(sa: SceneArrays, static: SceneStatic, o, d, t_max, any_hit: bool, 
             if rows16L is not None:
                 w2o = rows16L[..., 0:12].reshape(rows16L.shape[0], rows16L.shape[1], rows16L.shape[2], 3, 4)
                 spar = rows16L[..., 12:18]
+                if rows16L.shape[-1] >= 25:
+                    # partial-phimax hyperboloid scenes carry p1/p2 in cols
+                    # 19:25 for the twisted phi clip (builder prim_test_data)
+                    spar = jnp.concatenate([spar, rows16L[..., 19:25]], axis=-1)
                 qk = rows16L[..., 18].astype(jnp.int32)
             else:
                 w2o = rows16[:, :, 0:12].reshape(rows16.shape[0], rows16.shape[1], 3, 4)[:, None]
                 spar = rows16[:, :, 12:18][:, None]
+                if rows16.shape[-1] >= 25:
+                    spar = jnp.concatenate([spar, rows16[:, :, 19:25][:, None]], axis=-1)
                 qk = rows16[:, :, 18].astype(jnp.int32)[:, None]
             h_s, t_s, p_obj = ray_quadric(ob, db, w2o, spar, qk, tb)
             hit_k = jnp.where(is_tri[:, None, :], h_t, h_s)

@@ -680,39 +680,12 @@ def coherence_keys(o, d, world_lo, world_inv_extent):
     return (oc << 28) | ((_morton10(q) >> 14) << 12) | (dm & 0xFFF)
 
 
-def wide_pop_counts(sa, static, o, d, t_max, any_hit=False, interpret=False, sort=True):
-    """Per-packet traversal visit counts for the given wave (diagnostics:
-    stats + ns/pop calibration). Returns (B,) f32 pop counts."""
-    t_arr = jnp.broadcast_to(jnp.asarray(t_max, F32), (o.shape[0],))
-    if sort and o.shape[0] >= 2 * PACKET:
-        lo = sa.world_center - sa.world_radius
-        inv_ext = 1.0 / jnp.maximum(2.0 * sa.world_radius, 1e-20)
-        keys = coherence_keys(o, d, lo, inv_ext)
-        keys = jnp.where(t_arr > 0, keys, jnp.uint32(0xFFFFFFFF))
-        perm = jnp.argsort(keys)
-        packed = jnp.concatenate([o, d, t_arr[:, None], jnp.zeros_like(t_arr)[:, None]], axis=1)[perm]
-        o, d, t_arr = packed[:, 0:3], packed[:, 3:6], packed[:, 6]
-    live = jnp.where(t_arr > 0, 1.0, 0.0) if any_hit else None
-    blocks, R, B = pack_rays(o, d, t_arr, live)
-    meta = getattr(sa, "wmeta_tab", None)
-    if meta is not None and meta.shape[0] * 4 > SMEM_META_MAX_BYTES:
-        meta = None
-    out = _run(sa.wnode_tab, sa.wprim_tab, blocks, static.wide_root, any_hit, interpret,
-               meta=meta, joint=_joint_enabled())
-    return out[:, 5, 0]
+def _traverse_wave(sa, static, o, d, t_max, any_hit, interpret, sort):
+    """Shared coherence-sort + packetize + kernel dispatch for
+    wide_intersect and wide_pop_counts (ONE implementation so the
+    diagnostic pop counts always measure the production configuration).
 
-
-def wide_intersect(sa, static, o, d, t_max, any_hit=False, interpret=False, sort=True):
-    """Closest-hit (or any-hit) against the wide BVH tables.
-
-    any_hit: returns (t (R,), slot (R,) i32, hit (R,)) — slot indexes
-    ``sa.wslot_prim``. Closest-hit: returns (t, prim (R,) i32 GLOBAL prim
-    row, hit, b1, b2) — the kernel carries the winning prim id and
-    barycentrics out of VMEM directly, so shading needs no slot->prim or
-    re-intersection gathers. ``sort=True`` permutes rays into
-    direction-octant + origin-Morton order before packetizing — packets
-    share one traversal stack, so coherence directly sets throughput.
-    """
+    Returns (out (B, 8, PACKET), R, perm or None)."""
     t_arr = jnp.broadcast_to(jnp.asarray(t_max, F32), (o.shape[0],))
     perm = None
     if sort and o.shape[0] >= 2 * PACKET:
@@ -732,15 +705,35 @@ def wide_intersect(sa, static, o, d, t_max, any_hit=False, interpret=False, sort
         o = packed[:, 0:3]
         d = packed[:, 3:6]
         t_arr = packed[:, 6]
-    live = None
-    if any_hit:
-        live = jnp.where(t_arr > 0, 1.0, 0.0)
+    live = jnp.where(t_arr > 0, 1.0, 0.0) if any_hit else None
     blocks, R, B = pack_rays(o, d, t_arr, live)
     meta = getattr(sa, "wmeta_tab", None)
     if meta is not None and meta.shape[0] * 4 > SMEM_META_MAX_BYTES:
         meta = None  # big trees keep the VMEM vstack path
     out = _run(sa.wnode_tab, sa.wprim_tab, blocks, static.wide_root, any_hit, interpret,
                meta=meta, joint=_joint_enabled())
+    return out, R, perm
+
+
+def wide_pop_counts(sa, static, o, d, t_max, any_hit=False, interpret=False, sort=True):
+    """Per-packet traversal visit counts for the given wave (diagnostics:
+    stats + ns/pop calibration). Returns (B,) f32 pop counts."""
+    out, _R, _perm = _traverse_wave(sa, static, o, d, t_max, any_hit, interpret, sort)
+    return out[:, 5, 0]
+
+
+def wide_intersect(sa, static, o, d, t_max, any_hit=False, interpret=False, sort=True):
+    """Closest-hit (or any-hit) against the wide BVH tables.
+
+    any_hit: returns (t (R,), slot (R,) i32, hit (R,)) — slot indexes
+    ``sa.wslot_prim``. Closest-hit: returns (t, prim (R,) i32 GLOBAL prim
+    row, hit, b1, b2) — the kernel carries the winning prim id and
+    barycentrics out of VMEM directly, so shading needs no slot->prim or
+    re-intersection gathers. ``sort=True`` permutes rays into
+    direction-octant + origin-Morton order before packetizing — packets
+    share one traversal stack, so coherence directly sets throughput.
+    """
+    out, R, perm = _traverse_wave(sa, static, o, d, t_max, any_hit, interpret, sort)
     rows = 2 if any_hit else 5
     res = [out[:, j, :].reshape(-1)[:R] for j in range(rows)]
     if perm is not None:

@@ -133,6 +133,20 @@ def render_sharded_step(cs, desc, mesh: Mesh, spp: int | None = None, seed: int 
     return img[:R]
 
 
+def _light_cdf_and_possible(sa, static):
+    """Power-proportional light CDF + the static lobe-possibility probe —
+    shared by every sharded step (must match the single-device drivers in
+    device/bdpt.py / device/mlt.py / device/sppm.py exactly)."""
+    from ..device.lights import compute_power
+    from ..device.materials import make_bsdf
+
+    power = compute_power(sa, static)
+    cdf = jnp.cumsum(power)
+    cdf = cdf / jnp.maximum(cdf[-1], 1e-12)
+    probe = make_bsdf(sa, static, jnp.zeros(1, jnp.int32), jnp.zeros((1, 2), F32), jnp.zeros((1, 3), F32))
+    return cdf, probe["possible"]
+
+
 def render_sppm_sharded_step(cs, desc, mesh: Mesh, n_iters: int = 1, seed: int = 0,
                              n_photons: int | None = None):
     """Sharded SPPM iterations: camera pass sharded over pixels, photon pass
@@ -140,8 +154,6 @@ def render_sppm_sharded_step(cs, desc, mesh: Mesh, n_iters: int = 1, seed: int =
 
     Returns the progressive image ((H*W, 3) ndarray)."""
     from ..device import sppm as dsppm
-    from ..device.lights import compute_power
-    from ..device.materials import make_bsdf
 
     n_dev = math.prod(mesh.devices.shape)
     sa = cs.arrays
@@ -160,11 +172,7 @@ def render_sppm_sharded_step(cs, desc, mesh: Mesh, n_iters: int = 1, seed: int =
     py_j = jax.device_put(jnp.asarray(py), ray_sh)
     pids_j = jax.device_put(jnp.asarray(pids), ray_sh)
 
-    power = compute_power(sa, static)
-    cdf = jnp.cumsum(power)
-    cdf = cdf / jnp.maximum(cdf[-1], 1e-12)
-    _probe = make_bsdf(sa, static, jnp.zeros(1, jnp.int32), jnp.zeros((1, 2), F32), jnp.zeros((1, 3), F32))
-    vp_possible = _probe["possible"]
+    cdf, vp_possible = _light_cdf_and_possible(sa, static)
 
     wc = np.asarray(sa.world_center)
     wr = float(sa.world_radius)
@@ -242,8 +250,6 @@ def render_bdpt_sharded_step(cs, desc, mesh: Mesh, spp: int = 1, seed: int = 0):
 
     Returns the film ((H*W, 3) ndarray, splats included)."""
     from ..device.bdpt import bdpt_wave
-    from ..device.lights import compute_power
-    from ..device.materials import make_bsdf
 
     sa = cs.arrays
     static = cs.static
@@ -260,18 +266,25 @@ def render_bdpt_sharded_step(cs, desc, mesh: Mesh, spp: int = 1, seed: int = 0):
     py_j = jax.device_put(jnp.asarray(py), ray_sh)
     pids_j = jax.device_put(jnp.asarray(pids), ray_sh)
 
-    power = compute_power(sa, static)
-    cdf = jnp.cumsum(power)
-    cdf = cdf / jnp.maximum(cdf[-1], 1e-12)
-    _probe = make_bsdf(sa, static, jnp.zeros(1, jnp.int32), jnp.zeros((1, 2), F32), jnp.zeros((1, 3), F32))
-    possible = _probe["possible"]
+    cdf, possible = _light_cdf_and_possible(sa, static)
 
-    def local_step(px_l, py_l, pids_l, seed_l):
+    # padding lanes duplicate pixel 0 (same pids -> same light subpath);
+    # their t=1 splats land on REAL pixels, so they must be masked before
+    # the psum or the film gains Rp-R extra copies of pixel 0's subpath
+    valid_np = np.zeros(Rp, np.float32)
+    valid_np[:R] = 1.0
+    valid_j = jax.device_put(jnp.asarray(valid_np), ray_sh)
+
+    def local_step(px_l, py_l, pids_l, valid_l, seed_l):
         acc = jnp.zeros((px_l.shape[0], 3), F32)
         splat = jnp.zeros((n_pix, 3), F32)
+        n_loc = px_l.shape[0]
         for s in range(spp):
             L, spx, sval = bdpt_wave(sa, static, possible, cam, cdf, seed_l,
                                      px_l, py_l, pids_l, jnp.uint32(s), max_depth, W, H)
+            k_n = sval.shape[0] // max(n_loc, 1)
+            vrep = jnp.tile(valid_l, max(k_n, 1))[: sval.shape[0]]
+            sval = sval * vrep[:, None]
             fs = jnp.stack(
                 [jax.ops.segment_sum(sval[:, ch], spx, num_segments=n_pix + 1)[:n_pix]
                  for ch in range(3)], axis=-1)
@@ -281,11 +294,11 @@ def render_bdpt_sharded_step(cs, desc, mesh: Mesh, spp: int = 1, seed: int = 0):
 
     sharded = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P("rays"), P("rays"), P("rays"), P()),
+        in_specs=(P("rays"), P("rays"), P("rays"), P("rays"), P()),
         out_specs=(P("rays"), P()),
         check_rep=False,
     )
-    L, splat = jax.jit(sharded)(px_j, py_j, pids_j, jnp.uint32(seed))
+    L, splat = jax.jit(sharded)(px_j, py_j, pids_j, valid_j, jnp.uint32(seed))
     img = np.asarray(L[:R], np.float64) + np.asarray(splat[:R], np.float64)
     return (img / max(spp, 1)).astype(np.float32)
 
@@ -301,10 +314,7 @@ def render_mlt_sharded_step(cs, desc, mesh: Mesh, seed: int = 0, depth: int = 1,
     given chain mutates identically regardless of the mesh shape.
 
     Returns the depth-d film ((H*W, 3) ndarray, already b-normalized)."""
-    from ..device import rng as drng
     from ..device.mlt import _l_fn, mlt_chain_step
-    from ..device.lights import compute_power
-    from ..device.materials import make_bsdf
 
     sa = cs.arrays
     static = cs.static
@@ -319,11 +329,7 @@ def render_mlt_sharded_step(cs, desc, mesh: Mesh, seed: int = 0, depth: int = 1,
     n_boot = _round_up(int(n_boot or max(n_chains * 4, 256)), n_dev)
     D = 160
 
-    power = compute_power(sa, static)
-    cdf = jnp.cumsum(power)
-    cdf = cdf / jnp.maximum(cdf[-1], 1e-12)
-    _probe = make_bsdf(sa, static, jnp.zeros(1, jnp.int32), jnp.zeros((1, 2), F32), jnp.zeros((1, 3), F32))
-    possible = _probe["possible"]
+    cdf, possible = _light_cdf_and_possible(sa, static)
 
     rstate = np.random.RandomState(seed + 17)
     u_boot = rstate.rand(n_boot, D).astype(np.float32)

@@ -126,7 +126,7 @@ class SceneArrays:
     bvh_axis: jax.Array  # (N,) i32
     bvh_ids: jax.Array  # (P,) i32 (identity after BVH-order prim permutation)
     bvh_packed: jax.Array  # (N, 12) f32: min(3) max(3) off n axis pad(3)
-    prim_test_data: jax.Array  # (P, 20) f32: tri verts (9) | quadric w2o(12)+params(6)+qkind+pad
+    prim_test_data: jax.Array  # (P, 20|26) f32: tri verts (9) | quadric w2o(12)+params(6)+qkind; cols 19:25 = hyperboloid p1/p2 when a partial-phimax hyperboloid exists
     # --- materials ---
     mat_kind: jax.Array  # (M,) i32
     mat_const: jax.Array  # (M, N_MAT_PARAMS, 3) f32 constant values
@@ -150,7 +150,7 @@ class SceneArrays:
     tri_p_end: jax.Array | None = None  # (T, 3, 3)
     sph_w2o_end: jax.Array | None = None  # (S, 3, 4)
     sph_o2w_end: jax.Array | None = None  # (S, 3, 4)
-    prim_test_data_end: jax.Array | None = None  # (P, 20), layout as prim_test_data
+    prim_test_data_end: jax.Array | None = None  # same layout as prim_test_data
     # --- textures: per-texture image stack entries live in a dict of leaves ---
     tex_images: dict = field(default_factory=dict)  # name "img{i}" -> (H, W, 3) f32
     med_grids: dict = field(default_factory=dict)  # name "med{i}" -> (nz, ny, nx) f32 density
@@ -252,6 +252,7 @@ class SceneStatic:
     kd_max_leaf: int = 1  # longest kd leaf list (device scan bound)
     has_wide: bool = False  # wide-BVH tables built (Pallas traversal eligible)
     wide_root: int = 1  # wide-BVH root node id
+    has_cone_sphere_lights: bool = False  # any full-sphere area light (cone NEE eligible)
 
 
 def scene_byte_size(sa: SceneArrays) -> int:

@@ -749,8 +749,15 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     node_data[:, 7] = bvh.n_prims
     node_data[:, 8] = bvh.axis
     # prim_test_data (P, 20): tri -> 9 vertex floats; quadric -> w2o rows
-    # (12) + params[0:6] + quadric sub-kind (col 18) + pad
-    ptd = np.zeros((max(n_prims, 1), 20), np.float32)
+    # (12) + params[0:6] + quadric sub-kind (col 18) + pad. Partial-phimax
+    # hyperboloids need params[6:12] (p1/p2 for the twisted phi clip,
+    # hyperboloid.rs:96-105) — only then widen to 26 cols (19:25), keeping
+    # the hot leaf-gather row narrow for every other scene
+    _has_partial_hyp = any(
+        k == QUADRIC_HYPERBOLOID and row[3] < 2.0 * np.pi - 1e-6
+        for k, row in zip(sph_kind_l, sph_param)
+    )
+    ptd = np.zeros((max(n_prims, 1), 26 if _has_partial_hyp else 20), np.float32)
     # (filled vectorized below once the concatenated geometry tables exist)
 
     # --- materials (ensure at least one row) -----------------------------------
@@ -831,10 +838,14 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             ptd[sph_rows, 0:12] = sph_w2o_cat[pg[sph_rows]].reshape(len(sph_rows), 12)
             ptd[sph_rows, 12:18] = sph_param_cat[pg[sph_rows]][:, 0:6]
             ptd[sph_rows, 18] = sk[pg[sph_rows]]
+            if _has_partial_hyp:
+                ptd[sph_rows, 19:25] = sph_param_cat[pg[sph_rows]][:, 6:12]
             if any_motion:
                 ptd_end[sph_rows, 0:12] = sph_w2oe_cat[pg[sph_rows]].reshape(len(sph_rows), 12)
                 ptd_end[sph_rows, 12:18] = sph_param_cat[pg[sph_rows]][:, 0:6]
                 ptd_end[sph_rows, 18] = sk[pg[sph_rows]]
+                if _has_partial_hyp:
+                    ptd_end[sph_rows, 19:25] = sph_param_cat[pg[sph_rows]][:, 6:12]
 
     fourier_dev = _stack_fourier_tables(fourier_tables)
 
@@ -998,6 +1009,16 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         infinite_light_index=inf_idx,
         has_env_map=has_env,
         has_area_lights=any(l[0] == LIGHT_AREA for l in lights),
+        has_cone_sphere_lights=any(
+            l[0] == LIGHT_AREA
+            and prim_kind[l[2]] == GEOM_SPHERE
+            and sph_kind_l[prim_geom[l[2]]] == QUADRIC_SPHERE
+            and sph_param[prim_geom[l[2]]][1] <= -sph_param[prim_geom[l[2]]][0] * (1 - 1e-6)
+            and sph_param[prim_geom[l[2]]][2] >= sph_param[prim_geom[l[2]]][0] * (1 - 1e-6)
+            and sph_param[prim_geom[l[2]]][3] >= 2.0 * np.pi - 1e-6
+            and (prim_flags[l[2]] & FLAG_REVERSE_ORIENTATION) == 0
+            for l in lights
+        ),
         use_brute_force=use_brute,
         n_media=len(med_names),
         media_kinds=tuple(media_kinds),

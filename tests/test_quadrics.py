@@ -330,6 +330,33 @@ WorldEnd
     phi_tw = np.where(phi_tw < 0, phi_tw + 2 * np.pi, phi_tw)
     assert (phi_tw <= np.pi + 1e-3).all()
 
+    # BVH PACKET path: the twisted clip must also apply when the scene
+    # leaves brute-force mode (prim_test_data carries p1/p2 in cols 19:25
+    # only then — regression test for the 6-col slice dropping the clip).
+    # Pad the scene with a far-away dense grid so n_prims > 64.
+    from pbrt_tpu.scene.tessellate import tessellate_heightfield
+
+    mesh_far = tessellate_heightfield(
+        Transform.translate([100.0, 0.0, 0.0]), 11, 11, np.zeros(121), False)
+    desc_big = SceneDescription(
+        primitives=[
+            HostPrimitive(shape=ShapeRecord(sphere=cs_half.description.primitives[0].shape.sphere),
+                          material=HostMaterial(kind="matte", params={})),
+            HostPrimitive(shape=ShapeRecord(mesh=mesh_far), material=HostMaterial(kind="matte", params={})),
+        ],
+        lights=[], camera=CameraConfig(kind="perspective", camera_to_world=Transform.translate([0, 0, 0]), fov=45.0),
+        film=FilmConfig(x_resolution=16, y_resolution=16),
+    )
+    cs_big = compile_scene(desc_big)
+    assert not cs_big.static.use_brute_force
+    assert cs_big.arrays.prim_test_data.shape[-1] >= 25
+    hb_a = intersect(cs_big.arrays, cs_big.static, o, d, tm)
+    tb_a = np.asarray(hb_a["t"])
+    hit_ba = np.isfinite(tb_a)
+    # the packet path must reproduce the brute path's partial-clip hit set
+    assert (hit_ba == hit_ah).all()
+    np.testing.assert_allclose(tb_a[hit_ba], ta_h[hit_ba], rtol=1e-4)
+
 
 def test_hyperboloid_area_formula():
     """Quadrature area (deliberate fix of the reference's broken closed form,
