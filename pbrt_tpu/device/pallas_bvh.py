@@ -535,10 +535,49 @@ def _traverse_kernel_joint(meta_ref, nodes_ref, prims_ref, rays_ref, out_ref,
 SMEM_META_MAX_BYTES = 384 * 1024
 
 
+_JOINT_PROBE = {"ok": None}
+
+
+def _joint_probe():
+    """One-time compile+run of the joint kernel on a 2-triangle tree.
+
+    The joint kernel's 8x-unrolled branchless body stresses Mosaic
+    (registers/VMEM) far more than the sequential kernel; if the backend
+    rejects it, renders silently fall back to the sequential SMEM kernel
+    instead of dying inside the wave jit."""
+    if _JOINT_PROBE["ok"] is None:
+        try:
+            import numpy as np
+
+            from ..scene.widebvh import build_wide_bvh
+
+            tri = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+                            [[0, 0, 1], [1, 0, 1], [0, 1, 1]]], np.float32)
+            w = build_wide_bvh(tri.min(axis=1), tri.max(axis=1),
+                               tri[:, 0], tri[:, 1], tri[:, 2])
+            o = jnp.zeros((PACKET * GRID_G, 3), F32) + jnp.asarray([0.3, 0.3, -1.0])
+            d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], F32), (PACKET * GRID_G, 3))
+            blocks, _R, _B = pack_rays(o, d, jnp.full(PACKET * GRID_G, 1e30, F32))
+            interp = jax.default_backend() == "cpu"
+            out = _run(jnp.asarray(w.node_tab), jnp.asarray(w.prim_tab), blocks,
+                       w.root, False, interp, meta=jnp.asarray(w.meta_tab), joint=True)
+            jax.block_until_ready(out)
+            _JOINT_PROBE["ok"] = bool(out[0, 1, 0] >= 0)  # ray 0 must hit
+        except Exception as e:  # pragma: no cover - backend-specific
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "joint traversal kernel unavailable (%s); using sequential SMEM kernel", e)
+            _JOINT_PROBE["ok"] = False
+    return _JOINT_PROBE["ok"]
+
+
 def _joint_enabled():
     import os
 
-    return os.environ.get("PBRT_TPU_JOINT", "1") != "0"
+    if os.environ.get("PBRT_TPU_JOINT", "1") == "0":
+        return False
+    return _joint_probe()
 
 
 @functools.partial(jax.jit, static_argnames=("root", "any_hit", "interpret", "joint"))
