@@ -132,7 +132,7 @@ def _mesh_scene(n_side=248):
                             fov=70.0),
         film=FilmConfig(x_resolution=1000, y_resolution=500),
         sampler=SamplerConfig(kind="zerotwosequence", pixel_samples=16),
-        integrator=IntegratorConfig(kind="path", max_depth=5),
+        integrator=IntegratorConfig(kind="path", max_depth=5, light_strategy="power"),
     )
 
 

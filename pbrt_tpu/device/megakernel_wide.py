@@ -1,0 +1,1074 @@
+"""Persistent Pallas path-tracing megakernel with IN-KERNEL wide-BVH
+traversal — the mesh-scene sibling of device/megakernel.py.
+
+The brute-force megakernel bakes <=16 primitives into the instruction
+stream; triangle scenes instead keep the wide-BVH node/prim tables
+(scene/widebvh.py) resident in VMEM and run the joint interleaved
+traversal of pallas_bvh._traverse_kernel_joint as a subroutine of the
+persistent bounce loop: one 128-lane packet per sublane row of the
+(SUB, 128) lane block, all SUB packet stacks advancing one pop per
+iteration of a single branchless while_loop (the latency-hiding layout
+measured on the standalone kernel). Closest-hit AND shadow queries both
+run in-kernel, so a whole bounce — traversal, area/delta-light NEE with
+MIS, shadow traversal, BSDF sampling, Russian roulette, sample flush,
+in-place ray regeneration — is one kernel with zero HBM round-trips for
+path state.
+
+Shading attributes come out of the traversal itself: the leaf phase
+extracts the winning triangle's vertices and its material/light/flip
+payload (wide prim-table cols 11:14) with masked winner reductions, so
+no post-hit gather is needed. The shading frame is the XLA path's exact
+frame for default-UV triangles (dpdu = v1 - v0, orthogonalized against
+the flat normal; coordinate_system fallback when degenerate), which the
+eligibility check enforces.
+
+Estimator parity: identical (pixel, sample, dimension) streams and
+per-sample math as integrator.trace_persistent (asserted by
+tests/test_megakernel_wide.py in interpret mode). Eligible class:
+triangle-only wide-BVH scenes, single-lobe matte/mirror/glass with
+constant textures, no shading normals / default UVs, point + distant +
+diffuse-area lights (uniform or power selection), pinhole perspective,
+box filter, (0,2)/random samplers.
+
+Reference semantics: integrator.rs:263-403 + path.rs:79-222 (the loop),
+bvh.rs:705-814 (traversal), triangle.rs:136-399 (watertight test),
+diffuse.rs (area emission), integrator.rs:109-237 (estimate_direct MIS).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.arrays import LIGHT_AREA, LIGHT_DISTANT, LIGHT_POINT
+from .megakernel import (
+    DPB, FLAG_FLIP_GEOM_N, FLAG_HAS_SHADING_N, INV_PI, LANES, LOBE_FRESNEL_SPEC,
+    LOBE_LAMBERT_R, LOBE_NONE, LOBE_SPEC_R, RAY_EPS, _concentric_disk, _dot3,
+    _gamma, _h, _norm3, _offset_ray, _pcg, _sample02, _u2f01, _vdc,
+)
+from .pallas_bvh import SMEM_META_MAX_BYTES, _high_bit_index, _low_bit_index
+
+F32 = jnp.float32
+I32 = jnp.int32
+U32 = jnp.uint32
+
+SUB = 8  # packets (= sublane rows) per block; block = SUB*128 lanes
+STACK = 72
+EPS = 1e-4  # leaf-phase min-t, matches pallas_bvh / intersect.SHADOW_EPS
+MAX_MATS = 16
+MAX_LIGHTS = 8
+
+
+# ---------------------------------------------------------------------------
+# Eligibility + constant extraction
+# ---------------------------------------------------------------------------
+
+
+def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
+    """Bake everything except geometry into constants, or None if the scene
+    is outside this kernel's class (geometry rides the wide tables)."""
+    sa, static, desc = cs.arrays, cs.static, cs.description
+    if not getattr(static, "has_wide", False):
+        return None
+    wmeta = getattr(sa, "wmeta_tab", None)
+    if wmeta is None or wmeta.shape[0] * 4 > SMEM_META_MAX_BYTES:
+        return None
+    if static.n_spheres or static.n_media or static.has_infinite:
+        return None
+    if getattr(static, "has_motion", False) or getattr(static, "has_alpha", False):
+        return None
+    if getattr(static, "has_null_material", False) or getattr(static, "has_sss_media", False):
+        return None
+    if cam["kind"] != 0 or cam.get("anim") is not None or cam.get("realistic") is not None:
+        return None
+    if float(_h(cam["lens_radius"])) != 0.0:
+        return None
+    if scfg["kind"] not in ("zerotwosequence", "lowdiscrepancy", "random"):
+        return None
+    if fcfg["filter"] not in ("box",):
+        return None
+    for p in static.tex_programs:
+        if p.kind != "constant":
+            return None
+    if static.n_lights > MAX_LIGHTS or static.n_lights == 0:
+        return None
+
+    prim_flags = _h(sa.prim_flags)
+    if (prim_flags & FLAG_HAS_SHADING_N).any():
+        return None  # per-vertex-normal meshes keep the XLA path
+    # default UVs only: the in-kernel frame assumes dpdu = v1 - v0
+    tri_uv = _h(sa.tri_uv)
+    default_uv = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]], np.float32)
+    if tri_uv.shape[0] and not np.array_equal(
+            tri_uv, np.broadcast_to(default_uv, tri_uv.shape)):
+        return None
+
+    strategy = str(icfg.get("light_strategy", "uniform"))
+    n_l = static.n_lights
+    if strategy == "spatial" and icfg.get("spatial_distribution") is not None and n_l > 1:
+        return None  # voxel-grid lookup not baked
+    if n_l > 1 and strategy in ("power", "spatial"):
+        from .lights import compute_power
+
+        pw = _h(compute_power(sa, static))
+        pmf = np.maximum(pw / max(pw.sum(), 1e-20), 1e-6)
+        pmf = pmf / pmf.sum()
+    else:
+        pmf = np.full(max(n_l, 1), 1.0 / max(n_l, 1), np.float32)
+    cdf = np.cumsum(pmf)
+
+    light_kind = _h(sa.light_kind)
+    light_param = _h(sa.light_param)
+    light_prim = _h(sa.light_prim)
+    prim_mat = _h(sa.prim_mat)
+    prim_area = _h(sa.prim_area)
+    prim_geom = _h(sa.prim_geom)
+    tri_p = _h(sa.tri_p)
+    lights = []
+    for i in range(n_l):
+        k = int(light_kind[i])
+        if k in (LIGHT_POINT, LIGHT_DISTANT):
+            lights.append({"kind": k, "par": light_param[i].astype(float)})
+        elif k == LIGHT_AREA:
+            pid = int(light_prim[i])
+            v = tri_p[prim_geom[pid]].astype(np.float64)
+            e1, e2 = v[1] - v[0], v[2] - v[0]
+            ng = np.cross(e1, e2)
+            ng = ng / max(np.linalg.norm(ng), 1e-30)
+            if prim_flags[pid] & FLAG_FLIP_GEOM_N:
+                ng = -ng
+            lights.append({
+                "kind": k, "par": light_param[i].astype(float), "v": v,
+                "ng": ng, "area": float(prim_area[pid]),
+                "two_sided": bool(light_param[i][3] > 0),
+            })
+        else:
+            return None
+
+    # material lobes baked exactly like megakernel.extract_consts
+    from .materials import make_bsdf
+
+    used_mats = sorted(set(int(m) for m in prim_mat))
+    if len(used_mats) > MAX_MATS:
+        return None
+    n_mats = int(_h(sa.mat_kind).shape[0])
+    lob = make_bsdf(sa, static, jnp.arange(n_mats, dtype=jnp.int32),
+                    jnp.zeros((n_mats, 2), F32), jnp.zeros((n_mats, 3), F32))
+    lk = _h(lob["kind"])
+    ld = _h(lob["data"])
+    mats = {}
+    for m in used_mats:
+        slots = np.nonzero(lk[m])[0]
+        if len(slots) == 0:
+            mats[m] = {"lobe": LOBE_NONE}
+            continue
+        if len(slots) != 1:
+            return None
+        s = int(slots[0])
+        kind = int(lk[m, s])
+        if kind not in (LOBE_LAMBERT_R, LOBE_SPEC_R, LOBE_FRESNEL_SPEC):
+            return None
+        d = ld[m, s]
+        if kind == LOBE_SPEC_R and int(d[11]) not in (0, 1):
+            return None
+        mats[m] = {"lobe": kind, "color": d[0:3].astype(float).tolist(),
+                   "eta": float(d[3]), "kt": d[6:9].astype(float).tolist(),
+                   "fresnel": int(d[11])}
+
+    r2c = _h(cam["raster_to_camera"]).astype(np.float64)
+    c2w = _h(cam["camera_to_world"]).astype(np.float64)
+    return {
+        "mats": mats,
+        "lights": lights,
+        "light_cdf": cdf.astype(float).tolist(),
+        "light_pmf": pmf.astype(float).tolist(),
+        "world_radius": float(_h(sa.world_radius)),
+        "wide_root": int(static.wide_root),
+        "r2c": r2c,
+        "c2w": c2w,
+        "filter_xw": float(fcfg["filter_params"].get("xwidth", 0.5)),
+        "filter_yw": float(fcfg["filter_params"].get("ywidth", fcfg["filter_params"].get("xwidth", 0.5))),
+        "max_depth": int(icfg["max_depth"]),
+        "rr_threshold": float(icfg.get("rr_threshold", 1.0)),
+        "sampler": scfg["kind"],
+        "max_lum": float(fcfg.get("max_sample_luminance", float("inf"))),
+    }
+
+
+def wide_megakernel_eligible(cs, cam, icfg, scfg, fcfg) -> bool:
+    try:
+        return extract_wide_consts(cs, cam, icfg, scfg, fcfg) is not None
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Kernel body
+# ---------------------------------------------------------------------------
+
+
+def _build_kernel(consts, n_samples: int):
+    mats = consts["mats"]
+    lights = consts["lights"]
+    n_lights = len(lights)
+    max_depth = consts["max_depth"]
+    rr_threshold = consts["rr_threshold"]
+    is_random = consts["sampler"] == "random"
+    r2c = consts["r2c"]
+    c2w = consts["c2w"]
+    wr2 = 2.0 * consts["world_radius"]
+    fxw, fyw = consts["filter_xw"], consts["filter_yw"]
+    max_lum = consts["max_lum"]
+    root = consts["wide_root"]
+    cap = n_samples * (max_depth + 2) + 8
+
+    mat_rows = sorted(mats)
+    any_diffuse = any(mats[m]["lobe"] == LOBE_LAMBERT_R for m in mat_rows)
+    any_mirror = any(mats[m]["lobe"] == LOBE_SPEC_R for m in mat_rows)
+    any_glass = any(mats[m]["lobe"] == LOBE_FRESNEL_SPEC for m in mat_rows)
+    any_area = any(lt["kind"] == LIGHT_AREA for lt in lights)
+
+    def _falsev(like):
+        return jnp.zeros(like.shape, I32) == 1
+
+    def _sel16(blk, j):
+        return jax.lax.switch(j, tuple(
+            (lambda ss: (lambda: blk[:, ss * 16:(ss + 1) * 16]))(sl) for sl in range(8)
+        ))
+
+    def mat_select(mat, field, default=0.0):
+        out = jnp.broadcast_to(jnp.float32(default), mat.shape)
+        for m in mat_rows:
+            v = mats[m].get(field)
+            if v is None:
+                continue
+            out = jnp.where(mat == m, jnp.float32(v), out)
+        return out
+
+    def mat_color(mat, field, ch):
+        out = jnp.zeros(mat.shape, F32)
+        for m in mat_rows:
+            v = mats[m].get(field)
+            if v is None:
+                continue
+            out = jnp.where(mat == m, jnp.float32(v[ch]), out)
+        return out
+
+    def mat_mask(mat, lobe_kind):
+        out = _falsev(mat)
+        for m in mat_rows:
+            if mats[m]["lobe"] == lobe_kind:
+                out = out | (mat == m)
+        return out
+
+    def sample_1d_traced(hbase, s_cur, dim_i32):
+        if is_random:
+            h = _pcg(hbase ^ s_cur)
+            return _u2f01(_pcg(h ^ (U32(1024) + dim_i32.astype(U32))))
+        s = _pcg(hbase ^ (U32(4096) + dim_i32.astype(U32)))
+        return _vdc(s_cur, s)
+
+    def sample_2d_traced(hbase, s_cur, dim_i32):
+        if is_random:
+            h = _pcg(hbase ^ s_cur)
+            u1 = _u2f01(_pcg(h ^ (U32(2) * dim_i32.astype(U32))))
+            u2 = _u2f01(_pcg(h ^ (U32(2) * dim_i32.astype(U32) + U32(1))))
+            return u1, u2
+        d2 = U32(2) * dim_i32.astype(U32)
+        s1 = _pcg(hbase ^ d2)
+        s2 = _pcg(hbase ^ (d2 + U32(1)))
+        return _sample02(s_cur, s1, s2)
+
+    def camera_ray(pxf, pyf):
+        cx = jnp.float32(r2c[0][0]) * pxf + jnp.float32(r2c[0][1]) * pyf + jnp.float32(r2c[0][3])
+        cy = jnp.float32(r2c[1][0]) * pxf + jnp.float32(r2c[1][1]) * pyf + jnp.float32(r2c[1][3])
+        cz = jnp.float32(r2c[2][0]) * pxf + jnp.float32(r2c[2][1]) * pyf + jnp.float32(r2c[2][3])
+        w = jnp.float32(r2c[3][0]) * pxf + jnp.float32(r2c[3][1]) * pyf + jnp.float32(r2c[3][3])
+        inv_w = 1.0 / w
+        cx, cy, cz = cx * inv_w, cy * inv_w, cz * inv_w
+        dx, dy, dz = _norm3(cx, cy, cz)
+        wx = jnp.float32(c2w[0][0]) * dx + jnp.float32(c2w[0][1]) * dy + jnp.float32(c2w[0][2]) * dz
+        wy = jnp.float32(c2w[1][0]) * dx + jnp.float32(c2w[1][1]) * dy + jnp.float32(c2w[1][2]) * dz
+        wz = jnp.float32(c2w[2][0]) * dx + jnp.float32(c2w[2][1]) * dy + jnp.float32(c2w[2][2]) * dz
+        wx, wy, wz = _norm3(wx, wy, wz)
+        ox = jnp.broadcast_to(jnp.float32(c2w[0][3]), pxf.shape)
+        oy = jnp.broadcast_to(jnp.float32(c2w[1][3]), pxf.shape)
+        oz = jnp.broadcast_to(jnp.float32(c2w[2][3]), pxf.shape)
+        return ox, oy, oz, wx, wy, wz
+
+    def regen(hbase, px_f, py_f, s_sel):
+        if is_random:
+            h = _pcg(hbase ^ s_sel)
+            u1 = _u2f01(_pcg(h ^ U32(0)))
+            u2 = _u2f01(_pcg(h ^ U32(1)))
+        else:
+            s1 = _pcg(hbase ^ U32(0))
+            s2 = _pcg(hbase ^ U32(1))
+            u1, u2 = _sample02(s_sel, s1, s2)
+        dx = (2.0 * u1 - 1.0) * jnp.float32(fxw)
+        dy = (2.0 * u2 - 1.0) * jnp.float32(fyw)
+        return camera_ray(px_f + 0.5 + dx, py_f + 0.5 + dy)
+
+    def _fresnel_dielectric_var(cos_i, eta):
+        cos_i = jnp.clip(cos_i, -1.0, 1.0)
+        entering = cos_i > 0
+        ei = jnp.where(entering, 1.0, eta)
+        et = jnp.where(entering, eta, 1.0)
+        ci = jnp.abs(cos_i)
+        sin_t = ei / et * jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+        tir = sin_t >= 1.0
+        ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+        r_parl = (et * ci - ei * ct) / jnp.maximum(et * ci + ei * ct, 1e-30)
+        r_perp = (ei * ci - et * ct) / jnp.maximum(ei * ci + et * ct, 1e-30)
+        f = 0.5 * (r_parl * r_parl + r_perp * r_perp)
+        return jnp.where(tir, 1.0, f)
+
+    def power_heuristic(f_pdf, g_pdf):
+        f2 = f_pdf * f_pdf
+        g2 = g_pdf * g_pdf
+        return jnp.where(f_pdf > 0, f2 / jnp.maximum(f2 + g2, 1e-30), 0.0)
+
+    # -- the kernel ------------------------------------------------------
+
+    def kernel(scal_ref, px_ref, py_ref, pid_ref, meta_ref, nodes_ref, prims_ref,
+               out_lr, out_lg, out_lb, out_w, out_nv,
+               stack_ref, sp_ref, dirb_ref, best_ref):
+        n_node_rows = nodes_ref.shape[0]
+        n_prim_rows = prims_ref.shape[0]
+        iota16 = jax.lax.broadcasted_iota(I32, (16, LANES), 0)
+        iota8c = jax.lax.broadcasted_iota(I32, (8, 1), 0)
+        pw2 = (1 << iota8c).astype(F32)
+        # best_ref layout per packet g (16 rows at g*16): 0 t, 1 prim,
+        # 2 b1, 3 b2, 4..12 v0/v1/v2 xyz, 13 mat, 14 light, 15 flags
+
+        def traverse(ox, oy, oz, dx, dy, dz, t_query, any_hit):
+            """Joint interleaved traversal over the SUB sublane-row packets.
+
+            Inputs are (SUB, LANES) values; returns a dict of (SUB, LANES)
+            values (see best_ref layout) or, for any_hit, (t, prim)."""
+            inv_dx = 1.0 / jnp.where(jnp.abs(dx) < 1e-30, jnp.where(dx < 0, -1e-30, 1e-30), dx)
+            inv_dy = 1.0 / jnp.where(jnp.abs(dy) < 1e-30, jnp.where(dy < 0, -1e-30, 1e-30), dy)
+            inv_dz = 1.0 / jnp.where(jnp.abs(dz) < 1e-30, jnp.where(dz < 0, -1e-30, 1e-30), dz)
+            # watertight permute/shear constants (triangle.rs:136-399)
+            adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+            k0 = (adx >= ady) & (adx >= adz)
+            k1 = (~k0) & (ady >= adz)
+            dkx = jnp.where(k0, dy, jnp.where(k1, dz, dx))
+            dky = jnp.where(k0, dz, jnp.where(k1, dx, dy))
+            dkz = jnp.where(k0, dx, jnp.where(k1, dy, dz))
+            inv_dkz = 1.0 / jnp.where(jnp.abs(dkz) < 1e-30,
+                                      jnp.where(dkz < 0, -1e-30, 1e-30), dkz)
+            sx = -dkx * inv_dkz
+            sy = -dky * inv_dkz
+            sz = inv_dkz
+            live = t_query > 0
+
+            # per-packet init
+            for g in range(SUB):
+                stack_ref[g * STACK] = (0 << 9) | (1 << 1) | 0
+                sp_ref[g] = jnp.where(jnp.max(jnp.where(live[g:g + 1, :], 1.0, 0.0)) > 0, 1, 0)
+                b = g * 16
+                best_ref[b:b + 1, :] = jnp.where(live[g:g + 1, :], t_query[g:g + 1, :], -1.0)
+                best_ref[b + 1:b + 2, :] = jnp.full((1, LANES), -1.0, F32)
+                if not any_hit:
+                    best_ref[b + 2:b + 16, :] = jnp.zeros((14, LANES), F32)
+                neg0 = jnp.sum(jnp.where(dx[g:g + 1, :] < 0, -1.0, 1.0)) < 0
+                neg1 = jnp.sum(jnp.where(dy[g:g + 1, :] < 0, -1.0, 1.0)) < 0
+                neg2 = jnp.sum(jnp.where(dz[g:g + 1, :] < 0, -1.0, 1.0)) < 0
+                dirb_ref[g] = (neg0.astype(I32) | (neg1.astype(I32) << 1)
+                               | (neg2.astype(I32) << 2))
+
+            def cond(state):
+                it, alive = state
+                return (alive > 0) & (it < 1_000_000)
+
+            def body(state):
+                it, _ = state
+                for g in range(SUB):
+                    b = g * 16
+                    base = g * STACK
+                    sp = sp_ref[g]
+                    alive = sp > 0
+                    spc = jnp.maximum(sp, 1)
+                    top = stack_ref[base + spc - 1]
+                    dirb = top & 1
+                    m = (top >> 1) & 255
+                    pn = top >> 9
+                    k = jnp.where(dirb > 0, _high_bit_index(m), _low_bit_index(m))
+                    m2 = m & (~(1 << k))
+                    wtop = jnp.where(alive, base + spc - 1, base + STACK - 1)
+                    stack_ref[wtop] = (pn << 9) | (m2 << 1) | dirb
+                    sp_pop = jnp.where(m2 == 0, spc - 1, spc)
+                    e = meta_ref[pn * 8 + k]
+                    is_int = alive & (e > 0)
+                    is_leaf = alive & (e < 0)
+
+                    oxg, oyg, ozg = ox[g:g + 1, :], oy[g:g + 1, :], oz[g:g + 1, :]
+                    ixg, iyg, izg = inv_dx[g:g + 1, :], inv_dy[g:g + 1, :], inv_dz[g:g + 1, :]
+                    t_best = best_ref[b:b + 1, :]
+
+                    # interior phase (masked)
+                    nid = e & 0x1FFFFF
+                    axis_i = e >> 21
+                    nrow = jnp.minimum((nid // 8) * 8, n_node_rows - 8)
+                    nblk = nodes_ref[pl.ds(nrow, 8), :]
+                    nsub = _sel16(nblk, nid % 8)
+                    t0x = (nsub[:, 0:1] - oxg) * ixg
+                    t1x = (nsub[:, 3:4] - oxg) * ixg
+                    t0y = (nsub[:, 1:2] - oyg) * iyg
+                    t1y = (nsub[:, 4:5] - oyg) * iyg
+                    t0z = (nsub[:, 2:3] - ozg) * izg
+                    t1z = (nsub[:, 5:6] - ozg) * izg
+                    tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                                     jnp.minimum(t0z, t1z))
+                    tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                                     jnp.maximum(t0z, t1z)) * 1.0000004
+                    bhit = (tn <= tf) & (tf > 0) & (tn < t_best)
+                    meta_col = nsub[:, 6:7]
+                    anyc = jnp.max(jnp.where(bhit, 1.0, 0.0), axis=1, keepdims=True) * \
+                        jnp.where(meta_col != 0, 1.0, 0.0)
+                    mask_new = jnp.sum(anyc * pw2).astype(I32)
+                    dir_new = (dirb_ref[g] >> axis_i) & 1
+                    do_push = is_int & (mask_new != 0)
+                    wslot = jnp.where(do_push, base + sp_pop, base + STACK - 1)
+                    stack_ref[wslot] = (nid << 9) | (mask_new << 1) | dir_new
+
+                    # leaf phase (masked)
+                    o_ = jnp.maximum(-e - 1, 0)
+                    prow = jnp.minimum((o_ // 8) * 8, n_prim_rows - 8)
+                    pblk = prims_ref[pl.ds(prow, 8), :]
+                    psub = jnp.concatenate(
+                        [_sel16(pblk, o_ % 8), _sel16(pblk, o_ % 8 + 1)], axis=0)
+                    valid = psub[:, 9:10] > 0
+
+                    def _shear(j):
+                        vx = psub[:, 3 * j:3 * j + 1] - oxg
+                        vy = psub[:, 3 * j + 1:3 * j + 2] - oyg
+                        vz = psub[:, 3 * j + 2:3 * j + 3] - ozg
+                        px_ = jnp.where(k0[g:g + 1, :], vy, jnp.where(k1[g:g + 1, :], vz, vx))
+                        py_ = jnp.where(k0[g:g + 1, :], vz, jnp.where(k1[g:g + 1, :], vx, vy))
+                        pz_ = jnp.where(k0[g:g + 1, :], vx, jnp.where(k1[g:g + 1, :], vy, vz))
+                        return (px_ + sx[g:g + 1, :] * pz_,
+                                py_ + sy[g:g + 1, :] * pz_,
+                                sz[g:g + 1, :] * pz_)
+
+                    x0, y0, z0 = _shear(0)
+                    x1, y1, z1 = _shear(1)
+                    x2, y2, z2 = _shear(2)
+                    e0 = x1 * y2 - y1 * x2
+                    e1_ = x2 * y0 - y2 * x0
+                    e2_ = x0 * y1 - y0 * x1
+                    same = ((e0 >= 0) & (e1_ >= 0) & (e2_ >= 0)) | \
+                        ((e0 <= 0) & (e1_ <= 0) & (e2_ <= 0))
+                    det = e0 + e1_ + e2_
+                    dok = det != 0
+                    inv = 1.0 / jnp.where(dok, det, 1.0)
+                    t = (e0 * z0 + e1_ * z1 + e2_ * z2) * inv
+                    phit = valid & same & dok & (t > EPS) & (t < t_best)
+                    tc = jnp.where(phit, t, jnp.float32(1e30))
+                    tmin = jnp.min(tc, axis=0, keepdims=True)
+                    improved = is_leaf & (tmin < jnp.minimum(t_best, jnp.float32(1e29)))
+                    slotf = (o_ * 8 + iota16).astype(F32)
+                    snew = jnp.max(jnp.where(tc == tmin, slotf, -1.0), axis=0, keepdims=True)
+                    best_ref[b:b + 1, :] = jnp.where(improved, tmin, t_best)
+                    if any_hit:
+                        prim_new = jnp.max(jnp.where(tc == tmin, psub[:, 10:11] + 0 * tc, -1.0),
+                                           axis=0, keepdims=True)
+                        best_ref[b + 1:b + 2, :] = jnp.where(improved, prim_new,
+                                                             best_ref[b + 1:b + 2, :])
+                    else:
+                        win = (tc == tmin) & (slotf == snew)
+
+                        def _wred(col):
+                            return jnp.sum(jnp.where(win, psub[:, col:col + 1] + 0 * tc, 0.0),
+                                           axis=0, keepdims=True)
+
+                        best_ref[b + 1:b + 2, :] = jnp.where(
+                            improved, _wred(10), best_ref[b + 1:b + 2, :])
+                        b1w = jnp.sum(jnp.where(win, e1_ * inv, 0.0), axis=0, keepdims=True)
+                        b2w = jnp.sum(jnp.where(win, e2_ * inv, 0.0), axis=0, keepdims=True)
+                        best_ref[b + 2:b + 3, :] = jnp.where(improved, b1w, best_ref[b + 2:b + 3, :])
+                        best_ref[b + 3:b + 4, :] = jnp.where(improved, b2w, best_ref[b + 3:b + 4, :])
+                        for c in range(9):
+                            best_ref[b + 4 + c:b + 5 + c, :] = jnp.where(
+                                improved, _wred(c), best_ref[b + 4 + c:b + 5 + c, :])
+                        best_ref[b + 13:b + 14, :] = jnp.where(improved, _wred(11), best_ref[b + 13:b + 14, :])
+                        best_ref[b + 14:b + 15, :] = jnp.where(improved, _wred(12), best_ref[b + 14:b + 15, :])
+                        best_ref[b + 15:b + 16, :] = jnp.where(improved, _wred(13), best_ref[b + 15:b + 16, :])
+
+                    sp_new = jnp.where(alive, sp_pop + jnp.where(do_push, 1, 0), 0)
+                    if any_hit:
+                        missing = jnp.max(jnp.where(live[g:g + 1, :] & (best_ref[b + 1:b + 2, :] < 0),
+                                                    1.0, 0.0))
+                        sp_new = jnp.where(is_leaf & (missing == 0), 0, sp_new)
+                    sp_ref[g] = sp_new
+
+                alive_t = sp_ref[0]
+                for g in range(1, SUB):
+                    alive_t = alive_t + sp_ref[g]
+                return it + 1, alive_t
+
+            jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
+
+            def rows(r):
+                return jnp.concatenate([best_ref[g * 16 + r:g * 16 + r + 1, :]
+                                        for g in range(SUB)], axis=0)
+
+            if any_hit:
+                return rows(1) >= 0  # occluded
+            out = {"t": rows(0), "prim": rows(1), "b1": rows(2), "b2": rows(3)}
+            for c, key in enumerate(("v0x", "v0y", "v0z", "v1x", "v1y", "v1z",
+                                     "v2x", "v2y", "v2z")):
+                out[key] = rows(4 + c)
+            out["mat"] = rows(13).astype(I32)
+            out["light"] = rows(14).astype(I32)
+            out["flags"] = rows(15).astype(I32)
+            out["hit"] = rows(1) >= 0
+            return out
+
+        def surface_attrs(tr, ox, oy, oz, dx, dy, dz):
+            """surface_interaction's triangle branch from the winner data
+            (default-UV frame: dpdu = e1; shading.py:100-140)."""
+            b1, b2 = tr["b1"], tr["b2"]
+            b0 = 1.0 - b1 - b2
+            e1x, e1y, e1z = tr["v1x"] - tr["v0x"], tr["v1y"] - tr["v0y"], tr["v1z"] - tr["v0z"]
+            e2x, e2y, e2z = tr["v2x"] - tr["v0x"], tr["v2y"] - tr["v0y"], tr["v2z"] - tr["v0z"]
+            ngx = e1y * e2z - e1z * e2y
+            ngy = e1z * e2x - e1x * e2z
+            ngz = e1x * e2y - e1y * e2x
+            ngx, ngy, ngz = _norm3(ngx, ngy, ngz)
+            flip = (tr["flags"] & FLAG_FLIP_GEOM_N) != 0
+            sgn = jnp.where(flip, -1.0, 1.0)
+            ngx, ngy, ngz = ngx * sgn, ngy * sgn, ngz * sgn
+            # flat shading: ns = ng; frame from dpdu = e1
+            d_dot = ngx * e1x + ngy * e1y + ngz * e1z
+            ssx = e1x - ngx * d_dot
+            ssy = e1y - ngy * d_dot
+            ssz = e1z - ngz * d_dot
+            sl = jnp.sqrt(ssx * ssx + ssy * ssy + ssz * ssz)
+            ok_t = sl > 1e-9
+            inv_sl = 1.0 / jnp.maximum(sl, 1e-20)
+            # coordinate_system(ns) fallback (shading.py:40)
+            csg = jnp.where(ngz >= 0, 1.0, -1.0)
+            a = -1.0 / (csg + ngz)
+            bb = ngx * ngy * a
+            fx = 1.0 + csg * ngx * ngx * a
+            fy = csg * bb
+            fz = -csg * ngx
+            ssx = jnp.where(ok_t, ssx * inv_sl, fx)
+            ssy = jnp.where(ok_t, ssy * inv_sl, fy)
+            ssz = jnp.where(ok_t, ssz * inv_sl, fz)
+            tsx = ngy * ssz - ngz * ssy
+            tsy = ngz * ssx - ngx * ssz
+            tsz = ngx * ssy - ngy * ssx
+            px_ = b0 * tr["v0x"] + b1 * tr["v1x"] + b2 * tr["v2x"]
+            py_ = b0 * tr["v0y"] + b1 * tr["v1y"] + b2 * tr["v2y"]
+            pz_ = b0 * tr["v0z"] + b1 * tr["v1z"] + b2 * tr["v2z"]
+            g7 = jnp.float32(_gamma(7))
+            ex = g7 * (jnp.abs(b0 * tr["v0x"]) + jnp.abs(b1 * tr["v1x"]) + jnp.abs(b2 * tr["v2x"]))
+            ey = g7 * (jnp.abs(b0 * tr["v0y"]) + jnp.abs(b1 * tr["v1y"]) + jnp.abs(b2 * tr["v2y"]))
+            ez = g7 * (jnp.abs(b0 * tr["v0z"]) + jnp.abs(b1 * tr["v1z"]) + jnp.abs(b2 * tr["v2z"]))
+            return {"px": px_, "py": py_, "pz": pz_,
+                    "ngx": ngx, "ngy": ngy, "ngz": ngz,
+                    "nsx": ngx, "nsy": ngy, "nsz": ngz,
+                    "ssx": ssx, "ssy": ssy, "ssz": ssz,
+                    "tsx": tsx, "tsy": tsy, "tsz": tsz,
+                    "ex": ex, "ey": ey, "ez": ez, "mat": tr["mat"]}
+
+        def bsdf_sample(hbase, s_cur, dim_base, at, wox, woy, woz, mat):
+            # (megakernel.bsdf_sample, verbatim semantics)
+            wo_x = _dot3(wox, woy, woz, at["ssx"], at["ssy"], at["ssz"])
+            wo_y = _dot3(wox, woy, woz, at["tsx"], at["tsy"], at["tsz"])
+            wo_z = _dot3(wox, woy, woz, at["nsx"], at["nsy"], at["nsz"])
+            u1, u2 = sample_2d_traced(hbase, s_cur, dim_base + 3)
+            shape = wox.shape
+            diffuse_m = mat_mask(mat, LOBE_LAMBERT_R)
+            mirror_m = mat_mask(mat, LOBE_SPEC_R) if any_mirror else _falsev(wox)
+            glass_m = mat_mask(mat, LOBE_FRESNEL_SPEC) if any_glass else _falsev(wox)
+            none_m = mat_mask(mat, LOBE_NONE)
+            entering = wo_z > 0
+            wix = jnp.zeros(shape, F32)
+            wiy = jnp.zeros(shape, F32)
+            wiz = jnp.zeros(shape, F32)
+            valid = ~none_m
+            eta = mat_select(mat, "eta", 1.5)
+            eta = jnp.maximum(eta, jnp.float32(1.0 + 1e-6))
+            if any_diffuse:
+                ddx, ddy = _concentric_disk(u1, u2)
+                dzv = jnp.sqrt(jnp.maximum(0.0, 1.0 - ddx * ddx - ddy * ddy))
+                dzv = jnp.where(entering, dzv, -dzv)
+                wix = jnp.where(diffuse_m, ddx, wix)
+                wiy = jnp.where(diffuse_m, ddy, wiy)
+                wiz = jnp.where(diffuse_m, dzv, wiz)
+            wi_sr_x, wi_sr_y, wi_sr_z = -wo_x, -wo_y, wo_z
+            if any_mirror:
+                wix = jnp.where(mirror_m, wi_sr_x, wix)
+                wiy = jnp.where(mirror_m, wi_sr_y, wiy)
+                wiz = jnp.where(mirror_m, wi_sr_z, wiz)
+            if any_glass:
+                fr_s = _fresnel_dielectric_var(wo_z, eta)
+                choose_r = u1 < fr_s
+                eta_ratio = jnp.where(entering, 1.0 / eta, eta)
+                nz = jnp.where(entering, 1.0, -1.0)
+                cos_i = nz * wo_z
+                sin2_i = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+                sin2_t = eta_ratio * eta_ratio * sin2_i
+                ok_st = sin2_t < 1.0
+                cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+                wi_st_x = eta_ratio * -wo_x
+                wi_st_y = eta_ratio * -wo_y
+                wi_st_z = eta_ratio * -wo_z + (eta_ratio * cos_i - cos_t) * nz
+                wix = jnp.where(glass_m, jnp.where(choose_r, wi_sr_x, wi_st_x), wix)
+                wiy = jnp.where(glass_m, jnp.where(choose_r, wi_sr_y, wi_st_y), wiy)
+                wiz = jnp.where(glass_m, jnp.where(choose_r, wi_sr_z, wi_st_z), wiz)
+                valid = valid & (ok_st | ~(glass_m & ~choose_r))
+            else:
+                fr_s = jnp.zeros(shape, F32)
+                choose_r = _falsev(wox)
+                eta_ratio = jnp.ones(shape, F32)
+            wix, wiy, wiz = _norm3(wix, wiy, wiz)
+            abs_ci = jnp.abs(wiz)
+            kdr = mat_color(mat, "color", 0)
+            kdg = mat_color(mat, "color", 1)
+            kdb = mat_color(mat, "color", 2)
+            fr_spec = jnp.zeros(shape, F32)
+            fg_spec = jnp.zeros(shape, F32)
+            fb_spec = jnp.zeros(shape, F32)
+            pdf_spec = jnp.zeros(shape, F32)
+            inv_ci = 1.0 / jnp.maximum(abs_ci, 1e-9)
+            if any_mirror:
+                frm = jnp.ones(shape, F32)
+                if any(mats[m]["lobe"] == LOBE_SPEC_R and mats[m]["fresnel"] == 1 for m in mat_rows):
+                    fr_d = _fresnel_dielectric_var(wo_z, eta)
+                    fres_die = _falsev(wox)
+                    for m in mat_rows:
+                        if mats[m]["lobe"] == LOBE_SPEC_R and mats[m]["fresnel"] == 1:
+                            fres_die = fres_die | (mat == m)
+                    frm = jnp.where(fres_die, fr_d, frm)
+                fr_spec = jnp.where(mirror_m, kdr * frm * inv_ci, fr_spec)
+                fg_spec = jnp.where(mirror_m, kdg * frm * inv_ci, fg_spec)
+                fb_spec = jnp.where(mirror_m, kdb * frm * inv_ci, fb_spec)
+                pdf_spec = jnp.where(mirror_m, 1.0, pdf_spec)
+            if any_glass:
+                st_scale = eta_ratio * eta_ratio
+                ktr = mat_color(mat, "kt", 0)
+                ktg = mat_color(mat, "kt", 1)
+                ktb = mat_color(mat, "kt", 2)
+                t_term = (1.0 - fr_s) * st_scale * inv_ci
+                r_term = fr_s * inv_ci
+                fr_spec = jnp.where(glass_m, jnp.where(choose_r, kdr * r_term, ktr * t_term), fr_spec)
+                fg_spec = jnp.where(glass_m, jnp.where(choose_r, kdg * r_term, ktg * t_term), fg_spec)
+                fb_spec = jnp.where(glass_m, jnp.where(choose_r, kdb * r_term, ktb * t_term), fb_spec)
+                pdf_spec = jnp.where(glass_m, jnp.where(choose_r, fr_s, 1.0 - fr_s), pdf_spec)
+            refl_hemi = wo_z * wiz > 0
+            f_diff = jnp.where(diffuse_m & refl_hemi, jnp.float32(INV_PI), 0.0)
+            pdf_diff = jnp.where(diffuse_m & refl_hemi, abs_ci * jnp.float32(INV_PI), 0.0)
+            specular = mirror_m | glass_m
+            fr_o = jnp.where(specular, fr_spec, kdr * f_diff)
+            fg_o = jnp.where(specular, fg_spec, kdg * f_diff)
+            fb_o = jnp.where(specular, fb_spec, kdb * f_diff)
+            pdf = jnp.where(specular, pdf_spec, pdf_diff)
+            transmissive = glass_m & ~choose_r
+            eta_sc = jnp.where(transmissive,
+                               jnp.where(entering, eta * eta, 1.0 / (eta * eta)), 1.0)
+            valid = valid & (pdf > 0)
+            wwx = wix * at["ssx"] + wiy * at["tsx"] + wiz * at["nsx"]
+            wwy = wix * at["ssy"] + wiy * at["tsy"] + wiz * at["nsy"]
+            wwz = wix * at["ssz"] + wiy * at["tsz"] + wiz * at["nsz"]
+            return {"wwx": wwx, "wwy": wwy, "wwz": wwz,
+                    "fr": fr_o, "fg": fg_o, "fb": fb_o,
+                    "pdf": pdf, "specular": specular, "valid": valid,
+                    "eta_scale": eta_sc,
+                    "diffuse_m": diffuse_m, "kdr": kdr, "kdg": kdg, "kdb": kdb}
+
+        def nee(hbase, s_cur, dim_base, alive_sh, at, wox, woy, woz,
+                diffuse_m, kdr, kdg, kdb):
+            """estimate_direct with delta AND diffuse-area lights (MIS)."""
+            if n_lights > 1:
+                u_sel = sample_1d_traced(hbase, s_cur, dim_base)
+                lid = jnp.zeros(u_sel.shape, I32)
+                cdfl = consts["light_cdf"]
+                for i in range(n_lights - 1):
+                    lid = lid + (u_sel > jnp.float32(cdfl[i])).astype(I32)
+                lid = jnp.clip(lid, 0, n_lights - 1)
+            else:
+                lid = None
+            u1, u2 = sample_2d_traced(hbase, s_cur, dim_base + 1)
+
+            shape = wox.shape
+            wix = jnp.zeros(shape, F32)
+            wiy = jnp.zeros(shape, F32)
+            wiz = jnp.zeros(shape, F32)
+            lir = jnp.zeros(shape, F32)
+            lig = jnp.zeros(shape, F32)
+            lib = jnp.zeros(shape, F32)
+            dist = jnp.zeros(shape, F32)
+            spdf = jnp.zeros(shape, F32)
+            p_l = jnp.zeros(shape, F32)
+            is_delta = jnp.zeros(shape, I32) == 0
+            for i, lt in enumerate(lights):
+                m = (lid == i) if lid is not None else (jnp.zeros(shape, I32) == 0)
+                par = lt["par"]
+                if lt["kind"] == LIGHT_DISTANT:
+                    wix = jnp.where(m, jnp.float32(float(par[0])), wix)
+                    wiy = jnp.where(m, jnp.float32(float(par[1])), wiy)
+                    wiz = jnp.where(m, jnp.float32(float(par[2])), wiz)
+                    lir = jnp.where(m, jnp.float32(par[3]), lir)
+                    lig = jnp.where(m, jnp.float32(par[4]), lig)
+                    lib = jnp.where(m, jnp.float32(par[5]), lib)
+                    dist = jnp.where(m, jnp.float32(wr2), dist)
+                    p_l = jnp.where(m, 1.0, p_l)
+                elif lt["kind"] == LIGHT_POINT:
+                    tx = jnp.float32(par[0]) - at["px"]
+                    ty = jnp.float32(par[1]) - at["py"]
+                    tz = jnp.float32(par[2]) - at["pz"]
+                    d2 = jnp.maximum(tx * tx + ty * ty + tz * tz, 1e-12)
+                    dl = jnp.sqrt(d2)
+                    invl = 1.0 / dl
+                    wix = jnp.where(m, tx * invl, wix)
+                    wiy = jnp.where(m, ty * invl, wiy)
+                    wiz = jnp.where(m, tz * invl, wiz)
+                    lir = jnp.where(m, jnp.float32(par[3]) / d2, lir)
+                    lig = jnp.where(m, jnp.float32(par[4]) / d2, lig)
+                    lib = jnp.where(m, jnp.float32(par[5]) / d2, lib)
+                    dist = jnp.where(m, dl, dist)
+                    p_l = jnp.where(m, 1.0, p_l)
+                else:  # diffuse area on one baked triangle
+                    v = lt["v"]
+                    su0 = jnp.sqrt(jnp.maximum(u1, 0.0))
+                    b0s = 1.0 - su0
+                    b1s = u2 * su0
+                    b2s = 1.0 - b0s - b1s
+                    psx = b0s * jnp.float32(v[0][0]) + b1s * jnp.float32(v[1][0]) + b2s * jnp.float32(v[2][0])
+                    psy = b0s * jnp.float32(v[0][1]) + b1s * jnp.float32(v[1][1]) + b2s * jnp.float32(v[2][1])
+                    psz = b0s * jnp.float32(v[0][2]) + b1s * jnp.float32(v[1][2]) + b2s * jnp.float32(v[2][2])
+                    tx = psx - at["px"]
+                    ty = psy - at["py"]
+                    tz = psz - at["pz"]
+                    d2 = jnp.maximum(tx * tx + ty * ty + tz * tz, 1e-12)
+                    dl = jnp.sqrt(d2)
+                    invl = 1.0 / dl
+                    wxa, wya, wza = tx * invl, ty * invl, tz * invl
+                    ng = lt["ng"]
+                    cos_l = -(wxa * jnp.float32(ng[0]) + wya * jnp.float32(ng[1]) + wza * jnp.float32(ng[2]))
+                    emits = (cos_l > 0) | bool(lt["two_sided"])
+                    pdf_a = d2 / jnp.maximum(jnp.abs(cos_l) * jnp.float32(lt["area"]), 1e-12)
+                    pdf_a = jnp.where(jnp.abs(cos_l) > 1e-7, pdf_a, 0.0)
+                    wix = jnp.where(m, wxa, wix)
+                    wiy = jnp.where(m, wya, wiy)
+                    wiz = jnp.where(m, wza, wiz)
+                    lir = jnp.where(m & emits, jnp.float32(par[0]), jnp.where(m, 0.0, lir))
+                    lig = jnp.where(m & emits, jnp.float32(par[1]), jnp.where(m, 0.0, lig))
+                    lib = jnp.where(m & emits, jnp.float32(par[2]), jnp.where(m, 0.0, lib))
+                    dist = jnp.where(m, dl, dist)
+                    p_l = jnp.where(m, pdf_a, p_l)
+                    is_delta = is_delta & ~m
+                spdf = jnp.where(m, jnp.float32(consts["light_pmf"][i]), spdf)
+
+            refl = (_dot3(wix, wiy, wiz, at["ngx"], at["ngy"], at["ngz"]) *
+                    _dot3(wox, woy, woz, at["ngx"], at["ngy"], at["ngz"])) > 0
+            cos_ns = jnp.abs(_dot3(wix, wiy, wiz, at["nsx"], at["nsy"], at["nsz"]))
+            fm = diffuse_m & refl
+            fr_ = jnp.where(fm, kdr * jnp.float32(INV_PI) * cos_ns, 0.0)
+            fg_ = jnp.where(fm, kdg * jnp.float32(INV_PI) * cos_ns, 0.0)
+            fb_ = jnp.where(fm, kdb * jnp.float32(INV_PI) * cos_ns, 0.0)
+            # bsdf pdf toward wi (diffuse lobe only; specular pdf = 0)
+            wi_z = _dot3(wix, wiy, wiz, at["nsx"], at["nsy"], at["nsz"])
+            wo_z = _dot3(wox, woy, woz, at["nsx"], at["nsy"], at["nsz"])
+            p_b = jnp.where(diffuse_m & (wi_z * wo_z > 0),
+                            jnp.abs(wi_z) * jnp.float32(INV_PI), 0.0)
+
+            p_sel = p_l * spdf
+            contributes = alive_sh & (p_sel > 0) & \
+                ((fr_ * lir > 0) | (fg_ * lig > 0) | (fb_ * lib > 0))
+            osx, osy, osz = _offset_ray(at["px"], at["py"], at["pz"],
+                                        at["ngx"], at["ngy"], at["ngz"],
+                                        wix, wiy, wiz, at["ex"], at["ey"], at["ez"])
+            t_sh = jnp.where(contributes, dist * jnp.float32(1.0 - 2.0 * RAY_EPS), jnp.float32(-1.0))
+            occ = traverse(osx, osy, osz, wix, wiy, wiz, t_sh, any_hit=True)
+            vis = jnp.where(occ, 0.0, 1.0)
+            w_l = jnp.where(is_delta, 1.0, power_heuristic(p_sel, p_b))
+            scale = vis * w_l / jnp.maximum(p_sel, 1e-30)
+            cr = jnp.where(contributes, fr_ * lir * scale, 0.0)
+            cg = jnp.where(contributes, fg_ * lig * scale, 0.0)
+            cb = jnp.where(contributes, fb_ * lib * scale, 0.0)
+            return cr, cg, cb
+
+        # ---- persistent loop ----
+        seed = scal_ref[0, 0]
+        s0 = scal_ref[0, 1]
+        px_i = px_ref[...]
+        py_i = py_ref[...]
+        pid = pid_ref[...]
+        lane_valid = px_i >= 0
+        px_f = px_i.astype(F32)
+        py_f = py_i.astype(F32)
+        pidu = pltpu.bitcast(pid, U32)
+        hbase = _pcg(_pcg(U32(0x9E3779B9) ^ seed) ^ pidu)
+
+        shape = px_f.shape
+        zero = jnp.zeros(shape, F32)
+        s_init = jnp.broadcast_to(s0, shape)
+        ox0, oy0, oz0, dx0, dy0, dz0 = regen(hbase, px_f, py_f, s_init)
+        alive0 = jnp.where(lane_valid & (n_samples > 0), 1, 0).astype(I32)
+        done0 = jnp.where(lane_valid & (n_samples > 0), 0, 1).astype(I32)
+
+        def cond(st):
+            done = st[0]
+            it = st[1]
+            return jnp.logical_not(jnp.all(done > 0)) & (it < cap)
+
+        def body(st):
+            (done, it, ox, oy, oz, dx, dy, dz, Lr, Lg, Lb, br, bg, bb,
+             alive, eta_sc_acc, bounces, s_cur, aLr, aLg, aLb, aW, nv,
+             prev_spec, prev_pdf, ppx, ppy, ppz) = st
+            alive_b = alive > 0
+
+            t_query = jnp.where(alive_b, jnp.float32(np.inf), jnp.float32(-1.0))
+            tr = traverse(ox, oy, oz, dx, dy, dz, t_query, any_hit=False)
+            valid = tr["hit"]
+            nv = nv + jnp.where(alive_b & valid, 1.0, 0.0)
+            at = surface_attrs(tr, ox, oy, oz, dx, dy, dz)
+
+            wox, woy, woz = -dx, -dy, -dz
+            # area-light emission pickup with deferred MIS
+            # (trace_persistent:718-736; diffuse.rs l())
+            if any_area:
+                lid_h = tr["light"]
+                emitting = alive_b & valid & (lid_h >= 0)
+                ler = jnp.zeros(shape, F32)
+                leg = jnp.zeros(shape, F32)
+                leb = jnp.zeros(shape, F32)
+                area_h = jnp.ones(shape, F32)
+                selp = jnp.zeros(shape, F32)
+                for i, lt in enumerate(lights):
+                    if lt["kind"] != LIGHT_AREA:
+                        continue
+                    m = lid_h == i
+                    par = lt["par"]
+                    cos_e = _dot3(at["ngx"], at["ngy"], at["ngz"], wox, woy, woz)
+                    em = (cos_e > 0) | bool(lt["two_sided"])
+                    ler = jnp.where(m & em, jnp.float32(par[0]), ler)
+                    leg = jnp.where(m & em, jnp.float32(par[1]), leg)
+                    leb = jnp.where(m & em, jnp.float32(par[2]), leb)
+                    area_h = jnp.where(m, jnp.float32(lt["area"]), area_h)
+                    selp = jnp.where(m, jnp.float32(consts["light_pmf"][i]), selp)
+                tx = at["px"] - ppx
+                ty = at["py"] - ppy
+                tz = at["pz"] - ppz
+                d2 = jnp.maximum(tx * tx + ty * ty + tz * tz, 1e-12)
+                wl = 1.0 / jnp.sqrt(d2)
+                cos_l = jnp.abs(_dot3(at["ngx"], at["ngy"], at["ngz"],
+                                      -tx * wl, -ty * wl, -tz * wl))
+                p_lh = jnp.where(cos_l > 1e-7, d2 / jnp.maximum(cos_l * area_h, 1e-12), 0.0) * selp
+                w_mis = jnp.where(prev_spec > 0, 1.0, power_heuristic(prev_pdf, p_lh))
+                Lr = Lr + jnp.where(emitting, br * ler * w_mis, 0.0)
+                Lg = Lg + jnp.where(emitting, bg * leg * w_mis, 0.0)
+                Lb = Lb + jnp.where(emitting, bb * leb * w_mis, 0.0)
+
+            alive_b = alive_b & valid
+            dim_base = (2 + bounces * DPB).astype(I32)
+            can_scatter = alive_b & (bounces < max_depth - 1)
+            mat = at["mat"]
+            none_m = mat_mask(mat, LOBE_NONE)
+            alive_sh = can_scatter & ~none_m
+
+            bs = bsdf_sample(hbase, s_cur, dim_base, at, wox, woy, woz, mat)
+            if n_lights > 0:
+                cr, cg, cb = nee(hbase, s_cur, dim_base, alive_sh, at,
+                                 wox, woy, woz, bs["diffuse_m"],
+                                 bs["kdr"], bs["kdg"], bs["kdb"])
+                Lr = Lr + br * cr
+                Lg = Lg + bg * cg
+                Lb = Lb + bb * cb
+
+            cos_term = jnp.abs(_dot3(bs["wwx"], bs["wwy"], bs["wwz"],
+                                     at["nsx"], at["nsy"], at["nsz"]))
+            inv_pdf = cos_term / jnp.maximum(bs["pdf"], 1e-30)
+            thr = bs["fr"] * inv_pdf
+            thg = bs["fg"] * inv_pdf
+            thb = bs["fb"] * inv_pdf
+            surf_cont = alive_sh & bs["valid"] & ((thr > 0) | (thg > 0) | (thb > 0))
+
+            new_br = jnp.where(surf_cont, br * thr, br)
+            new_bg = jnp.where(surf_cont, bg * thg, bg)
+            new_bb = jnp.where(surf_cont, bb * thb, bb)
+            nox, noy, noz = _offset_ray(at["px"], at["py"], at["pz"],
+                                        at["ngx"], at["ngy"], at["ngz"],
+                                        bs["wwx"], bs["wwy"], bs["wwz"],
+                                        at["ex"], at["ey"], at["ez"])
+            new_ox = jnp.where(surf_cont, nox, ox)
+            new_oy = jnp.where(surf_cont, noy, oy)
+            new_oz = jnp.where(surf_cont, noz, oz)
+            new_dx = jnp.where(surf_cont, bs["wwx"], dx)
+            new_dy = jnp.where(surf_cont, bs["wwy"], dy)
+            new_dz = jnp.where(surf_cont, bs["wwz"], dz)
+            eta_acc = jnp.where(surf_cont, eta_sc_acc * bs["eta_scale"], eta_sc_acc)
+            new_bounces = bounces + surf_cont.astype(I32)
+            new_alive_b = surf_cont
+            new_spec = jnp.where(surf_cont, bs["specular"].astype(I32), prev_spec)
+            new_pdf = jnp.where(surf_cont, jnp.maximum(bs["pdf"], 1e-30), prev_pdf)
+            new_ppx = jnp.where(surf_cont, at["px"], ppx)
+            new_ppy = jnp.where(surf_cont, at["py"], ppy)
+            new_ppz = jnp.where(surf_cont, at["pz"], ppz)
+
+            rr_r = new_br * eta_acc
+            rr_g = new_bg * eta_acc
+            rr_b = new_bb * eta_acc
+            max_c = jnp.maximum(rr_r, jnp.maximum(rr_g, rr_b))
+            q = jnp.maximum(0.05, 1.0 - max_c)
+            do_rr = (new_bounces > 3) & (max_c < jnp.float32(rr_threshold))
+            u_rr = sample_1d_traced(hbase, s_cur, dim_base + 4)
+            killed = do_rr & (u_rr < q)
+            new_alive_b = new_alive_b & ~killed
+            boost = 1.0 / jnp.maximum(1.0 - q, 1e-6)
+            keepm = do_rr & ~killed
+            new_br = jnp.where(keepm, new_br * boost, new_br)
+            new_bg = jnp.where(keepm, new_bg * boost, new_bg)
+            new_bb = jnp.where(keepm, new_bb * boost, new_bb)
+
+            die = (done == 0) & ~new_alive_b
+            fin = jnp.isfinite(Lr) & jnp.isfinite(Lg) & jnp.isfinite(Lb)
+            Lfr = jnp.maximum(jnp.where(fin, Lr, 0.0), 0.0)
+            Lfg = jnp.maximum(jnp.where(fin, Lg, 0.0), 0.0)
+            Lfb = jnp.maximum(jnp.where(fin, Lb, 0.0), 0.0)
+            if max_lum < float("inf"):
+                y = Lfr * 0.212671 + Lfg * 0.715160 + Lfb * 0.072169
+                scl = jnp.where(y > max_lum, jnp.float32(max_lum) / jnp.maximum(y, 1e-12), 1.0)
+                Lfr, Lfg, Lfb = Lfr * scl, Lfg * scl, Lfb * scl
+            aLr = aLr + jnp.where(die, Lfr, 0.0)
+            aLg = aLg + jnp.where(die, Lfg, 0.0)
+            aLb = aLb + jnp.where(die, Lfb, 0.0)
+            aW = aW + jnp.where(die, 1.0, 0.0)
+
+            s_next = s_cur + U32(1)
+            more = die & (s_next < s0 + U32(n_samples))
+            done = jnp.where(die & ~more, 1, done)
+            s_sel = jnp.where(more, s_next, s_cur)
+            rox, roy, roz, rdx, rdy, rdz = regen(hbase, px_f, py_f, s_sel)
+            new_ox = jnp.where(more, rox, new_ox)
+            new_oy = jnp.where(more, roy, new_oy)
+            new_oz = jnp.where(more, roz, new_oz)
+            new_dx = jnp.where(more, rdx, new_dx)
+            new_dy = jnp.where(more, rdy, new_dy)
+            new_dz = jnp.where(more, rdz, new_dz)
+            Lr = jnp.where(more, 0.0, Lr)
+            Lg = jnp.where(more, 0.0, Lg)
+            Lb = jnp.where(more, 0.0, Lb)
+            new_br = jnp.where(more, 1.0, new_br)
+            new_bg = jnp.where(more, 1.0, new_bg)
+            new_bb = jnp.where(more, 1.0, new_bb)
+            new_alive_b = new_alive_b | more
+            eta_acc = jnp.where(more, 1.0, eta_acc)
+            new_bounces = jnp.where(more, 0, new_bounces)
+            s_cur = jnp.where(more, s_next, s_cur)
+            new_spec = jnp.where(more, 1, new_spec)
+            new_pdf = jnp.where(more, 1.0, new_pdf)
+            new_ppx = jnp.where(more, rox, new_ppx)
+            new_ppy = jnp.where(more, roy, new_ppy)
+            new_ppz = jnp.where(more, roz, new_ppz)
+
+            return (done, it + 1, new_ox, new_oy, new_oz, new_dx, new_dy, new_dz,
+                    Lr, Lg, Lb, new_br, new_bg, new_bb,
+                    new_alive_b.astype(I32), eta_acc, new_bounces, s_cur,
+                    aLr, aLg, aLb, aW, nv,
+                    new_spec, new_pdf, new_ppx, new_ppy, new_ppz)
+
+        st0 = (done0, jnp.int32(0), ox0, oy0, oz0, dx0, dy0, dz0,
+               zero, zero, zero, zero + 1.0, zero + 1.0, zero + 1.0,
+               alive0, zero + 1.0, jnp.zeros(shape, I32), s_init,
+               zero, zero, zero, zero, zero,
+               jnp.ones(shape, I32), zero + 1.0, ox0, oy0, oz0)
+        st = jax.lax.while_loop(cond, body, st0)
+        out_lr[...] = st[18]
+        out_lg[...] = st[19]
+        out_lb[...] = st[20]
+        out_w[...] = st[21]
+        out_nv[...] = st[22]
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+
+def make_wide_megakernel_fn(cs, cam, icfg, scfg, fcfg, consts=None, interpret=None):
+    """wave_p-compatible persistent function backed by the traversal
+    megakernel: fn(sa, px, py, pids, s0, n_samples, seed) ->
+    (accLw (R,3), accW (R,), n_vertices (R,))."""
+    if consts is None:
+        consts = extract_wide_consts(cs, cam, icfg, scfg, fcfg)
+    if consts is None:
+        return None
+    if interpret is None:
+        if jax.devices()[0].platform != "tpu":
+            import os
+
+            if not os.environ.get("PBRT_TPU_MEGAKERNEL_INTERPRET"):
+                return None
+            interpret = True
+        else:
+            interpret = False
+
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def wave_p(sa, px, py, pixel_ids, s0, n_samples, seed):
+        # geometry tables come through `sa` as REAL jit arguments — closure
+        # capture would hoist them as module constants, which this jax
+        # version mis-supplies at dispatch (see device/efloat.py history)
+        wnode = sa.wnode_tab
+        wprim = sa.wprim_tab
+        wmeta = sa.wmeta_tab
+        kernel = _build_kernel(consts, int(n_samples))
+        R = px.shape[0]
+        blk = SUB * LANES
+        n_blocks = max((R + blk - 1) // blk, 1)
+        Rp = n_blocks * blk
+        pad = Rp - R
+
+        def padded(x, fill):
+            x = jnp.asarray(x)
+            if pad:
+                x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+            return x.reshape(n_blocks * SUB, LANES)
+
+        px2 = padded(px.astype(I32), -1)
+        py2 = padded(py.astype(I32), 0)
+        pid2 = padded(pixel_ids.astype(U32), 0).astype(I32)
+        scal = jnp.stack([jnp.asarray(seed, U32), jnp.asarray(s0, U32)]).reshape(1, 2)
+
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=tuple(jax.ShapeDtypeStruct((n_blocks * SUB, LANES), F32) for _ in range(5)),
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((SUB, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((SUB, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((SUB, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=tuple(
+                pl.BlockSpec((SUB, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM)
+                for _ in range(5)),
+            scratch_shapes=[
+                pltpu.SMEM((SUB * STACK,), jnp.int32),
+                pltpu.SMEM((SUB,), jnp.int32),
+                pltpu.SMEM((SUB,), jnp.int32),
+                pltpu.VMEM((SUB * 16, LANES), F32),
+            ],
+            interpret=interpret,
+        )(scal, px2, py2, pid2, wmeta, wnode, wprim)
+
+        lr, lg, lb, w, nv = [o.reshape(Rp)[:R] for o in outs]
+        return jnp.stack([lr, lg, lb], axis=-1), w, nv
+
+    return wave_p

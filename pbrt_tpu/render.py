@@ -299,6 +299,19 @@ def make_persistent_fn(cs: CompiledScene, cam=None):
             mk = None
         if mk is not None:
             return mk
+        # triangle-scene sibling: persistent megakernel with IN-KERNEL
+        # wide-BVH traversal (device/megakernel_wide.py)
+        if os.environ.get("PBRT_TPU_WIDEMEGA", "1") != "0":
+            try:
+                from .device.megakernel_wide import make_wide_megakernel_fn
+
+                mkw = make_wide_megakernel_fn(cs, cam, icfg, scfg, fcfg)
+            except Exception as e:  # pragma: no cover - defensive fallback
+                logging.getLogger(__name__).warning(
+                    "wide megakernel build failed (%s); using XLA persistent wave", e)
+                mkw = None
+            if mkw is not None:
+                return mkw
 
     @partial(jax.jit, static_argnums=(5,))
     def wave_p(sa, px, py, pixel_ids, s0, n_samples, seed):

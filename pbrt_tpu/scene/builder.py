@@ -920,9 +920,18 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
 
         pg_all = np.asarray(prim_geom)
         tv = tri_p_cat[pg_all]  # (P, 3, 3) per-prim triangle verts
+        # shading payload in the spare row columns (cols 11/12/13): the wide
+        # megakernel extracts winner mat/light/flip with leaf-phase masked
+        # reductions (exact in f32: ids < 2^24)
+        extra = np.stack([
+            np.asarray(prim_mat, np.float32),
+            np.asarray(prim_light, np.float32),
+            np.asarray(prim_flags, np.float32),
+        ], axis=1)
         wide = build_wide_bvh(
             np.asarray(prim_lo), np.asarray(prim_hi),
             tv[:, 0], tv[:, 1], tv[:, 2],
+            extra_cols=extra,
         )
         has_wide = True
 

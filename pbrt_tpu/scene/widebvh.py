@@ -155,11 +155,15 @@ def _collapse(bvh):
 
 
 def build_wide_bvh(lo: np.ndarray, hi: np.ndarray, tri_v0: np.ndarray,
-                   tri_v1: np.ndarray, tri_v2: np.ndarray) -> WideBVH:
+                   tri_v1: np.ndarray, tri_v2: np.ndarray,
+                   extra_cols: np.ndarray | None = None) -> WideBVH:
     """Build the packed wide BVH over triangle prims.
 
     lo/hi: (P, 3) world AABBs (in GLOBAL prim order); tri_v0/v1/v2: (P, 3)
-    per-prim triangle vertices (world space).
+    per-prim triangle vertices (world space). extra_cols: optional (P, K<=5)
+    per-prim payload written into row columns 11:11+K (the wide megakernel
+    rides material id / light id / flip flag here so shading attrs come out
+    of the leaf-phase winner reductions with no second table).
     """
     import sys
 
@@ -218,6 +222,9 @@ def build_wide_bvh(lo: np.ndarray, hi: np.ndarray, tri_v0: np.ndarray,
             row[6:9] = tri_v2[g]
             row[9] = 1.0
             row[10] = float(g)  # global prim row (exact in f32 < 2^24)
+            if extra_cols is not None:
+                k_extra = extra_cols.shape[1]
+                row[11:11 + k_extra] = extra_cols[g]
             prim_tab[r0 + k, c0:c0 + 16] = row
             slot_prim[o * 8 + k] = g
 

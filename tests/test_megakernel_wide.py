@@ -1,0 +1,142 @@
+"""Wide (traversal) megakernel parity vs the XLA persistent wavefront.
+
+device/megakernel_wide.py runs the whole bounce loop INCLUDING the
+wide-BVH traversal (closest + shadow) inside one pallas_call. Same
+(pixel, sample, dimension) streams, same estimator math as
+trace_persistent — images must match the XLA path to float tolerance.
+Interpret mode on the CPU backend.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pbrt_tpu.core.transform import Transform
+from pbrt_tpu.scene.builder import compile_scene
+from pbrt_tpu.scene.host import (
+    CameraConfig, FilmConfig, HostLight, HostMaterial, HostPrimitive,
+    IntegratorConfig, SamplerConfig, SceneDescription, ShapeRecord, TriangleMesh,
+)
+
+
+def _grid(f, u0, u1, v0, v1, n):
+    us = np.linspace(u0, u1, n + 1)
+    vs = np.linspace(v0, v1, n + 1)
+    gu, gv = np.meshgrid(us, vs)
+    verts = np.stack(f(gu, gv), axis=-1).reshape(-1, 3)
+    idx = []
+    for i in range(n):
+        row = i * (n + 1)
+        for j in range(n):
+            a = row + j
+            idx.append([a, a + n + 1, a + 1])
+            idx.append([a + 1, a + n + 1, a + n + 2])
+    return verts.astype(np.float64), np.asarray(idx, np.int32)
+
+
+def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area"):
+    """Enclosed displaced-terrain mini-room (the bench mesh class): ~260
+    triangles, default UVs, matte walls + emissive ceiling panel."""
+    def prim(verts, idx, kind="matte", kd=(0.6, 0.6, 0.6), emit=None):
+        lightp = None
+        if emit is not None:
+            lightp = HostLight(kind="area", intensity=np.asarray(emit, np.float64))
+        mat = HostMaterial(kind=kind, params={"Kd": ("const", np.asarray(kd))}
+                           if kind == "matte" else {})
+        return HostPrimitive(shape=ShapeRecord(mesh=TriangleMesh(p=verts, indices=idx)),
+                             material=mat, area_light=lightp)
+
+    terrain = prim(*_grid(lambda x, z: (x, 0.5 * np.sin(1.9 * x) * np.cos(1.3 * z), z),
+                          -4, 4, -4, 4, 8), kd=(0.55, 0.45, 0.35))
+    y0, y1 = -1.3, 4.0
+    walls = [
+        prim(*_grid(lambda u, v: (u, v, np.full_like(u, -4.0)), -4, 4, y0, y1, 2)),
+        prim(*_grid(lambda u, v: (u, v, np.full_like(u, 4.0)), -4, 4, y0, y1, 2)),
+        prim(*_grid(lambda u, v: (np.full_like(u, -4.0), v, u), -4, 4, y0, y1, 2),
+             kd=(0.55, 0.3, 0.3)),
+        prim(*_grid(lambda u, v: (np.full_like(u, 4.0), v, u), -4, 4, y0, y1, 2),
+             kind="mirror" if with_mirror else "matte", kd=(0.3, 0.55, 0.3)),
+        prim(*_grid(lambda u, v: (u, np.full_like(u, y1), v), -4, 4, -4, 4, 2),
+             kd=(0.7, 0.7, 0.7)),
+    ]
+    panel = prim(*_grid(lambda u, v: (u, np.full_like(u, y1 - 0.01), v), -1.4, 1.4, -1.4, 1.4, 1),
+                 kd=(0.0, 0.0, 0.0), emit=[12.0, 11.0, 10.0])
+    lights = []
+    if light == "distant":
+        lights = [HostLight(kind="distant", from_point=np.array([1.0, 10.0, 2.0]),
+                            to_point=np.zeros(3), intensity=np.array([2.0, 2.0, 2.0]))]
+    return SceneDescription(
+        primitives=[terrain] + walls + [panel],
+        lights=lights,
+        camera=CameraConfig(kind="perspective",
+                            camera_to_world=Transform.look_at([0, 2.3, 3.3], [0, 0.2, -1.0], [0, 1, 0]),
+                            fov=70.0),
+        film=FilmConfig(x_resolution=48, y_resolution=24),
+        sampler=SamplerConfig(kind=sampler, pixel_samples=2),
+        integrator=IntegratorConfig(kind="path", max_depth=4, light_strategy="power"),
+    )
+
+
+@pytest.mark.parametrize("sampler,light", [("zerotwosequence", "area"), ("random", "distant")])
+def test_wide_megakernel_matches_xla_persistent(sampler, light):
+    from pbrt_tpu.device.megakernel_wide import extract_wide_consts, make_wide_megakernel_fn
+    from pbrt_tpu.device.camera import make_camera
+    from pbrt_tpu.render import make_persistent_fn
+
+    desc = _room_scene(sampler=sampler, light=light)
+    cs = compile_scene(desc)
+    assert cs.static.has_wide, "scene must build the wide tables"
+
+    W, H, spp = 48, 24, 2
+    ys, xs = np.mgrid[0:H, 0:W]
+    px = jnp.asarray(xs.ravel().astype(np.int32))
+    py = jnp.asarray(ys.ravel().astype(np.int32))
+    pid = jnp.asarray((ys * W + xs).ravel().astype(np.uint32))
+
+    os.environ["PBRT_TPU_NO_MEGAKERNEL"] = "1"
+    try:
+        ref_fn = make_persistent_fn(cs)
+    finally:
+        del os.environ["PBRT_TPU_NO_MEGAKERNEL"]
+    Lr, wr, nvr = ref_fn(cs.arrays, px, py, pid, jnp.uint32(0), spp, jnp.uint32(0))
+
+    os.environ["PBRT_TPU_MEGAKERNEL_INTERPRET"] = "1"
+    try:
+        cam = make_camera(desc.camera, desc.film)
+        icfg = {"kind": "path", "max_depth": 4, "rr_threshold": desc.integrator.rr_threshold,
+                "light_strategy": "power"}
+        scfg = {"kind": sampler, "spp": spp}
+        fcfg = {"filter": "box", "filter_params": {}, "max_sample_luminance": float("inf")}
+        assert extract_wide_consts(cs, cam, icfg, scfg, fcfg) is not None
+        mk_fn = make_wide_megakernel_fn(cs, cam, icfg, scfg, fcfg)
+    finally:
+        del os.environ["PBRT_TPU_MEGAKERNEL_INTERPRET"]
+    assert mk_fn is not None
+    Lm, wm, nvm = mk_fn(cs.arrays, px, py, pid, jnp.uint32(0), spp, jnp.uint32(0))
+
+    Lr, Lm = np.asarray(Lr), np.asarray(Lm)
+    assert np.allclose(np.asarray(wr), np.asarray(wm))
+    assert abs(float(np.sum(np.asarray(nvr))) - float(np.sum(np.asarray(nvm)))) <= 6
+    diff = np.abs(Lr - Lm)
+    rel = diff / (np.abs(Lr) + 1e-2)
+    assert float(rel.max()) < 2e-2, (float(rel.max()), float(diff.max()))
+    assert float(diff.mean()) < 1e-4
+
+
+def test_wide_megakernel_eligibility_gates():
+    from pbrt_tpu.device.camera import make_camera
+    from pbrt_tpu.device.megakernel_wide import extract_wide_consts
+
+    desc = _room_scene()
+    cs = compile_scene(desc)
+    cam = make_camera(desc.camera, desc.film)
+    icfg = {"kind": "path", "max_depth": 4, "light_strategy": "power"}
+    fcfg = {"filter": "box", "filter_params": {}, "max_sample_luminance": float("inf")}
+    assert extract_wide_consts(cs, cam, icfg, {"kind": "zerotwosequence", "spp": 2}, fcfg) is not None
+    # halton sampler: not baked
+    assert extract_wide_consts(cs, cam, icfg, {"kind": "halton", "spp": 2}, fcfg) is None
+    # non-box filter: not baked
+    fcfg2 = dict(fcfg, filter="gaussian")
+    assert extract_wide_consts(cs, cam, icfg, {"kind": "zerotwosequence", "spp": 2}, fcfg2) is None
