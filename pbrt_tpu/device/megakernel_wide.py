@@ -1027,6 +1027,17 @@ def make_wide_megakernel_fn(cs, cam, icfg, scfg, fcfg, consts=None, interpret=No
         wmeta = sa.wmeta_tab
         kernel = _build_kernel(consts, int(n_samples))
         R = px.shape[0]
+        # packet coherence: each 128-lane sublane row shares ONE traversal
+        # stack, so order lanes into 16x8 pixel tiles instead of raster
+        # strips (1x128 strips measured 3-5x worse traversal unions on the
+        # standalone kernel). Per-pixel sample streams key off pid, so lane
+        # placement cannot change the estimate — outputs are un-permuted.
+        key = (py.astype(jnp.int32) // 8) * jnp.int32(1 << 14) + px.astype(jnp.int32)
+        perm = jnp.argsort(key)
+        inv_perm = jnp.argsort(perm)
+        px = px[perm]
+        py = py[perm]
+        pixel_ids = pixel_ids[perm]
         blk = SUB * LANES
         n_blocks = max((R + blk - 1) // blk, 1)
         Rp = n_blocks * blk
@@ -1068,7 +1079,27 @@ def make_wide_megakernel_fn(cs, cam, icfg, scfg, fcfg, consts=None, interpret=No
             interpret=interpret,
         )(scal, px2, py2, pid2, wmeta, wnode, wprim)
 
-        lr, lg, lb, w, nv = [o.reshape(Rp)[:R] for o in outs]
+        lr, lg, lb, w, nv = [o.reshape(Rp)[:R][inv_perm] for o in outs]
         return jnp.stack([lr, lg, lb], axis=-1), w, nv
+
+    # one tiny probe wave: the traversal megakernel is by far the biggest
+    # Mosaic program in the tree — reject-at-compile must fall back to the
+    # XLA persistent wave instead of killing the render (cf. pallas_bvh
+    # _joint_probe)
+    if not interpret:
+        try:
+            import numpy as _np
+
+            pxp = jnp.asarray(_np.arange(SUB * LANES) % 16, I32)
+            pyp = jnp.asarray(_np.arange(SUB * LANES) // 16 % 8, I32)
+            pidp = jnp.asarray(_np.arange(SUB * LANES), jnp.uint32)
+            out = wave_p(cs.arrays, pxp, pyp, pidp, jnp.uint32(0), 1, jnp.uint32(0))
+            jax.block_until_ready(out)
+        except Exception as e:  # pragma: no cover - backend-specific
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "wide megakernel probe failed (%s); using XLA persistent wave", e)
+            return None
 
     return wave_p
