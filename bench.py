@@ -104,7 +104,10 @@ def _mesh_scene(n_side=248):
         mesh = TriangleMesh(p=verts, indices=idx)
         light = None
         if emit is not None:
-            light = HostLight(kind="area", intensity=np.asarray(emit, np.float64))
+            # two-sided: the panel's winding faces the ceiling; two-sided
+            # emission lights the whole room so every bounce does real NEE
+            light = HostLight(kind="area", intensity=np.asarray(emit, np.float64),
+                              two_sided=True)
         return HostPrimitive(
             shape=ShapeRecord(mesh=mesh),
             material=HostMaterial(kind="matte", params={"Kd": ("const", np.asarray(kd))}),

@@ -42,7 +42,10 @@ def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area"):
     def prim(verts, idx, kind="matte", kd=(0.6, 0.6, 0.6), emit=None):
         lightp = None
         if emit is not None:
-            lightp = HostLight(kind="area", intensity=np.asarray(emit, np.float64))
+            # two-sided so the panel lights the whole room (the grid's
+            # winding makes its normal face the ceiling)
+            lightp = HostLight(kind="area", intensity=np.asarray(emit, np.float64),
+                               two_sided=True)
         mat = HostMaterial(kind=kind, params={"Kd": ("const", np.asarray(kd))}
                            if kind == "matte" else {})
         return HostPrimitive(shape=ShapeRecord(mesh=TriangleMesh(p=verts, indices=idx)),
@@ -117,6 +120,8 @@ def test_wide_megakernel_matches_xla_persistent(sampler, light):
     Lm, wm, nvm = mk_fn(cs.arrays, px, py, pid, jnp.uint32(0), spp, jnp.uint32(0))
 
     Lr, Lm = np.asarray(Lr), np.asarray(Lm)
+    # the scene must produce real signal for the comparison to mean anything
+    assert (Lr.sum(-1) > 1e-4).mean() > 0.5
     assert np.allclose(np.asarray(wr), np.asarray(wm))
     assert abs(float(np.sum(np.asarray(nvr))) - float(np.sum(np.asarray(nvm)))) <= 6
     diff = np.abs(Lr - Lm)
