@@ -145,3 +145,27 @@ def test_wide_megakernel_eligibility_gates():
     # non-box filter: not baked
     fcfg2 = dict(fcfg, filter="gaussian")
     assert extract_wide_consts(cs, cam, icfg, {"kind": "zerotwosequence", "spp": 2}, fcfg2) is None
+
+
+def test_bench_mesh_scene_is_eligible():
+    """The mesh bench config must ride the wide megakernel — catch silent
+    eligibility regressions before they show up as a bench collapse."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("benchmod", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    desc = bench._mesh_scene(n_side=64)  # smaller grid, same structure
+    cs = compile_scene(desc)
+    assert cs.static.has_wide
+
+    from pbrt_tpu.device.camera import make_camera
+    from pbrt_tpu.device.megakernel_wide import extract_wide_consts
+
+    cam = make_camera(desc.camera, desc.film)
+    icfg = {"kind": "path", "max_depth": 5, "rr_threshold": desc.integrator.rr_threshold,
+            "light_strategy": desc.integrator.light_strategy}
+    scfg = {"kind": desc.sampler.kind, "spp": 16}
+    fcfg = {"filter": desc.film.filter_name, "filter_params": dict(desc.film.filter_params),
+            "max_sample_luminance": desc.film.max_sample_luminance}
+    assert extract_wide_consts(cs, cam, icfg, scfg, fcfg) is not None
