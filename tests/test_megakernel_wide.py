@@ -82,13 +82,19 @@ def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area"):
     )
 
 
-@pytest.mark.parametrize("sampler,light", [("zerotwosequence", "area"), ("random", "distant")])
-def test_wide_megakernel_matches_xla_persistent(sampler, light):
+@pytest.mark.parametrize("sampler,light,depth", [
+    ("zerotwosequence", "area", 4),
+    ("random", "distant", 4),
+    # depth 7 exercises Russian roulette (kicks in after bounce 3)
+    ("zerotwosequence", "area", 7),
+])
+def test_wide_megakernel_matches_xla_persistent(sampler, light, depth):
     from pbrt_tpu.device.megakernel_wide import extract_wide_consts, make_wide_megakernel_fn
     from pbrt_tpu.device.camera import make_camera
     from pbrt_tpu.render import make_persistent_fn
 
     desc = _room_scene(sampler=sampler, light=light)
+    desc.integrator.max_depth = depth
     cs = compile_scene(desc)
     assert cs.static.has_wide, "scene must build the wide tables"
 
@@ -108,7 +114,7 @@ def test_wide_megakernel_matches_xla_persistent(sampler, light):
     os.environ["PBRT_TPU_MEGAKERNEL_INTERPRET"] = "1"
     try:
         cam = make_camera(desc.camera, desc.film)
-        icfg = {"kind": "path", "max_depth": 4, "rr_threshold": desc.integrator.rr_threshold,
+        icfg = {"kind": "path", "max_depth": depth, "rr_threshold": desc.integrator.rr_threshold,
                 "light_strategy": "power"}
         scfg = {"kind": sampler, "spp": spp}
         fcfg = {"filter": "box", "filter_params": {}, "max_sample_luminance": float("inf")}
