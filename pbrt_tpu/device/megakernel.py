@@ -257,7 +257,8 @@ def extract_consts(cs, cam, icfg, scfg, fcfg):
     # light selection pmf/cdf (mirror _light_selectors)
     n_l = static.n_lights
     strategy = str(icfg.get("light_strategy", "uniform"))
-    if n_l > 1 and strategy in ("power", "spatial"):
+    uniform_select = not (n_l > 1 and strategy in ("power", "spatial"))
+    if not uniform_select:
         if strategy == "spatial":
             return None  # voxel-grid lookup not baked; XLA path handles it
         from .lights import compute_power
@@ -382,6 +383,7 @@ def extract_consts(cs, cam, icfg, scfg, fcfg):
                    for i in range(n_l)],
         "light_cdf": cdf.astype(float).tolist(),
         "light_pmf": pmf.astype(float).tolist(),
+        "uniform_select": uniform_select,
         "world_radius": float(_h(sa.world_radius)),
         "r2c": r2c,
         "c2w": c2w,
@@ -725,11 +727,17 @@ def _build_kernel(consts, n_samples: int):
         # light selection (dim_base + 0)
         if n_lights > 1:
             u_sel = sample_1d_traced(hbase, s_cur, dim_base)
-            lid = jnp.zeros(u_sel.shape, I32)
-            cdf = consts["light_cdf"]
-            for i in range(n_lights - 1):
-                lid = lid + (u_sel > jnp.float32(cdf[i])).astype(I32)
-            lid = jnp.clip(lid, 0, n_lights - 1)
+            if consts["uniform_select"]:
+                # uniform strategy picks floor(u*n) (integrator._select_light),
+                # NOT a cdf walk — cdf rounding can differ by one light at
+                # f32 boundaries, breaking exact stream parity
+                lid = jnp.minimum((u_sel * n_lights).astype(I32), n_lights - 1)
+            else:
+                lid = jnp.zeros(u_sel.shape, I32)
+                cdf = consts["light_cdf"]
+                for i in range(n_lights - 1):
+                    lid = lid + (u_sel > jnp.float32(cdf[i])).astype(I32)
+                lid = jnp.clip(lid, 0, n_lights - 1)
         else:
             lid = None
         _u1, _u2 = sample_2d_traced(hbase, s_cur, dim_base + 1)  # parity: dims burned

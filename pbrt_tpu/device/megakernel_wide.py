@@ -112,7 +112,8 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
     n_l = static.n_lights
     if strategy == "spatial" and icfg.get("spatial_distribution") is not None and n_l > 1:
         return None  # voxel-grid lookup not baked
-    if n_l > 1 and strategy in ("power", "spatial"):
+    uniform_select = not (n_l > 1 and strategy in ("power", "spatial"))
+    if not uniform_select:
         from .lights import compute_power
 
         pw = _h(compute_power(sa, static))
@@ -187,6 +188,7 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
         "lights": lights,
         "light_cdf": cdf.astype(float).tolist(),
         "light_pmf": pmf.astype(float).tolist(),
+        "uniform_select": uniform_select,
         "world_radius": float(_h(sa.world_radius)),
         "wide_root": int(static.wide_root),
         "r2c": r2c,
@@ -224,7 +226,6 @@ def _build_kernel(consts, n_samples: int):
     wr2 = 2.0 * consts["world_radius"]
     fxw, fyw = consts["filter_xw"], consts["filter_yw"]
     max_lum = consts["max_lum"]
-    root = consts["wide_root"]
     cap = n_samples * (max_depth + 2) + 8
 
     mat_rows = sorted(mats)
@@ -691,11 +692,17 @@ def _build_kernel(consts, n_samples: int):
             """estimate_direct with delta AND diffuse-area lights (MIS)."""
             if n_lights > 1:
                 u_sel = sample_1d_traced(hbase, s_cur, dim_base)
-                lid = jnp.zeros(u_sel.shape, I32)
-                cdfl = consts["light_cdf"]
-                for i in range(n_lights - 1):
-                    lid = lid + (u_sel > jnp.float32(cdfl[i])).astype(I32)
-                lid = jnp.clip(lid, 0, n_lights - 1)
+                if consts["uniform_select"]:
+                    # uniform strategy picks floor(u*n)
+                    # (integrator._select_light), NOT a cdf walk — cdf
+                    # rounding can differ by one light at f32 boundaries
+                    lid = jnp.minimum((u_sel * n_lights).astype(I32), n_lights - 1)
+                else:
+                    lid = jnp.zeros(u_sel.shape, I32)
+                    cdfl = consts["light_cdf"]
+                    for i in range(n_lights - 1):
+                        lid = lid + (u_sel > jnp.float32(cdfl[i])).astype(I32)
+                    lid = jnp.clip(lid, 0, n_lights - 1)
             else:
                 lid = None
             u1, u2 = sample_2d_traced(hbase, s_cur, dim_base + 1)

@@ -36,7 +36,8 @@ def _grid(f, u0, u1, v0, v1, n):
     return verts.astype(np.float64), np.asarray(idx, np.int32)
 
 
-def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area"):
+def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area",
+                strategy="power"):
     """Enclosed displaced-terrain mini-room (the bench mesh class): ~260
     triangles, default UVs, matte walls + emissive ceiling panel."""
     def prim(verts, idx, kind="matte", kd=(0.6, 0.6, 0.6), emit=None):
@@ -67,7 +68,7 @@ def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area"):
     panel = prim(*_grid(lambda u, v: (u, np.full_like(u, y1 - 0.01), v), -1.4, 1.4, -1.4, 1.4, 1),
                  kd=(0.0, 0.0, 0.0), emit=[12.0, 11.0, 10.0])
     lights = []
-    if light == "distant":
+    if light in ("distant", "both"):
         lights = [HostLight(kind="distant", from_point=np.array([1.0, 10.0, 2.0]),
                             to_point=np.zeros(3), intensity=np.array([2.0, 2.0, 2.0]))]
     return SceneDescription(
@@ -78,22 +79,24 @@ def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area"):
                             fov=70.0),
         film=FilmConfig(x_resolution=48, y_resolution=24),
         sampler=SamplerConfig(kind=sampler, pixel_samples=2),
-        integrator=IntegratorConfig(kind="path", max_depth=4, light_strategy="power"),
+        integrator=IntegratorConfig(kind="path", max_depth=4, light_strategy=strategy),
     )
 
 
-@pytest.mark.parametrize("sampler,light,depth", [
-    ("zerotwosequence", "area", 4),
-    ("random", "distant", 4),
+@pytest.mark.parametrize("sampler,light,depth,strategy", [
+    ("zerotwosequence", "area", 4, "power"),
+    ("random", "distant", 4, "power"),
     # depth 7 exercises Russian roulette (kicks in after bounce 3)
-    ("zerotwosequence", "area", 7),
+    ("zerotwosequence", "area", 7, "power"),
+    # 3 lights under UNIFORM selection (floor(u*n), not the cdf walk)
+    ("zerotwosequence", "both", 4, "uniform"),
 ])
-def test_wide_megakernel_matches_xla_persistent(sampler, light, depth):
+def test_wide_megakernel_matches_xla_persistent(sampler, light, depth, strategy):
     from pbrt_tpu.device.megakernel_wide import extract_wide_consts, make_wide_megakernel_fn
     from pbrt_tpu.device.camera import make_camera
     from pbrt_tpu.render import make_persistent_fn
 
-    desc = _room_scene(sampler=sampler, light=light)
+    desc = _room_scene(sampler=sampler, light=light, strategy=strategy)
     desc.integrator.max_depth = depth
     cs = compile_scene(desc)
     assert cs.static.has_wide, "scene must build the wide tables"
@@ -115,7 +118,7 @@ def test_wide_megakernel_matches_xla_persistent(sampler, light, depth):
     try:
         cam = make_camera(desc.camera, desc.film)
         icfg = {"kind": "path", "max_depth": depth, "rr_threshold": desc.integrator.rr_threshold,
-                "light_strategy": "power"}
+                "light_strategy": strategy}
         scfg = {"kind": sampler, "spp": spp}
         fcfg = {"filter": "box", "filter_params": {}, "max_sample_luminance": float("inf")}
         assert extract_wide_consts(cs, cam, icfg, scfg, fcfg) is not None
@@ -158,7 +161,8 @@ def test_bench_mesh_scene_is_eligible():
     eligibility regressions before they show up as a bench collapse."""
     import importlib.util
 
-    spec = importlib.util.spec_from_file_location("benchmod", "/root/repo/bench.py")
+    bench_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+    spec = importlib.util.spec_from_file_location("benchmod", bench_path)
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
     desc = bench._mesh_scene(n_side=64)  # smaller grid, same structure
