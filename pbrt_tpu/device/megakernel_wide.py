@@ -64,6 +64,110 @@ MAX_MATS = 16
 MAX_LIGHTS = 8
 
 
+def _sph_test(pr, ox, oy, oz, dx, dy, dz, t_query):
+    """Full-sphere quadric test with baked constant transforms
+    (megakernel._sph_test — kept in lockstep)."""
+    m = pr["w2o"].astype(np.float64)
+    r = pr["r"]
+
+    def xf_p(m_, x, y, z):
+        return (
+            jnp.float32(m_[0][0]) * x + jnp.float32(m_[0][1]) * y + jnp.float32(m_[0][2]) * z + jnp.float32(m_[0][3]),
+            jnp.float32(m_[1][0]) * x + jnp.float32(m_[1][1]) * y + jnp.float32(m_[1][2]) * z + jnp.float32(m_[1][3]),
+            jnp.float32(m_[2][0]) * x + jnp.float32(m_[2][1]) * y + jnp.float32(m_[2][2]) * z + jnp.float32(m_[2][3]),
+        )
+
+    def xf_v(m_, x, y, z):
+        return (
+            jnp.float32(m_[0][0]) * x + jnp.float32(m_[0][1]) * y + jnp.float32(m_[0][2]) * z,
+            jnp.float32(m_[1][0]) * x + jnp.float32(m_[1][1]) * y + jnp.float32(m_[1][2]) * z,
+            jnp.float32(m_[2][0]) * x + jnp.float32(m_[2][1]) * y + jnp.float32(m_[2][2]) * z,
+        )
+
+    oox, ooy, ooz = xf_p(m, ox, oy, oz)
+    odx, ody, odz = xf_v(m, dx, dy, dz)
+    a = _dot3(odx, ody, odz, odx, ody, odz)
+    b = 2.0 * _dot3(oox, ooy, ooz, odx, ody, odz)
+    c = _dot3(oox, ooy, ooz, oox, ooy, ooz) - jnp.float32(r * r)
+    disc = b * b - 4.0 * a * c
+    has_root = disc > 0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = jnp.where(b < 0, -0.5 * (b - sq), -0.5 * (b + sq))
+    safe = jnp.where(jnp.abs(q) > 1e-30, q, 1.0)
+    t0 = q / jnp.where(jnp.abs(a) > 1e-30, a, 1e-30)
+    t1 = c / safe
+    tn = jnp.minimum(t0, t1)
+    tf = jnp.maximum(t0, t1)
+    near_valid = has_root & (tn > EPS) & (tn < t_query)
+    far_valid = has_root & (tf > EPS) & (tf < t_query)
+    t = jnp.where(near_valid, tn, tf)
+    hit = near_valid | far_valid
+    px_ = oox + odx * t
+    py_ = ooy + ody * t
+    pz_ = ooz + odz * t
+    return hit, t, (px_, py_, pz_)
+
+
+def _sph_attrs(pr, p_loc):
+    """surface_interaction sphere branch with constant transforms
+    (megakernel._sph_attrs — kept in lockstep)."""
+    r = pr["r"]
+    o2w = pr["o2w"].astype(np.float64)
+    w2o = pr["w2o"].astype(np.float64)
+    px_o, py_o, pz_o = p_loc
+    norm = jnp.sqrt(jnp.maximum(px_o * px_o + py_o * py_o + pz_o * pz_o, 1e-30))
+    scale = jnp.float32(r) / jnp.maximum(norm, 1e-30)
+    px_o, py_o, pz_o = px_o * scale, py_o * scale, pz_o * scale
+    nx_o, ny_o, nz_o = px_o / jnp.float32(r), py_o / jnp.float32(r), pz_o / jnp.float32(r)
+    ngx = jnp.float32(w2o[0][0]) * nx_o + jnp.float32(w2o[1][0]) * ny_o + jnp.float32(w2o[2][0]) * nz_o
+    ngy = jnp.float32(w2o[0][1]) * nx_o + jnp.float32(w2o[1][1]) * ny_o + jnp.float32(w2o[2][1]) * nz_o
+    ngz = jnp.float32(w2o[0][2]) * nx_o + jnp.float32(w2o[1][2]) * ny_o + jnp.float32(w2o[2][2]) * nz_o
+    ngx, ngy, ngz = _norm3(ngx, ngy, ngz)
+    if pr["flags"] & FLAG_FLIP_GEOM_N:
+        ngx, ngy, ngz = -ngx, -ngy, -ngz
+    pm = jnp.float32(pr["phimax"])
+    dux_o, duy_o = -pm * py_o, pm * px_o
+    dux = jnp.float32(o2w[0][0]) * dux_o + jnp.float32(o2w[0][1]) * duy_o
+    duy = jnp.float32(o2w[1][0]) * dux_o + jnp.float32(o2w[1][1]) * duy_o
+    duz = jnp.float32(o2w[2][0]) * dux_o + jnp.float32(o2w[2][1]) * duy_o
+    dot_nd = _dot3(ngx, ngy, ngz, dux, duy, duz)
+    sx_p = dux - ngx * dot_nd
+    sy_p = duy - ngy * dot_nd
+    sz_p = duz - ngz * dot_nd
+    sl = jnp.sqrt(jnp.maximum(sx_p * sx_p + sy_p * sy_p + sz_p * sz_p, 0.0))
+    ok = sl > 1e-9
+    inv_sl = 1.0 / jnp.maximum(sl, 1e-20)
+    sign = jnp.where(ngz >= 0.0, 1.0, -1.0)
+    a_f = -1.0 / (sign + ngz)
+    b_f = ngx * ngy * a_f
+    fx = 1.0 + sign * ngx * ngx * a_f
+    fy = sign * b_f
+    fz = -sign * ngx
+    ssx = jnp.where(ok, sx_p * inv_sl, fx)
+    ssy = jnp.where(ok, sy_p * inv_sl, fy)
+    ssz = jnp.where(ok, sz_p * inv_sl, fz)
+    tsx = ngy * ssz - ngz * ssy
+    tsy = ngz * ssx - ngx * ssz
+    tsz = ngx * ssy - ngy * ssx
+    pxw = jnp.float32(o2w[0][0]) * px_o + jnp.float32(o2w[0][1]) * py_o + jnp.float32(o2w[0][2]) * pz_o + jnp.float32(o2w[0][3])
+    pyw = jnp.float32(o2w[1][0]) * px_o + jnp.float32(o2w[1][1]) * py_o + jnp.float32(o2w[1][2]) * pz_o + jnp.float32(o2w[1][3])
+    pzw = jnp.float32(o2w[2][0]) * px_o + jnp.float32(o2w[2][1]) * py_o + jnp.float32(o2w[2][2]) * pz_o + jnp.float32(o2w[2][3])
+    g53 = _gamma(5) + _gamma(3)
+    g3 = _gamma(3)
+    apx, apy, apz = jnp.abs(px_o), jnp.abs(py_o), jnp.abs(pz_o)
+    errs = []
+    for row in range(3):
+        e = g53 * (abs(o2w[row][0]) * apx + abs(o2w[row][1]) * apy + abs(o2w[row][2]) * apz) \
+            + g3 * abs(o2w[row][3])
+        errs.append(e)
+    return {"px": pxw, "py": pyw, "pz": pzw,
+            "ngx": ngx, "ngy": ngy, "ngz": ngz,
+            "nsx": ngx, "nsy": ngy, "nsz": ngz,
+            "ssx": ssx, "ssy": ssy, "ssz": ssz,
+            "tsx": tsx, "tsy": tsy, "tsz": tsz,
+            "ex": errs[0], "ey": errs[1], "ez": errs[2]}
+
+
 # ---------------------------------------------------------------------------
 # Eligibility + constant extraction
 # ---------------------------------------------------------------------------
@@ -73,12 +177,14 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
     """Bake everything except geometry into constants, or None if the scene
     is outside this kernel's class (geometry rides the wide tables)."""
     sa, static, desc = cs.arrays, cs.static, cs.description
-    if not getattr(static, "has_wide", False):
+    if not getattr(static, "has_wide_tri", getattr(static, "has_wide", False)):
         return None
     wmeta = getattr(sa, "wmeta_tab", None)
     if wmeta is None or wmeta.shape[0] * 4 > SMEM_META_MAX_BYTES:
         return None
-    if static.n_spheres or static.n_media or static.has_infinite:
+    if static.n_media or static.has_infinite:
+        return None
+    if static.n_spheres > 8:
         return None
     if getattr(static, "has_motion", False) or getattr(static, "has_alpha", False):
         return None
@@ -151,6 +257,31 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
         else:
             return None
 
+    # baked full spheres (mixed scenes; megakernel.extract_consts pattern)
+    from ..scene.arrays import QUADRIC_SPHERE
+
+    spheres = []
+    if static.n_spheres:
+        sph_w2o = _h(sa.sph_w2o)
+        sph_o2w = _h(sa.sph_o2w)
+        sph_par = _h(sa.sph_param)
+        sph_kind = _h(sa.sph_kind)
+        sph_pid = _h(sa.sph_prim_ids)
+        for i in range(sph_par.shape[0]):
+            if int(sph_kind[i]) != QUADRIC_SPHERE:
+                return None
+            r = float(sph_par[i, 0])
+            zmin, zmax, phimax = float(sph_par[i, 1]), float(sph_par[i, 2]), float(sph_par[i, 3])
+            if not (zmin <= -r + 1e-7 * r and zmax >= r - 1e-7 * r and phimax >= 2 * np.pi - 1e-6):
+                return None  # partial spheres keep the XLA clip path
+            pid = int(sph_pid[i])
+            if int(_h(sa.prim_light)[pid]) >= 0:
+                return None  # sphere area lights keep the XLA path
+            spheres.append({
+                "w2o": sph_w2o[i], "o2w": sph_o2w[i], "r": r, "phimax": phimax,
+                "mat": int(prim_mat[pid]), "flags": int(prim_flags[pid]),
+            })
+
     # material lobes baked exactly like megakernel.extract_consts
     from .materials import make_bsdf
 
@@ -186,6 +317,7 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
     return {
         "mats": mats,
         "lights": lights,
+        "spheres": spheres,
         "light_cdf": cdf.astype(float).tolist(),
         "light_pmf": pmf.astype(float).tolist(),
         "uniform_select": uniform_select,
@@ -216,6 +348,7 @@ def wide_megakernel_eligible(cs, cam, icfg, scfg, fcfg) -> bool:
 
 def _build_kernel(consts, n_samples: int):
     mats = consts["mats"]
+    spheres = consts.get("spheres", [])
     lights = consts["lights"]
     n_lights = len(lights)
     max_depth = consts["max_depth"]
@@ -798,6 +931,9 @@ def _build_kernel(consts, n_samples: int):
                                         wix, wiy, wiz, at["ex"], at["ey"], at["ez"])
             t_sh = jnp.where(contributes, dist * jnp.float32(1.0 - 2.0 * RAY_EPS), jnp.float32(-1.0))
             occ = traverse(osx, osy, osz, wix, wiy, wiz, t_sh, any_hit=True)
+            for pr in spheres:
+                h_s, _t_s, _pl = _sph_test(pr, osx, osy, osz, wix, wiy, wiz, t_sh)
+                occ = occ | h_s
             vis = jnp.where(occ, 0.0, 1.0)
             w_l = jnp.where(is_delta, 1.0, power_heuristic(p_sel, p_b))
             scale = vis * w_l / jnp.maximum(p_sel, 1e-30)
@@ -839,14 +975,29 @@ def _build_kernel(consts, n_samples: int):
             t_query = jnp.where(alive_b, jnp.float32(np.inf), jnp.float32(-1.0))
             tr = traverse(ox, oy, oz, dx, dy, dz, t_query, any_hit=False)
             valid = tr["hit"]
-            nv = nv + jnp.where(alive_b & valid, 1.0, 0.0)
             at = surface_attrs(tr, ox, oy, oz, dx, dy, dz)
+            lid_h = tr["light"]
+            if spheres:
+                # baked full spheres merged against the traversal winner
+                BIG = jnp.float32(1e30)
+                t_all = jnp.where(valid, tr["t"], BIG)
+                for pr in spheres:
+                    h_s, t_s, p_loc = _sph_test(pr, ox, oy, oz, dx, dy, dz, t_query)
+                    t_s = jnp.where(h_s, t_s, BIG)
+                    better = t_s < t_all
+                    t_all = jnp.where(better, t_s, t_all)
+                    at_s = _sph_attrs(pr, p_loc)
+                    for k_, v_ in at_s.items():
+                        at[k_] = jnp.where(better, v_, at[k_])
+                    at["mat"] = jnp.where(better, pr["mat"], at["mat"])
+                    valid = valid | better
+                    lid_h = jnp.where(better, -1, lid_h)
+            nv = nv + jnp.where(alive_b & valid, 1.0, 0.0)
 
             wox, woy, woz = -dx, -dy, -dz
             # area-light emission pickup with deferred MIS
             # (trace_persistent:718-736; diffuse.rs l())
             if any_area:
-                lid_h = tr["light"]
                 emitting = alive_b & valid & (lid_h >= 0)
                 ler = jnp.zeros(shape, F32)
                 leg = jnp.zeros(shape, F32)

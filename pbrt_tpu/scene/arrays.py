@@ -253,6 +253,9 @@ class SceneStatic:
     has_wide: bool = False  # wide-BVH tables built (Pallas traversal eligible)
     wide_root: int = 1  # wide-BVH root node id
     has_cone_sphere_lights: bool = False  # any full-sphere area light (cone NEE eligible)
+    has_wide_tri: bool = False  # wide tables over the TRIANGLE subset exist
+    # (true whenever has_wide is; also for mixed tri+sphere scenes, where
+    # the XLA wide path stays off but the wide megakernel bakes the spheres)
 
 
 def scene_byte_size(sa: SceneArrays) -> int:

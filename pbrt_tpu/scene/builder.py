@@ -907,33 +907,44 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     # --- wide BVH for the Pallas traversal kernel (device/pallas_bvh.py) ---
     # eligible: triangle-only static scenes big enough that the BVH matters.
     has_wide = False
+    has_wide_tri = False
     wide = None
+    pk_np = np.asarray(prim_kind) if n_prims else np.zeros(0, np.int64)
+    tri_prim_rows = np.where(pk_np == GEOM_TRI)[0]
+    all_tri = n_prims > 0 and len(tri_prim_rows) == n_prims
+    # pure-tri scenes: the XLA wide path covers everything (has_wide).
+    # mixed scenes with a handful of full spheres: build the tables over the
+    # TRIANGLE subset only, for the wide megakernel (which bakes the spheres
+    # as constants); the XLA path keeps its own BVH (has_wide stays False)
+    mixed_ok = (not all_tri and len(tri_prim_rows) > BRUTE_FORCE_MAX_PRIMS
+                and 0 < len(sph_o2w) <= 8)
     if (
         n_prims > BRUTE_FORCE_MAX_PRIMS
         and accel_kind == "bvh"
         and not any_motion
-        and len(sph_o2w) == 0
         and len(inst_i2w_rows) == 1
-        and bool(np.all(np.asarray(prim_kind) == GEOM_TRI))
+        and (all_tri or mixed_ok)
     ):
         from .widebvh import build_wide_bvh
 
-        pg_all = np.asarray(prim_geom)
-        tv = tri_p_cat[pg_all]  # (P, 3, 3) per-prim triangle verts
+        rows = tri_prim_rows
+        pg_all = np.asarray(prim_geom)[rows]
+        tv = tri_p_cat[pg_all]  # (T, 3, 3) per-prim triangle verts
         # shading payload in the spare row columns (cols 11/12/13): the wide
         # megakernel extracts winner mat/light/flip with leaf-phase masked
         # reductions (exact in f32: ids < 2^24)
         extra = np.stack([
-            np.asarray(prim_mat, np.float32),
-            np.asarray(prim_light, np.float32),
-            np.asarray(prim_flags, np.float32),
+            np.asarray(prim_mat, np.float32)[rows],
+            np.asarray(prim_light, np.float32)[rows],
+            np.asarray(prim_flags, np.float32)[rows],
         ], axis=1)
         wide = build_wide_bvh(
-            np.asarray(prim_lo), np.asarray(prim_hi),
+            np.asarray(prim_lo)[rows], np.asarray(prim_hi)[rows],
             tv[:, 0], tv[:, 1], tv[:, 2],
             extra_cols=extra,
         )
-        has_wide = True
+        has_wide_tri = True
+        has_wide = all_tri
 
     arrays = SceneArrays(
         tri_p=jnp.asarray(tri_p_cat),
@@ -997,10 +1008,10 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         inst_i2w=jnp.asarray(np.asarray(inst_i2w_rows, dtype=np.float32).reshape(-1, 3, 4)),
         inst_w2i=jnp.asarray(np.asarray(inst_w2i_rows, dtype=np.float32).reshape(-1, 3, 4)),
         prim_shadow_alpha_tex=jnp.asarray(np.asarray(prim_shadow_alpha, dtype=np.int32)),
-        wnode_tab=jnp.asarray(wide.node_tab) if has_wide else None,
-        wprim_tab=jnp.asarray(wide.prim_tab) if has_wide else None,
-        wslot_prim=jnp.asarray(wide.slot_prim) if has_wide else None,
-        wmeta_tab=jnp.asarray(wide.meta_tab) if has_wide else None,
+        wnode_tab=jnp.asarray(wide.node_tab) if has_wide_tri else None,
+        wprim_tab=jnp.asarray(wide.prim_tab) if has_wide_tri else None,
+        wslot_prim=jnp.asarray(wide.slot_prim) if has_wide_tri else None,
+        wmeta_tab=jnp.asarray(wide.meta_tab) if has_wide_tri else None,
         **sss_arrays,
     )
     static = SceneStatic(
@@ -1046,7 +1057,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         accel_kind=accel_kind if kd is not None else "bvh",
         kd_max_leaf=int(kd.max_leaf) if kd is not None else 1,
         has_wide=has_wide,
-        wide_root=wide.root if has_wide else 1,
+        has_wide_tri=has_wide_tri,
+        wide_root=wide.root if has_wide_tri else 1,
     )
     return CompiledScene(arrays=arrays, static=static, description=desc)
 

@@ -179,3 +179,65 @@ def test_bench_mesh_scene_is_eligible():
     fcfg = {"filter": desc.film.filter_name, "filter_params": dict(desc.film.filter_params),
             "max_sample_luminance": desc.film.max_sample_luminance}
     assert extract_wide_consts(cs, cam, icfg, scfg, fcfg) is not None
+
+
+def test_wide_megakernel_mixed_spheres():
+    """Mixed triangle+sphere scenes: the wide tables cover the triangle
+    subset and the (<=8) full spheres are baked constants tested against
+    the traversal winner. Reference = the XLA wave with its own all-prim
+    BVH (has_wide stays False for mixed scenes)."""
+    from pbrt_tpu.device.camera import make_camera
+    from pbrt_tpu.device.megakernel_wide import make_wide_megakernel_fn
+    from pbrt_tpu.render import make_persistent_fn
+    from pbrt_tpu.scene.host import Sphere
+
+    desc = _room_scene(light="area")
+    desc.primitives.append(HostPrimitive(
+        shape=ShapeRecord(sphere=Sphere(object_to_world=Transform.translate([-1.2, 1.0, 0.0]),
+                                        radius=0.8)),
+        material=HostMaterial(kind="mirror", params={"Kr": ("const", np.array([0.9, 0.9, 0.9]))})))
+    desc.primitives.append(HostPrimitive(
+        shape=ShapeRecord(sphere=Sphere(object_to_world=Transform.translate([1.4, 0.9, 0.5]),
+                                        radius=0.6)),
+        material=HostMaterial(kind="glass", params={})))
+    cs = compile_scene(desc)
+    assert not cs.static.has_wide  # mixed: XLA wide path must stay off
+    assert cs.static.has_wide_tri
+    assert cs.static.n_spheres == 2
+
+    W, H, spp = 48, 24, 2
+    ys, xs = np.mgrid[0:H, 0:W]
+    px = jnp.asarray(xs.ravel().astype(np.int32))
+    py = jnp.asarray(ys.ravel().astype(np.int32))
+    pid = jnp.asarray((ys * W + xs).ravel().astype(np.uint32))
+
+    os.environ["PBRT_TPU_NO_MEGAKERNEL"] = "1"
+    os.environ["PBRT_TPU_WIDEMEGA"] = "0"
+    try:
+        ref_fn = make_persistent_fn(cs)
+    finally:
+        del os.environ["PBRT_TPU_NO_MEGAKERNEL"]
+        del os.environ["PBRT_TPU_WIDEMEGA"]
+    Lr, wr, nvr = ref_fn(cs.arrays, px, py, pid, jnp.uint32(0), spp, jnp.uint32(0))
+
+    cam = make_camera(desc.camera, desc.film)
+    icfg = {"kind": "path", "max_depth": 4, "rr_threshold": desc.integrator.rr_threshold,
+            "light_strategy": "power"}
+    scfg = {"kind": "zerotwosequence", "spp": spp}
+    fcfg = {"filter": "box", "filter_params": {}, "max_sample_luminance": float("inf")}
+    os.environ["PBRT_TPU_MEGAKERNEL_INTERPRET"] = "1"
+    try:
+        mk_fn = make_wide_megakernel_fn(cs, cam, icfg, scfg, fcfg)
+    finally:
+        del os.environ["PBRT_TPU_MEGAKERNEL_INTERPRET"]
+    assert mk_fn is not None
+    Lm, wm, nvm = mk_fn(cs.arrays, px, py, pid, jnp.uint32(0), spp, jnp.uint32(0))
+
+    Lr, Lm = np.asarray(Lr), np.asarray(Lm)
+    assert (Lr.sum(-1) > 1e-4).mean() > 0.5
+    assert np.allclose(np.asarray(wr), np.asarray(wm))
+    assert abs(float(np.sum(np.asarray(nvr))) - float(np.sum(np.asarray(nvm)))) <= 6
+    diff = np.abs(Lr - Lm)
+    rel = diff / (np.abs(Lr) + 1e-2)
+    assert float(rel.max()) < 2e-2, (float(rel.max()), float(diff.max()))
+    assert float(diff.mean()) < 1e-4
