@@ -192,8 +192,6 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
         return None
     if cam["kind"] != 0 or cam.get("anim") is not None or cam.get("realistic") is not None:
         return None
-    if float(_h(cam["lens_radius"])) != 0.0:
-        return None
     if scfg["kind"] not in ("zerotwosequence", "lowdiscrepancy", "random"):
         return None
     if fcfg["filter"] not in ("box",):
@@ -325,6 +323,8 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
         "wide_root": int(static.wide_root),
         "r2c": r2c,
         "c2w": c2w,
+        "lens_radius": float(_h(cam["lens_radius"])),
+        "focal_distance": float(_h(cam["focal_distance"])),
         "filter_xw": float(fcfg["filter_params"].get("xwidth", 0.5)),
         "filter_yw": float(fcfg["filter_params"].get("ywidth", fcfg["filter_params"].get("xwidth", 0.5))),
         "max_depth": int(icfg["max_depth"]),
@@ -418,7 +418,10 @@ def _build_kernel(consts, n_samples: int):
         s2 = _pcg(hbase ^ (d2 + U32(1)))
         return _sample02(s_cur, s1, s2)
 
-    def camera_ray(pxf, pyf):
+    lens_r = consts["lens_radius"]
+    focal = consts["focal_distance"]
+
+    def camera_ray(pxf, pyf, ul1=None, ul2=None):
         cx = jnp.float32(r2c[0][0]) * pxf + jnp.float32(r2c[0][1]) * pyf + jnp.float32(r2c[0][3])
         cy = jnp.float32(r2c[1][0]) * pxf + jnp.float32(r2c[1][1]) * pyf + jnp.float32(r2c[1][3])
         cz = jnp.float32(r2c[2][0]) * pxf + jnp.float32(r2c[2][1]) * pyf + jnp.float32(r2c[2][3])
@@ -426,13 +429,24 @@ def _build_kernel(consts, n_samples: int):
         inv_w = 1.0 / w
         cx, cy, cz = cx * inv_w, cy * inv_w, cz * inv_w
         dx, dy, dz = _norm3(cx, cy, cz)
+        if lens_r > 0:
+            # thin-lens DoF (camera.generate_rays / perspective.rs)
+            llx, lly = _concentric_disk(ul1, ul2)
+            llx = jnp.float32(lens_r) * llx
+            lly = jnp.float32(lens_r) * lly
+            ft = jnp.float32(focal) / jnp.maximum(dz, 1e-9)
+            fx_, fy_, fz_ = dx * ft, dy * ft, dz * ft
+            dx, dy, dz = _norm3(fx_ - llx, fy_ - lly, fz_)
+            ocx, ocy, ocz = llx, lly, jnp.zeros_like(llx)
+        else:
+            ocx = ocy = ocz = jnp.zeros_like(pxf)
         wx = jnp.float32(c2w[0][0]) * dx + jnp.float32(c2w[0][1]) * dy + jnp.float32(c2w[0][2]) * dz
         wy = jnp.float32(c2w[1][0]) * dx + jnp.float32(c2w[1][1]) * dy + jnp.float32(c2w[1][2]) * dz
         wz = jnp.float32(c2w[2][0]) * dx + jnp.float32(c2w[2][1]) * dy + jnp.float32(c2w[2][2]) * dz
         wx, wy, wz = _norm3(wx, wy, wz)
-        ox = jnp.broadcast_to(jnp.float32(c2w[0][3]), pxf.shape)
-        oy = jnp.broadcast_to(jnp.float32(c2w[1][3]), pxf.shape)
-        oz = jnp.broadcast_to(jnp.float32(c2w[2][3]), pxf.shape)
+        ox = jnp.float32(c2w[0][0]) * ocx + jnp.float32(c2w[0][1]) * ocy + jnp.float32(c2w[0][2]) * ocz + jnp.float32(c2w[0][3])
+        oy = jnp.float32(c2w[1][0]) * ocx + jnp.float32(c2w[1][1]) * ocy + jnp.float32(c2w[1][2]) * ocz + jnp.float32(c2w[1][3])
+        oz = jnp.float32(c2w[2][0]) * ocx + jnp.float32(c2w[2][1]) * ocy + jnp.float32(c2w[2][2]) * ocz + jnp.float32(c2w[2][3])
         return ox, oy, oz, wx, wy, wz
 
     def regen(hbase, px_f, py_f, s_sel):
@@ -446,6 +460,19 @@ def _build_kernel(consts, n_samples: int):
             u1, u2 = _sample02(s_sel, s1, s2)
         dx = (2.0 * u1 - 1.0) * jnp.float32(fxw)
         dy = (2.0 * u2 - 1.0) * jnp.float32(fyw)
+        if lens_r > 0:
+            # lens dims = static dim 1 (make_regen samples dim 1 always;
+            # unused streams are keyed, not sequential, so pinhole needn't
+            # burn them)
+            if is_random:
+                h = _pcg(hbase ^ s_sel)
+                ul1 = _u2f01(_pcg(h ^ U32(2)))
+                ul2 = _u2f01(_pcg(h ^ U32(3)))
+            else:
+                l1 = _pcg(hbase ^ U32(2))
+                l2 = _pcg(hbase ^ U32(3))
+                ul1, ul2 = _sample02(s_sel, l1, l2)
+            return camera_ray(px_f + 0.5 + dx, py_f + 0.5 + dy, ul1, ul2)
         return camera_ray(px_f + 0.5 + dx, py_f + 0.5 + dy)
 
     def _fresnel_dielectric_var(cos_i, eta):

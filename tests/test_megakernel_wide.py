@@ -90,14 +90,20 @@ def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area",
     ("zerotwosequence", "area", 7, "power"),
     # 3 lights under UNIFORM selection (floor(u*n), not the cdf walk)
     ("zerotwosequence", "both", 4, "uniform"),
+    # thin-lens depth of field (lens dims = static dim 1)
+    ("zerotwosequence", "dof", 4, "power"),
 ])
 def test_wide_megakernel_matches_xla_persistent(sampler, light, depth, strategy):
     from pbrt_tpu.device.megakernel_wide import extract_wide_consts, make_wide_megakernel_fn
     from pbrt_tpu.device.camera import make_camera
     from pbrt_tpu.render import make_persistent_fn
 
-    desc = _room_scene(sampler=sampler, light=light, strategy=strategy)
+    desc = _room_scene(sampler=sampler, light="area" if light == "dof" else light,
+                       strategy=strategy)
     desc.integrator.max_depth = depth
+    if light == "dof":
+        desc.camera.lens_radius = 0.15
+        desc.camera.focal_distance = 4.0
     cs = compile_scene(desc)
     assert cs.static.has_wide, "scene must build the wide tables"
 
