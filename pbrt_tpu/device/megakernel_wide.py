@@ -194,7 +194,8 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
         return None
     if scfg["kind"] not in ("zerotwosequence", "lowdiscrepancy", "random"):
         return None
-    if fcfg["filter"] not in ("box",):
+    # unit-weight filters only (mitchell/sinc need per-sample f/p weights)
+    if fcfg["filter"] not in ("box", "triangle", "gaussian"):
         return None
     for p in static.tex_programs:
         if p.kind != "constant":
@@ -325,6 +326,8 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
         "c2w": c2w,
         "lens_radius": float(_h(cam["lens_radius"])),
         "focal_distance": float(_h(cam["focal_distance"])),
+        "filter": fcfg["filter"],
+        "filter_params": dict(fcfg["filter_params"]),
         "filter_xw": float(fcfg["filter_params"].get("xwidth", 0.5)),
         "filter_yw": float(fcfg["filter_params"].get("ywidth", fcfg["filter_params"].get("xwidth", 0.5))),
         "max_depth": int(icfg["max_depth"]),
@@ -420,6 +423,42 @@ def _build_kernel(consts, n_samples: int):
 
     lens_r = consts["lens_radius"]
     focal = consts["focal_distance"]
+    filter_name = consts.get("filter", "box")
+    fparams = consts.get("filter_params", {})
+
+    def _erfinv(x):
+        # Winitzki approximation (render._erfinv — kept in lockstep)
+        a = 0.147
+        ln1 = jnp.log(jnp.maximum(1.0 - x * x, 1e-30))
+        t1 = 2.0 / (jnp.pi * a) + ln1 / 2.0
+        return jnp.sign(x) * jnp.sqrt(jnp.maximum(jnp.sqrt(t1 * t1 - ln1 / a) - t1, 0.0))
+
+    def filter_xy(u1, u2):
+        """render.filter_offset for the unit-weight filters."""
+        if filter_name == "triangle":
+            import math as _math
+
+            r = fparams.get("xwidth", 2.0)
+            ry = fparams.get("ywidth", r)
+
+            def tent(u):
+                return jnp.where(u < 0.5,
+                                 jnp.sqrt(jnp.maximum(2.0 * u, 0.0)) - 1.0,
+                                 1.0 - jnp.sqrt(jnp.maximum(2.0 - 2.0 * u, 0.0)))
+
+            return tent(u1) * jnp.float32(r), tent(u2) * jnp.float32(ry)
+        if filter_name == "gaussian":
+            import math as _math
+
+            r = fparams.get("xwidth", 2.0)
+            ry = fparams.get("ywidth", r)
+            alpha = fparams.get("alpha", 2.0)
+            sigma = 1.0 / _math.sqrt(2.0 * alpha)
+            k = jnp.float32(sigma * _math.sqrt(2.0))
+            dx = jnp.clip(k * _erfinv(2.0 * u1 - 1.0), -r, r)
+            dy = jnp.clip(k * _erfinv(2.0 * u2 - 1.0), -ry, ry)
+            return dx, dy
+        return (2.0 * u1 - 1.0) * jnp.float32(fxw), (2.0 * u2 - 1.0) * jnp.float32(fyw)
 
     def camera_ray(pxf, pyf, ul1=None, ul2=None):
         cx = jnp.float32(r2c[0][0]) * pxf + jnp.float32(r2c[0][1]) * pyf + jnp.float32(r2c[0][3])
@@ -458,8 +497,7 @@ def _build_kernel(consts, n_samples: int):
             s1 = _pcg(hbase ^ U32(0))
             s2 = _pcg(hbase ^ U32(1))
             u1, u2 = _sample02(s_sel, s1, s2)
-        dx = (2.0 * u1 - 1.0) * jnp.float32(fxw)
-        dy = (2.0 * u2 - 1.0) * jnp.float32(fyw)
+        dx, dy = filter_xy(u1, u2)
         if lens_r > 0:
             # lens dims = static dim 1 (make_regen samples dim 1 always;
             # unused streams are keyed, not sequential, so pinhole needn't

@@ -92,18 +92,24 @@ def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area",
     ("zerotwosequence", "both", 4, "uniform"),
     # thin-lens depth of field (lens dims = static dim 1)
     ("zerotwosequence", "dof", 4, "power"),
+    # gaussian pixel filter (erfinv importance sampling, unit weights)
+    ("zerotwosequence", "gauss", 4, "power"),
 ])
 def test_wide_megakernel_matches_xla_persistent(sampler, light, depth, strategy):
     from pbrt_tpu.device.megakernel_wide import extract_wide_consts, make_wide_megakernel_fn
     from pbrt_tpu.device.camera import make_camera
     from pbrt_tpu.render import make_persistent_fn
 
-    desc = _room_scene(sampler=sampler, light="area" if light == "dof" else light,
+    desc = _room_scene(sampler=sampler,
+                       light="area" if light in ("dof", "gauss") else light,
                        strategy=strategy)
     desc.integrator.max_depth = depth
     if light == "dof":
         desc.camera.lens_radius = 0.15
         desc.camera.focal_distance = 4.0
+    if light == "gauss":
+        desc.film.filter_name = "gaussian"
+        desc.film.filter_params = {"xwidth": 1.5, "alpha": 2.0}
     cs = compile_scene(desc)
     assert cs.static.has_wide, "scene must build the wide tables"
 
@@ -126,7 +132,9 @@ def test_wide_megakernel_matches_xla_persistent(sampler, light, depth, strategy)
         icfg = {"kind": "path", "max_depth": depth, "rr_threshold": desc.integrator.rr_threshold,
                 "light_strategy": strategy}
         scfg = {"kind": sampler, "spp": spp}
-        fcfg = {"filter": "box", "filter_params": {}, "max_sample_luminance": float("inf")}
+        fcfg = {"filter": desc.film.filter_name,
+                "filter_params": dict(desc.film.filter_params),
+                "max_sample_luminance": float("inf")}
         assert extract_wide_consts(cs, cam, icfg, scfg, fcfg) is not None
         mk_fn = make_wide_megakernel_fn(cs, cam, icfg, scfg, fcfg)
     finally:
