@@ -165,8 +165,8 @@ def test_wide_megakernel_eligibility_gates():
     assert extract_wide_consts(cs, cam, icfg, {"kind": "zerotwosequence", "spp": 2}, fcfg) is not None
     # halton sampler: not baked
     assert extract_wide_consts(cs, cam, icfg, {"kind": "halton", "spp": 2}, fcfg) is None
-    # non-box filter: not baked
-    fcfg2 = dict(fcfg, filter="gaussian")
+    # negative-lobe filters need per-sample f/p weights: not baked
+    fcfg2 = dict(fcfg, filter="mitchell")
     assert extract_wide_consts(cs, cam, icfg, {"kind": "zerotwosequence", "spp": 2}, fcfg2) is None
 
 
