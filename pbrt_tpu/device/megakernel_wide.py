@@ -37,6 +37,7 @@ diffuse.rs (area emission), integrator.rs:109-237 (estimate_direct MIS).
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 
@@ -192,8 +193,10 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
         return None
     if cam["kind"] != 0 or cam.get("anim") is not None or cam.get("realistic") is not None:
         return None
-    if scfg["kind"] not in ("zerotwosequence", "lowdiscrepancy", "random"):
+    if scfg["kind"] not in ("zerotwosequence", "lowdiscrepancy", "random", "stratified"):
         return None
+    if scfg["kind"] == "stratified" and float(_h(cam["lens_radius"])) != 0.0:
+        return None  # lens dim 1 strata (rot + grid) not baked
     # unit-weight filters only (mitchell/sinc need per-sample f/p weights)
     if fcfg["filter"] not in ("box", "triangle", "gaussian"):
         return None
@@ -333,6 +336,7 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
         "max_depth": int(icfg["max_depth"]),
         "rr_threshold": float(icfg.get("rr_threshold", 1.0)),
         "sampler": scfg["kind"],
+        "spp": int(scfg["spp"]),
         "max_lum": float(fcfg.get("max_sample_luminance", float("inf"))),
     }
 
@@ -356,7 +360,11 @@ def _build_kernel(consts, n_samples: int):
     n_lights = len(lights)
     max_depth = consts["max_depth"]
     rr_threshold = consts["rr_threshold"]
-    is_random = consts["sampler"] == "random"
+    is_random = consts["sampler"] in ("random", "stratified")
+    is_stratified = consts["sampler"] == "stratified"
+    spp_cfg = max(int(consts.get("spp", 1)), 1)
+    strat_xs = max(int(math.floor(math.sqrt(spp_cfg))), 1)
+    strat_ys = max(spp_cfg // strat_xs, 1)
     r2c = consts["r2c"]
     c2w = consts["c2w"]
     wr2 = 2.0 * consts["world_radius"]
@@ -493,6 +501,14 @@ def _build_kernel(consts, n_samples: int):
             h = _pcg(hbase ^ s_sel)
             u1 = _u2f01(_pcg(h ^ U32(0)))
             u2 = _u2f01(_pcg(h ^ U32(1)))
+            if is_stratified:
+                # jittered strata on the film dim (sampler.sample_2d
+                # stratified, dim 0: idx = sample, no rotation)
+                idx = s_sel.astype(I32) % jnp.int32(strat_xs * strat_ys)
+                sxs = (idx % strat_xs).astype(F32)
+                sys_ = ((idx // strat_xs) % strat_ys).astype(F32)
+                u1 = (sxs + u1) / jnp.float32(strat_xs)
+                u2 = (sys_ + u2) / jnp.float32(strat_ys)
         else:
             s1 = _pcg(hbase ^ U32(0))
             s2 = _pcg(hbase ^ U32(1))

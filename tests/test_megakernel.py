@@ -64,7 +64,8 @@ def _mini_spheres(sampler="zerotwosequence", light="distant"):
     )
 
 
-@pytest.mark.parametrize("sampler,light", [("zerotwosequence", "distant"), ("random", "point")])
+@pytest.mark.parametrize("sampler,light", [("zerotwosequence", "distant"), ("random", "point"),
+                                           ("stratified", "distant")])
 def test_megakernel_matches_xla_persistent(sampler, light):
     desc = _mini_spheres(sampler, light)
     cs = compile_scene(desc)

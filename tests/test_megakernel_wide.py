@@ -94,6 +94,8 @@ def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area",
     ("zerotwosequence", "dof", 4, "power"),
     # gaussian pixel filter (erfinv importance sampling, unit weights)
     ("zerotwosequence", "gauss", 4, "power"),
+    # stratified sampler (film-dim strata; traced dims = uniform hash)
+    ("stratified", "area", 4, "power"),
 ])
 def test_wide_megakernel_matches_xla_persistent(sampler, light, depth, strategy):
     from pbrt_tpu.device.megakernel_wide import extract_wide_consts, make_wide_megakernel_fn
