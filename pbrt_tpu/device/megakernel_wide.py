@@ -193,10 +193,13 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
         return None
     if cam["kind"] != 0 or cam.get("anim") is not None or cam.get("realistic") is not None:
         return None
-    if scfg["kind"] not in ("zerotwosequence", "lowdiscrepancy", "random", "stratified"):
+    if scfg["kind"] not in ("zerotwosequence", "lowdiscrepancy", "random", "stratified", "halton"):
         return None
     if scfg["kind"] == "stratified" and float(_h(cam["lens_radius"])) != 0.0:
         return None  # lens dim 1 strata (rot + grid) not baked
+    if scfg["kind"] == "halton":
+        if scfg.get("halton") is None or float(_h(cam["lens_radius"])) != 0.0:
+            return None  # lens dims need Faure-scrambled bases 5/7: not baked
     # unit-weight filters only (mitchell/sinc need per-sample f/p weights)
     if fcfg["filter"] not in ("box", "triangle", "gaussian"):
         return None
@@ -337,6 +340,12 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
         "rr_threshold": float(icfg.get("rr_threshold", 1.0)),
         "sampler": scfg["kind"],
         "spp": int(scfg["spp"]),
+        # halton film enumeration constants (the per-pixel CRT offset table
+        # rides as a per-lane kernel input, gathered once per wave call)
+        "halton": ({"stride": int(scfg["halton"]["stride"]),
+                    "sx": int(scfg["halton"]["sx"]),
+                    "sy": int(scfg["halton"]["sy"])}
+                   if scfg["kind"] == "halton" else None),
         "max_lum": float(fcfg.get("max_sample_luminance", float("inf"))),
     }
 
@@ -361,6 +370,7 @@ def _build_kernel(consts, n_samples: int):
     max_depth = consts["max_depth"]
     rr_threshold = consts["rr_threshold"]
     is_random = consts["sampler"] in ("random", "stratified")
+    halton_cfg = consts.get("halton")
     is_stratified = consts["sampler"] == "stratified"
     spp_cfg = max(int(consts.get("spp", 1)), 1)
     strat_xs = max(int(math.floor(math.sqrt(spp_cfg))), 1)
@@ -496,8 +506,39 @@ def _build_kernel(consts, n_samples: int):
         oz = jnp.float32(c2w[2][0]) * ocx + jnp.float32(c2w[2][1]) * ocy + jnp.float32(c2w[2][2]) * ocz + jnp.float32(c2w[2][3])
         return ox, oy, oz, wx, wy, wz
 
-    def regen(hbase, px_f, py_f, s_sel):
-        if is_random:
+    def _reverse_bits(x):
+        # rng.reverse_bits_32 (kept in lockstep)
+        x = (x << U32(16)) | (x >> U32(16))
+        x = ((x & U32(0x00FF00FF)) << U32(8)) | ((x & U32(0xFF00FF00)) >> U32(8))
+        x = ((x & U32(0x0F0F0F0F)) << U32(4)) | ((x & U32(0xF0F0F0F0)) >> U32(4))
+        x = ((x & U32(0x33333333)) << U32(2)) | ((x & U32(0xCCCCCCCC)) >> U32(2))
+        x = ((x & U32(0x55555555)) << U32(1)) | ((x & U32(0xAAAAAAAA)) >> U32(1))
+        return x
+
+    def _ri_base3(idx):
+        # rng.radical_inverse base 3 (21 digits cover 2^32; f32 accumulation
+        # per the same argument as the XLA version)
+        rd = jnp.zeros(idx.shape, F32)
+        ibn = jnp.ones(idx.shape, F32)
+        for _ in range(21):
+            nxt = idx // U32(3)
+            digit = idx - nxt * U32(3)
+            has = idx > U32(0)
+            rd = jnp.where(has, rd * 3.0 + digit.astype(I32).astype(F32), rd)
+            ibn = jnp.where(has, ibn * jnp.float32(1.0 / 3.0), ibn)
+            idx = nxt
+        return jnp.minimum(rd * ibn, jnp.float32(1.0 - 2.0 ** -24))
+
+    def regen(hbase, px_f, py_f, s_sel, hoff=None):
+        if halton_cfg is not None:
+            # halton_film_jitter: global index = offset[pixel] + s * stride,
+            # film jitter = fract(ri2 * 2^j), fract(ri3 * 3^k)
+            idx = hoff + s_sel * U32(halton_cfg["stride"])
+            x = _u2f01(_reverse_bits(idx)) * jnp.float32(halton_cfg["sx"])
+            y = _ri_base3(idx) * jnp.float32(halton_cfg["sy"])
+            u1 = x - jnp.floor(x)
+            u2 = y - jnp.floor(y)
+        elif is_random:
             h = _pcg(hbase ^ s_sel)
             u1 = _u2f01(_pcg(h ^ U32(0)))
             u2 = _u2f01(_pcg(h ^ U32(1)))
@@ -550,7 +591,7 @@ def _build_kernel(consts, n_samples: int):
 
     # -- the kernel ------------------------------------------------------
 
-    def kernel(scal_ref, px_ref, py_ref, pid_ref, meta_ref, nodes_ref, prims_ref,
+    def kernel(scal_ref, px_ref, py_ref, pid_ref, aux0_ref, meta_ref, nodes_ref, prims_ref,
                out_lr, out_lg, out_lb, out_w, out_nv,
                stack_ref, sp_ref, dirb_ref, best_ref):
         n_node_rows = nodes_ref.shape[0]
@@ -1034,11 +1075,12 @@ def _build_kernel(consts, n_samples: int):
         py_f = py_i.astype(F32)
         pidu = pltpu.bitcast(pid, U32)
         hbase = _pcg(_pcg(U32(0x9E3779B9) ^ seed) ^ pidu)
+        hoffu = pltpu.bitcast(aux0_ref[...], U32)  # halton per-pixel offsets
 
         shape = px_f.shape
         zero = jnp.zeros(shape, F32)
         s_init = jnp.broadcast_to(s0, shape)
-        ox0, oy0, oz0, dx0, dy0, dz0 = regen(hbase, px_f, py_f, s_init)
+        ox0, oy0, oz0, dx0, dy0, dz0 = regen(hbase, px_f, py_f, s_init, hoffu)
         alive0 = jnp.where(lane_valid & (n_samples > 0), 1, 0).astype(I32)
         done0 = jnp.where(lane_valid & (n_samples > 0), 0, 1).astype(I32)
 
@@ -1189,7 +1231,7 @@ def _build_kernel(consts, n_samples: int):
             more = die & (s_next < s0 + U32(n_samples))
             done = jnp.where(die & ~more, 1, done)
             s_sel = jnp.where(more, s_next, s_cur)
-            rox, roy, roz, rdx, rdy, rdz = regen(hbase, px_f, py_f, s_sel)
+            rox, roy, roz, rdx, rdy, rdz = regen(hbase, px_f, py_f, s_sel, hoffu)
             new_ox = jnp.where(more, rox, new_ox)
             new_oy = jnp.where(more, roy, new_oy)
             new_oz = jnp.where(more, roz, new_oz)
@@ -1256,6 +1298,8 @@ def make_wide_megakernel_fn(cs, cam, icfg, scfg, fcfg, consts=None, interpret=No
         else:
             interpret = False
 
+    halton_aux = scfg.get("halton") if scfg["kind"] == "halton" else None
+
     @functools.partial(jax.jit, static_argnums=(5,))
     def wave_p(sa, px, py, pixel_ids, s0, n_samples, seed):
         # geometry tables come through `sa` as REAL jit arguments — closure
@@ -1291,6 +1335,11 @@ def make_wide_megakernel_fn(cs, cam, icfg, scfg, fcfg, consts=None, interpret=No
         px2 = padded(px.astype(I32), -1)
         py2 = padded(py.astype(I32), 0)
         pid2 = padded(pixel_ids.astype(U32), 0).astype(I32)
+        if halton_aux is not None:
+            hoff = halton_aux["offset"][pixel_ids]  # (R,) u32, one XLA gather
+        else:
+            hoff = jnp.zeros(R, jnp.uint32)
+        aux0 = padded(hoff, 0).astype(I32)
         scal = jnp.stack([jnp.asarray(seed, U32), jnp.asarray(s0, U32)]).reshape(1, 2)
 
         outs = pl.pallas_call(
@@ -1299,6 +1348,7 @@ def make_wide_megakernel_fn(cs, cam, icfg, scfg, fcfg, consts=None, interpret=No
             grid=(n_blocks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((SUB, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((SUB, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((SUB, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((SUB, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM),
@@ -1316,7 +1366,7 @@ def make_wide_megakernel_fn(cs, cam, icfg, scfg, fcfg, consts=None, interpret=No
                 pltpu.VMEM((SUB * 16, LANES), F32),
             ],
             interpret=interpret,
-        )(scal, px2, py2, pid2, wmeta, wnode, wprim)
+        )(scal, px2, py2, pid2, aux0, wmeta, wnode, wprim)
 
         lr, lg, lb, w, nv = [o.reshape(Rp)[:R][inv_perm] for o in outs]
         return jnp.stack([lr, lg, lb], axis=-1), w, nv

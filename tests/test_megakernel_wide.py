@@ -96,6 +96,8 @@ def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area",
     ("zerotwosequence", "gauss", 4, "power"),
     # stratified sampler (film-dim strata; traced dims = uniform hash)
     ("stratified", "area", 4, "power"),
+    # halton (pbrt's default): CRT film enumeration in-kernel
+    ("halton", "area", 4, "power"),
 ])
 def test_wide_megakernel_matches_xla_persistent(sampler, light, depth, strategy):
     from pbrt_tpu.device.megakernel_wide import extract_wide_consts, make_wide_megakernel_fn
@@ -134,6 +136,10 @@ def test_wide_megakernel_matches_xla_persistent(sampler, light, depth, strategy)
         icfg = {"kind": "path", "max_depth": depth, "rr_threshold": desc.integrator.rr_threshold,
                 "light_strategy": strategy}
         scfg = {"kind": sampler, "spp": spp}
+        if sampler == "halton":
+            from pbrt_tpu.device.sampler import halton_tables
+
+            scfg["halton"] = halton_tables(W, H)
         fcfg = {"filter": desc.film.filter_name,
                 "filter_params": dict(desc.film.filter_params),
                 "max_sample_luminance": float("inf")}
