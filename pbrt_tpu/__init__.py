@@ -24,6 +24,16 @@ import jax as _jax
 
 _jax.config.update("jax_default_matmul_precision", "float32")
 
+# Platform escape hatch: environments that preload jax with a pinned
+# JAX_PLATFORMS (e.g. a sitecustomize tunnel shim) make the env var
+# ineffective by the time user code runs; jax.config.update still works
+# until the first backend init, so honor PBRT_TPU_PLATFORM here.
+import os as _os
+
+_plat = _os.environ.get("PBRT_TPU_PLATFORM")
+if _plat:
+    _jax.config.update("jax_platforms", _plat)
+
 # Persistent compilation cache: the unrolled bounce pipelines compile in
 # minutes on TPU; caching them across processes makes reruns start in
 # seconds. Harmless on CPU test runs.

@@ -43,7 +43,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.arrays import (
-    GEOM_SPHERE, GEOM_TRI, LIGHT_DISTANT, LIGHT_POINT, QUADRIC_SPHERE,
+    GEOM_SPHERE, GEOM_TRI, LIGHT_DISTANT, LIGHT_POINT, LIGHT_SPOT,
+    QUADRIC_SPHERE,
 )
 
 F32 = jnp.float32
@@ -250,7 +251,7 @@ def extract_consts(cs, cam, icfg, scfg, fcfg):
         return None
 
     light_kind = _h(sa.light_kind) if static.n_lights else np.zeros(0, np.int32)
-    if not all(int(k) in (LIGHT_POINT, LIGHT_DISTANT) for k in light_kind):
+    if not all(int(k) in (LIGHT_POINT, LIGHT_DISTANT, LIGHT_SPOT) for k in light_kind):
         return None
     light_param = _h(sa.light_param) if static.n_lights else np.zeros((0, 12), np.float32)
 
@@ -310,8 +311,13 @@ def extract_consts(cs, cam, icfg, scfg, fcfg):
         return None  # instancing or exotic rows present
 
     # bake material lobes by evaluating the materials compiler once
+    from ..scene.arrays import MAT_MIX
     from .materials import make_bsdf
 
+    if MAT_MIX in set(static.mat_kinds_present):
+        # mix resolves its stochastic sub-material per hit; baking at a
+        # fixed point would freeze the choice (materials.py:168-187)
+        return None
     used_mats = sorted({p["mat"] for p in prims})
     n_mats = int(_h(sa.mat_kind).shape[0])
     lob = make_bsdf(sa, static, jnp.arange(n_mats, dtype=jnp.int32),
@@ -779,19 +785,30 @@ def _build_kernel(consts, n_samples: int):
                 lig = jnp.where(m, jnp.float32(par[4]), lig)
                 lib = jnp.where(m, jnp.float32(par[5]), lib)
                 dist = jnp.where(m, jnp.float32(wr2), dist)
-            else:  # point
+            else:  # point / spot (position at par[0:3], I at par[3:6])
                 tx = jnp.float32(par[0]) - at["px"]
                 ty = jnp.float32(par[1]) - at["py"]
                 tz = jnp.float32(par[2]) - at["pz"]
                 d2 = jnp.maximum(tx * tx + ty * ty + tz * tz, 1e-12)
                 dl = jnp.sqrt(d2)
                 inv = 1.0 / dl
-                wix = jnp.where(m, tx * inv, wix)
-                wiy = jnp.where(m, ty * inv, wiy)
-                wiz = jnp.where(m, tz * inv, wiz)
-                lir = jnp.where(m, jnp.float32(par[3]) / d2, lir)
-                lig = jnp.where(m, jnp.float32(par[4]) / d2, lig)
-                lib = jnp.where(m, jnp.float32(par[5]) / d2, lib)
+                wxa, wya, wza = tx * inv, ty * inv, tz * inv
+                fall = 1.0
+                if lt["kind"] == LIGHT_SPOT:
+                    # smoothstep^4 cone falloff (spot.rs; lights.py:358-364):
+                    # axis par[6:9], cosTotalWidth par[9], cosFalloffStart par[10]
+                    cos_t = -(wxa * jnp.float32(par[6]) + wya * jnp.float32(par[7])
+                              + wza * jnp.float32(par[8]))
+                    ctw, cfs = float(par[9]), float(par[10])
+                    dfall = jnp.clip((cos_t - ctw) / max(cfs - ctw, 1e-9), 0.0, 1.0)
+                    fall = jnp.where(cos_t < ctw, 0.0,
+                                     jnp.where(cos_t > cfs, 1.0, dfall ** 4))
+                wix = jnp.where(m, wxa, wix)
+                wiy = jnp.where(m, wya, wiy)
+                wiz = jnp.where(m, wza, wiz)
+                lir = jnp.where(m, jnp.float32(par[3]) * fall / d2, lir)
+                lig = jnp.where(m, jnp.float32(par[4]) * fall / d2, lig)
+                lib = jnp.where(m, jnp.float32(par[5]) * fall / d2, lib)
                 dist = jnp.where(m, dl, dist)
             spdf = jnp.where(m, jnp.float32(consts["light_pmf"][i]), spdf)
 

@@ -17,18 +17,24 @@ path state.
 Shading attributes come out of the traversal itself: the leaf phase
 extracts the winning triangle's vertices and its material/light/flip
 payload (wide prim-table cols 11:14) with masked winner reductions, so
-no post-hit gather is needed. The shading frame is the XLA path's exact
-frame for default-UV triangles (dpdu = v1 - v0, orthogonalized against
-the flat normal; coordinate_system fallback when degenerate), which the
-eligibility check enforces.
+no post-hit gather is needed. Scenes with per-vertex shading normals
+carry them in a parallel attr table (widebvh attr_cols) winner-reduced
+the same way; the interpolated ns + ng-alignment-flip replicate
+shading.py's has_sn branch (triangle.rs:355-360). The shading frame is
+the XLA path's exact frame for default-UV triangles (dpdu = v1 - v0,
+orthogonalized against ns; coordinate_system fallback when degenerate),
+which the eligibility check enforces.
 
 Estimator parity: identical (pixel, sample, dimension) streams and
 per-sample math as integrator.trace_persistent (asserted by
 tests/test_megakernel_wide.py in interpret mode). Eligible class:
-triangle-only wide-BVH scenes, single-lobe matte/mirror/glass with
-constant textures, no shading normals / default UVs, point + distant +
-diffuse-area lights (uniform or power selection), pinhole perspective,
-box filter, (0,2)/random samplers.
+triangle-only wide-BVH scenes (flat or smooth-shaded, default or real
+UV charts), single-lobe matte/mirror/glass with constant textures or a
+matte-Kd 2D-uv checkerboard over constant cells, point + spot +
+distant + diffuse-area lights (uniform or power selection), pinhole or
+thin-lens perspective, box/triangle/gaussian filter,
+(0,2)/random/stratified/halton samplers. mix materials and textured
+sphere prims keep the XLA path.
 
 Reference semantics: integrator.rs:263-403 + path.rs:79-222 (the loop),
 bvh.rs:705-814 (traversal), triangle.rs:136-399 (watertight test),
@@ -46,7 +52,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..scene.arrays import LIGHT_AREA, LIGHT_DISTANT, LIGHT_POINT
+from ..scene.arrays import (
+    LIGHT_AREA, LIGHT_DISTANT, LIGHT_INFINITE, LIGHT_POINT, LIGHT_SPOT,
+)
 from .megakernel import (
     DPB, FLAG_FLIP_GEOM_N, FLAG_HAS_SHADING_N, INV_PI, LANES, LOBE_FRESNEL_SPEC,
     LOBE_LAMBERT_R, LOBE_NONE, LOBE_SPEC_R, RAY_EPS, _concentric_disk, _dot3,
@@ -63,6 +71,9 @@ STACK = 72
 EPS = 1e-4  # leaf-phase min-t, matches pallas_bvh / intersect.SHADOW_EPS
 MAX_MATS = 16
 MAX_LIGHTS = 8
+# resident-table budget (node + prim + attr); v5e VMEM is ~16MB/core and the
+# kernel needs headroom for scratch + path state
+WIDE_VMEM_TABLE_BUDGET = 14 * 2 ** 20
 
 
 def _sph_test(pr, ox, oy, oz, dx, dy, dz, t_query):
@@ -166,6 +177,9 @@ def _sph_attrs(pr, p_loc):
             "nsx": ngx, "nsy": ngy, "nsz": ngz,
             "ssx": ssx, "ssy": ssy, "ssz": ssz,
             "tsx": tsx, "tsy": tsy, "tsz": tsz,
+            # baked spheres carry no uv; eligibility rejects textured
+            # sphere materials so these are never consumed
+            "u": pxw * 0.0, "v": pxw * 0.0,
             "ex": errs[0], "ey": errs[1], "ez": errs[2]}
 
 
@@ -183,8 +197,9 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
     wmeta = getattr(sa, "wmeta_tab", None)
     if wmeta is None or wmeta.shape[0] * 4 > SMEM_META_MAX_BYTES:
         return None
-    if static.n_media or static.has_infinite:
-        return None
+    if static.n_media or static.has_env_map:
+        return None  # media and IMAGE env maps keep the XLA path; a
+        # constant (imageless) infinite light is baked closed-form below
     if static.n_spheres > 8:
         return None
     if getattr(static, "has_motion", False) or getattr(static, "has_alpha", False):
@@ -203,20 +218,30 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
     # unit-weight filters only (mitchell/sinc need per-sample f/p weights)
     if fcfg["filter"] not in ("box", "triangle", "gaussian"):
         return None
-    for p in static.tex_programs:
-        if p.kind != "constant":
-            return None
+    # texture programs are checked per used material slot below (constant
+    # folds into the baked lobe; matte-Kd checkerboard is baked as an
+    # in-kernel select; anything else rejects)
     if static.n_lights > MAX_LIGHTS or static.n_lights == 0:
         return None
 
     prim_flags = _h(sa.prim_flags)
-    if (prim_flags & FLAG_HAS_SHADING_N).any():
-        return None  # per-vertex-normal meshes keep the XLA path
-    # default UVs only: the in-kernel frame assumes dpdu = v1 - v0
+    has_ns = bool((prim_flags & FLAG_HAS_SHADING_N).any())
+    has_attr = getattr(sa, "wattr_tab", None) is not None
+    if has_ns and not has_attr:
+        return None  # shading normals but no attr table (stale build)
+    # host-side VMEM budget: the tables live resident in VMEM (~16MB/core);
+    # reject early instead of paying a doomed Mosaic compile in the probe
+    tab_bytes = int(sa.wnode_tab.size + sa.wprim_tab.size) * 4
+    if has_attr:
+        tab_bytes += int(sa.wattr_tab.size) * 4
+    if tab_bytes > WIDE_VMEM_TABLE_BUDGET:
+        return None
+    # non-default UVs ride the attr table (uv lanes 9:15); without it the
+    # in-kernel frame assumes the default parameterization (dpdu = v1 - v0)
     tri_uv = _h(sa.tri_uv)
     default_uv = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]], np.float32)
     if tri_uv.shape[0] and not np.array_equal(
-            tri_uv, np.broadcast_to(default_uv, tri_uv.shape)):
+            tri_uv, np.broadcast_to(default_uv, tri_uv.shape)) and not has_attr:
         return None
 
     strategy = str(icfg.get("light_strategy", "uniform"))
@@ -244,7 +269,7 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
     lights = []
     for i in range(n_l):
         k = int(light_kind[i])
-        if k in (LIGHT_POINT, LIGHT_DISTANT):
+        if k in (LIGHT_POINT, LIGHT_DISTANT, LIGHT_SPOT, LIGHT_INFINITE):
             lights.append({"kind": k, "par": light_param[i].astype(float)})
         elif k == LIGHT_AREA:
             pid = int(light_prim[i])
@@ -288,8 +313,13 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
             })
 
     # material lobes baked exactly like megakernel.extract_consts
+    from ..scene.arrays import MAT_MIX
     from .materials import make_bsdf
 
+    if MAT_MIX in set(static.mat_kinds_present):
+        # mix resolves its stochastic sub-material per hit; baking at a
+        # fixed point would freeze the choice (materials.py:168-187)
+        return None
     used_mats = sorted(set(int(m) for m in prim_mat))
     if len(used_mats) > MAX_MATS:
         return None
@@ -298,8 +328,41 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
                     jnp.zeros((n_mats, 2), F32), jnp.zeros((n_mats, 3), F32))
     lk = _h(lob["kind"])
     ld = _h(lob["data"])
+    # per-used-material texture programs: constants fold into the baked
+    # lobe (make_bsdf above evaluated them); a matte-Kd 2D-uv checkerboard
+    # over nonblack constant children becomes an in-kernel select; anything
+    # else keeps the XLA path
+    from ..scene.arrays import P_KD
+
+    mat_tex_h = _h(sa.mat_tex)
+    tex_param_h = _h(sa.tex_param) if mat_tex_h.size else None
     mats = {}
     for m in used_mats:
+        kd_tex = None
+        for slot in range(mat_tex_h.shape[1]):
+            tid = int(mat_tex_h[m, slot])
+            if tid < 0:
+                continue
+            prog = static.tex_programs[tid]
+            if prog.kind == "constant":
+                continue
+            if (slot == P_KD and prog.kind == "checkerboard"
+                    and prog.dimension == 2 and prog.mapping == "uv"
+                    and prog.tex1 < 0 and prog.tex2 < 0):
+                par = tex_param_h[tid]
+                c1 = np.clip(par[10:13], 0.0, 1.0)
+                c2 = np.clip(par[13:16], 0.0, 1.0)
+                # both cells must be nonblack: the lobe table was baked at
+                # uv=(0,0), so spatially-varying lobe PRESENCE can't be
+                # represented (only the color varies in-kernel)
+                if not (c1.max() > 0 and c2.max() > 0):
+                    return None
+                kd_tex = {"us": float(par[0]), "vs": float(par[1]),
+                          "du": float(par[2]), "dv": float(par[3]),
+                          "c1": c1.astype(float).tolist(),
+                          "c2": c2.astype(float).tolist()}
+                continue
+            return None
         slots = np.nonzero(lk[m])[0]
         if len(slots) == 0:
             mats[m] = {"lobe": LOBE_NONE}
@@ -310,16 +373,23 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
         kind = int(lk[m, s])
         if kind not in (LOBE_LAMBERT_R, LOBE_SPEC_R, LOBE_FRESNEL_SPEC):
             return None
+        if kd_tex is not None and kind != LOBE_LAMBERT_R:
+            return None  # checker Kd is only baked for the lambert lobe
         d = ld[m, s]
         if kind == LOBE_SPEC_R and int(d[11]) not in (0, 1):
             return None
         mats[m] = {"lobe": kind, "color": d[0:3].astype(float).tolist(),
                    "eta": float(d[3]), "kt": d[6:9].astype(float).tolist(),
-                   "fresnel": int(d[11])}
+                   "fresnel": int(d[11]), "kd_tex": kd_tex}
+    # baked-sphere hits carry no uv; their materials must be untextured
+    if any(mats[s_["mat"]].get("kd_tex") for s_ in spheres):
+        return None
 
     r2c = _h(cam["raster_to_camera"]).astype(np.float64)
     c2w = _h(cam["camera_to_world"]).astype(np.float64)
     return {
+        "has_ns": has_ns,
+        "has_attr": has_attr,
         "mats": mats,
         "lights": lights,
         "spheres": spheres,
@@ -370,6 +440,11 @@ def _build_kernel(consts, n_samples: int):
     max_depth = consts["max_depth"]
     rr_threshold = consts["rr_threshold"]
     is_random = consts["sampler"] in ("random", "stratified")
+    has_attr = bool(consts.get("has_attr", False))
+    # best_ref rows per packet: 16, +15 winner attr channels (9 per-vertex
+    # normals + 6 uvs) when the scene carries an attr table (rounded to 32
+    # to keep packet starts sublane-aligned)
+    ROWS = 32 if has_attr else 16
     halton_cfg = consts.get("halton")
     is_stratified = consts["sampler"] == "stratified"
     spp_cfg = max(int(consts.get("spp", 1)), 1)
@@ -387,6 +462,10 @@ def _build_kernel(consts, n_samples: int):
     any_mirror = any(mats[m]["lobe"] == LOBE_SPEC_R for m in mat_rows)
     any_glass = any(mats[m]["lobe"] == LOBE_FRESNEL_SPEC for m in mat_rows)
     any_area = any(lt["kind"] == LIGHT_AREA for lt in lights)
+    # at most one infinite light (scene/builder keeps a single env row)
+    inf_idx = next((i for i, lt in enumerate(lights)
+                    if lt["kind"] == LIGHT_INFINITE), -1)
+    INV_4PI = 1.0 / (4.0 * math.pi)
 
     def _falsev(like):
         return jnp.zeros(like.shape, I32) == 1
@@ -592,15 +671,16 @@ def _build_kernel(consts, n_samples: int):
     # -- the kernel ------------------------------------------------------
 
     def kernel(scal_ref, px_ref, py_ref, pid_ref, aux0_ref, meta_ref, nodes_ref, prims_ref,
-               out_lr, out_lg, out_lb, out_w, out_nv,
+               attrs_ref, out_lr, out_lg, out_lb, out_w, out_nv,
                stack_ref, sp_ref, dirb_ref, best_ref):
         n_node_rows = nodes_ref.shape[0]
         n_prim_rows = prims_ref.shape[0]
         iota16 = jax.lax.broadcasted_iota(I32, (16, LANES), 0)
         iota8c = jax.lax.broadcasted_iota(I32, (8, 1), 0)
         pw2 = (1 << iota8c).astype(F32)
-        # best_ref layout per packet g (16 rows at g*16): 0 t, 1 prim,
-        # 2 b1, 3 b2, 4..12 v0/v1/v2 xyz, 13 mat, 14 light, 15 flags
+        # best_ref layout per packet g (ROWS rows at g*ROWS): 0 t, 1 prim,
+        # 2 b1, 3 b2, 4..12 v0/v1/v2 xyz, 13 mat, 14 light, 15 flags;
+        # has_ns adds 16..24 = winner per-vertex normals n0/n1/n2 xyz
 
         def traverse(ox, oy, oz, dx, dy, dz, t_query, any_hit):
             """Joint interleaved traversal over the SUB sublane-row packets.
@@ -628,11 +708,11 @@ def _build_kernel(consts, n_samples: int):
             for g in range(SUB):
                 stack_ref[g * STACK] = (0 << 9) | (1 << 1) | 0
                 sp_ref[g] = jnp.where(jnp.max(jnp.where(live[g:g + 1, :], 1.0, 0.0)) > 0, 1, 0)
-                b = g * 16
+                b = g * ROWS
                 best_ref[b:b + 1, :] = jnp.where(live[g:g + 1, :], t_query[g:g + 1, :], -1.0)
                 best_ref[b + 1:b + 2, :] = jnp.full((1, LANES), -1.0, F32)
                 if not any_hit:
-                    best_ref[b + 2:b + 16, :] = jnp.zeros((14, LANES), F32)
+                    best_ref[b + 2:b + ROWS, :] = jnp.zeros((ROWS - 2, LANES), F32)
                 neg0 = jnp.sum(jnp.where(dx[g:g + 1, :] < 0, -1.0, 1.0)) < 0
                 neg1 = jnp.sum(jnp.where(dy[g:g + 1, :] < 0, -1.0, 1.0)) < 0
                 neg2 = jnp.sum(jnp.where(dz[g:g + 1, :] < 0, -1.0, 1.0)) < 0
@@ -646,7 +726,7 @@ def _build_kernel(consts, n_samples: int):
             def body(state):
                 it, _ = state
                 for g in range(SUB):
-                    b = g * 16
+                    b = g * ROWS
                     base = g * STACK
                     sp = sp_ref[g]
                     alive = sp > 0
@@ -756,6 +836,20 @@ def _build_kernel(consts, n_samples: int):
                         best_ref[b + 13:b + 14, :] = jnp.where(improved, _wred(11), best_ref[b + 13:b + 14, :])
                         best_ref[b + 14:b + 15, :] = jnp.where(improved, _wred(12), best_ref[b + 14:b + 15, :])
                         best_ref[b + 15:b + 16, :] = jnp.where(improved, _wred(13), best_ref[b + 15:b + 16, :])
+                        if has_attr:
+                            # winner per-vertex shading normals + uvs from
+                            # the parallel attr table (same octet indexing)
+                            ablk = attrs_ref[pl.ds(prow, 8), :]
+                            asub = jnp.concatenate(
+                                [_sel16(ablk, o_ % 8), _sel16(ablk, o_ % 8 + 1)], axis=0)
+
+                            def _ared(col):
+                                return jnp.sum(jnp.where(win, asub[:, col:col + 1] + 0 * tc, 0.0),
+                                               axis=0, keepdims=True)
+
+                            for c in range(15):
+                                best_ref[b + 16 + c:b + 17 + c, :] = jnp.where(
+                                    improved, _ared(c), best_ref[b + 16 + c:b + 17 + c, :])
 
                     sp_new = jnp.where(alive, sp_pop + jnp.where(do_push, 1, 0), 0)
                     if any_hit:
@@ -772,7 +866,7 @@ def _build_kernel(consts, n_samples: int):
             jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
 
             def rows(r):
-                return jnp.concatenate([best_ref[g * 16 + r:g * 16 + r + 1, :]
+                return jnp.concatenate([best_ref[g * ROWS + r:g * ROWS + r + 1, :]
                                         for g in range(SUB)], axis=0)
 
             if any_hit:
@@ -784,6 +878,11 @@ def _build_kernel(consts, n_samples: int):
             out["mat"] = rows(13).astype(I32)
             out["light"] = rows(14).astype(I32)
             out["flags"] = rows(15).astype(I32)
+            if has_attr:
+                for c, key in enumerate(("n0x", "n0y", "n0z", "n1x", "n1y", "n1z",
+                                         "n2x", "n2y", "n2z",
+                                         "u0", "v0", "u1", "v1", "u2", "v2")):
+                    out[key] = rows(16 + c)
             out["hit"] = rows(1) >= 0
             return out
 
@@ -801,27 +900,59 @@ def _build_kernel(consts, n_samples: int):
             flip = (tr["flags"] & FLAG_FLIP_GEOM_N) != 0
             sgn = jnp.where(flip, -1.0, 1.0)
             ngx, ngy, ngz = ngx * sgn, ngy * sgn, ngz * sgn
-            # flat shading: ns = ng; frame from dpdu = e1
-            d_dot = ngx * e1x + ngy * e1y + ngz * e1z
-            ssx = e1x - ngx * d_dot
-            ssy = e1y - ngy * d_dot
-            ssz = e1z - ngz * d_dot
+            if has_attr:
+                # interpolated per-vertex shading normal; ng is then flipped
+                # toward ns (triangle.rs:355-360 = shading.py has_sn branch).
+                # Flat prims store the face normal at all 3 verts, so the
+                # interpolation collapses to ng and the flip never triggers.
+                nsx = b0 * tr["n0x"] + b1 * tr["n1x"] + b2 * tr["n2x"]
+                nsy = b0 * tr["n0y"] + b1 * tr["n1y"] + b2 * tr["n2y"]
+                nsz = b0 * tr["n0z"] + b1 * tr["n1z"] + b2 * tr["n2z"]
+                nsx, nsy, nsz = _norm3(nsx, nsy, nsz)
+                align = (ngx * nsx + ngy * nsy + ngz * nsz) < 0
+                asgn = jnp.where(align, -1.0, 1.0)
+                ngx, ngy, ngz = ngx * asgn, ngy * asgn, ngz * asgn
+                # uv + uv-parameterized dpdu (shading.py:113-124)
+                u_ = b0 * tr["u0"] + b1 * tr["u1"] + b2 * tr["u2"]
+                v_ = b0 * tr["v0"] + b1 * tr["v1"] + b2 * tr["v2"]
+                duv1x = tr["u1"] - tr["u0"]
+                duv1y = tr["v1"] - tr["v0"]
+                duv2x = tr["u2"] - tr["u0"]
+                duv2y = tr["v2"] - tr["v0"]
+                det = duv1x * duv2y - duv1y * duv2x
+                degen = jnp.abs(det) <= 1e-12
+                inv_det = jnp.where(degen, 0.0, 1.0 / jnp.where(degen, 1.0, det))
+                dpdux = jnp.where(degen, e1x, (duv2y * e1x - duv1y * e2x) * inv_det)
+                dpduy = jnp.where(degen, e1y, (duv2y * e1y - duv1y * e2y) * inv_det)
+                dpduz = jnp.where(degen, e1z, (duv2y * e1z - duv1y * e2z) * inv_det)
+            else:
+                # flat shading: ns = ng; default UVs: uv0=(0,0) uv1=(1,0)
+                # uv2=(1,1) => u = b1 + b2, v = b2, dpdu = e1
+                nsx, nsy, nsz = ngx, ngy, ngz
+                u_ = b1 + b2
+                v_ = b2
+                dpdux, dpduy, dpduz = e1x, e1y, e1z
+            # frame from dpdu orthogonalized against ns
+            d_dot = nsx * dpdux + nsy * dpduy + nsz * dpduz
+            ssx = dpdux - nsx * d_dot
+            ssy = dpduy - nsy * d_dot
+            ssz = dpduz - nsz * d_dot
             sl = jnp.sqrt(ssx * ssx + ssy * ssy + ssz * ssz)
             ok_t = sl > 1e-9
             inv_sl = 1.0 / jnp.maximum(sl, 1e-20)
             # coordinate_system(ns) fallback (shading.py:40)
-            csg = jnp.where(ngz >= 0, 1.0, -1.0)
-            a = -1.0 / (csg + ngz)
-            bb = ngx * ngy * a
-            fx = 1.0 + csg * ngx * ngx * a
+            csg = jnp.where(nsz >= 0, 1.0, -1.0)
+            a = -1.0 / (csg + nsz)
+            bb = nsx * nsy * a
+            fx = 1.0 + csg * nsx * nsx * a
             fy = csg * bb
-            fz = -csg * ngx
+            fz = -csg * nsx
             ssx = jnp.where(ok_t, ssx * inv_sl, fx)
             ssy = jnp.where(ok_t, ssy * inv_sl, fy)
             ssz = jnp.where(ok_t, ssz * inv_sl, fz)
-            tsx = ngy * ssz - ngz * ssy
-            tsy = ngz * ssx - ngx * ssz
-            tsz = ngx * ssy - ngy * ssx
+            tsx = nsy * ssz - nsz * ssy
+            tsy = nsz * ssx - nsx * ssz
+            tsz = nsx * ssy - nsy * ssx
             px_ = b0 * tr["v0x"] + b1 * tr["v1x"] + b2 * tr["v2x"]
             py_ = b0 * tr["v0y"] + b1 * tr["v1y"] + b2 * tr["v2y"]
             pz_ = b0 * tr["v0z"] + b1 * tr["v1z"] + b2 * tr["v2z"]
@@ -831,9 +962,10 @@ def _build_kernel(consts, n_samples: int):
             ez = g7 * (jnp.abs(b0 * tr["v0z"]) + jnp.abs(b1 * tr["v1z"]) + jnp.abs(b2 * tr["v2z"]))
             return {"px": px_, "py": py_, "pz": pz_,
                     "ngx": ngx, "ngy": ngy, "ngz": ngz,
-                    "nsx": ngx, "nsy": ngy, "nsz": ngz,
+                    "nsx": nsx, "nsy": nsy, "nsz": nsz,
                     "ssx": ssx, "ssy": ssy, "ssz": ssz,
                     "tsx": tsx, "tsy": tsy, "tsz": tsz,
+                    "u": u_, "v": v_,
                     "ex": ex, "ey": ey, "ez": ez, "mat": tr["mat"]}
 
         def bsdf_sample(hbase, s_cur, dim_base, at, wox, woy, woz, mat):
@@ -892,6 +1024,20 @@ def _build_kernel(consts, n_samples: int):
             kdr = mat_color(mat, "color", 0)
             kdg = mat_color(mat, "color", 1)
             kdb = mat_color(mat, "color", 2)
+            # matte-Kd checkerboard (texture.py:213-220 over the uv mapping
+            # s = us*u + du, t = vs*v + dv; both cells constant + nonblack)
+            for m in mat_rows:
+                kt_cfg = mats[m].get("kd_tex")
+                if not kt_cfg:
+                    continue
+                s_t = jnp.float32(kt_cfg["us"]) * at["u"] + jnp.float32(kt_cfg["du"])
+                t_t = jnp.float32(kt_cfg["vs"]) * at["v"] + jnp.float32(kt_cfg["dv"])
+                even = (jnp.floor(s_t) + jnp.floor(t_t)) % 2.0 == 0
+                mm = mat == m
+                c1, c2 = kt_cfg["c1"], kt_cfg["c2"]
+                kdr = jnp.where(mm, jnp.where(even, jnp.float32(c1[0]), jnp.float32(c2[0])), kdr)
+                kdg = jnp.where(mm, jnp.where(even, jnp.float32(c1[1]), jnp.float32(c2[1])), kdg)
+                kdb = jnp.where(mm, jnp.where(even, jnp.float32(c1[2]), jnp.float32(c2[2])), kdb)
             fr_spec = jnp.zeros(shape, F32)
             fg_spec = jnp.zeros(shape, F32)
             fb_spec = jnp.zeros(shape, F32)
@@ -985,21 +1131,46 @@ def _build_kernel(consts, n_samples: int):
                     lib = jnp.where(m, jnp.float32(par[5]), lib)
                     dist = jnp.where(m, jnp.float32(wr2), dist)
                     p_l = jnp.where(m, 1.0, p_l)
-                elif lt["kind"] == LIGHT_POINT:
+                elif lt["kind"] in (LIGHT_POINT, LIGHT_SPOT):
                     tx = jnp.float32(par[0]) - at["px"]
                     ty = jnp.float32(par[1]) - at["py"]
                     tz = jnp.float32(par[2]) - at["pz"]
                     d2 = jnp.maximum(tx * tx + ty * ty + tz * tz, 1e-12)
                     dl = jnp.sqrt(d2)
                     invl = 1.0 / dl
-                    wix = jnp.where(m, tx * invl, wix)
-                    wiy = jnp.where(m, ty * invl, wiy)
-                    wiz = jnp.where(m, tz * invl, wiz)
-                    lir = jnp.where(m, jnp.float32(par[3]) / d2, lir)
-                    lig = jnp.where(m, jnp.float32(par[4]) / d2, lig)
-                    lib = jnp.where(m, jnp.float32(par[5]) / d2, lib)
+                    wxa, wya, wza = tx * invl, ty * invl, tz * invl
+                    fall = 1.0
+                    if lt["kind"] == LIGHT_SPOT:
+                        # smoothstep^4 cone falloff (spot.rs; lights.py:358-364)
+                        cos_t = -(wxa * jnp.float32(par[6]) + wya * jnp.float32(par[7])
+                                  + wza * jnp.float32(par[8]))
+                        ctw, cfs = float(par[9]), float(par[10])
+                        dfall = jnp.clip((cos_t - ctw) / max(cfs - ctw, 1e-9), 0.0, 1.0)
+                        fall = jnp.where(cos_t < ctw, 0.0,
+                                         jnp.where(cos_t > cfs, 1.0, dfall ** 4))
+                    wix = jnp.where(m, wxa, wix)
+                    wiy = jnp.where(m, wya, wiy)
+                    wiz = jnp.where(m, wza, wiz)
+                    lir = jnp.where(m, jnp.float32(par[3]) * fall / d2, lir)
+                    lig = jnp.where(m, jnp.float32(par[4]) * fall / d2, lig)
+                    lib = jnp.where(m, jnp.float32(par[5]) * fall / d2, lib)
                     dist = jnp.where(m, dl, dist)
                     p_l = jnp.where(m, 1.0, p_l)
+                elif lt["kind"] == LIGHT_INFINITE:
+                    # constant (imageless) infinite light: uniform-sphere
+                    # direction, pdf 1/4pi (lights.py:386-389)
+                    zz = 1.0 - 2.0 * u1
+                    rr = jnp.sqrt(jnp.maximum(0.0, 1.0 - zz * zz))
+                    ph = jnp.float32(2.0 * math.pi) * u2
+                    wix = jnp.where(m, rr * jnp.cos(ph), wix)
+                    wiy = jnp.where(m, rr * jnp.sin(ph), wiy)
+                    wiz = jnp.where(m, zz, wiz)
+                    lir = jnp.where(m, jnp.float32(par[3]), lir)
+                    lig = jnp.where(m, jnp.float32(par[4]), lig)
+                    lib = jnp.where(m, jnp.float32(par[5]), lib)
+                    dist = jnp.where(m, jnp.float32(wr2), dist)
+                    p_l = jnp.where(m, jnp.float32(INV_4PI), p_l)
+                    is_delta = is_delta & ~m
                 else:  # diffuse area on one baked triangle
                     v = lt["v"]
                     su0 = jnp.sqrt(jnp.maximum(u1, 0.0))
@@ -1151,6 +1322,18 @@ def _build_kernel(consts, n_samples: int):
                 Lr = Lr + jnp.where(emitting, br * ler * w_mis, 0.0)
                 Lg = Lg + jnp.where(emitting, bg * leg * w_mis, 0.0)
                 Lb = Lb + jnp.where(emitting, bb * leb * w_mis, 0.0)
+
+            if inf_idx >= 0:
+                # escaped rays pick up the constant env radiance with the
+                # same deferred-MIS weight (integrator.py:713-720)
+                esc = alive_b & ~valid
+                par_e = lights[inf_idx]["par"]
+                p_env = jnp.float32(INV_4PI * float(consts["light_pmf"][inf_idx]))
+                w_env = jnp.where(prev_spec > 0, 1.0,
+                                  power_heuristic(prev_pdf, p_env))
+                Lr = Lr + jnp.where(esc, br * jnp.float32(par_e[3]) * w_env, 0.0)
+                Lg = Lg + jnp.where(esc, bg * jnp.float32(par_e[4]) * w_env, 0.0)
+                Lb = Lb + jnp.where(esc, bb * jnp.float32(par_e[5]) * w_env, 0.0)
 
             alive_b = alive_b & valid
             dim_base = (2 + bounces * DPB).astype(I32)
@@ -1308,6 +1491,9 @@ def make_wide_megakernel_fn(cs, cam, icfg, scfg, fcfg, consts=None, interpret=No
         wnode = sa.wnode_tab
         wprim = sa.wprim_tab
         wmeta = sa.wmeta_tab
+        # dummy attr table when the scene has no shading normals (the
+        # kernel never touches it; keeps one signature)
+        wattr = sa.wattr_tab if consts.get("has_attr") else jnp.zeros((8, 128), F32)
         kernel = _build_kernel(consts, int(n_samples))
         R = px.shape[0]
         # packet coherence: each 128-lane sublane row shares ONE traversal
@@ -1355,6 +1541,7 @@ def make_wide_megakernel_fn(cs, cam, icfg, scfg, fcfg, consts=None, interpret=No
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=tuple(
                 pl.BlockSpec((SUB, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM)
@@ -1363,10 +1550,10 @@ def make_wide_megakernel_fn(cs, cam, icfg, scfg, fcfg, consts=None, interpret=No
                 pltpu.SMEM((SUB * STACK,), jnp.int32),
                 pltpu.SMEM((SUB,), jnp.int32),
                 pltpu.SMEM((SUB,), jnp.int32),
-                pltpu.VMEM((SUB * 16, LANES), F32),
+                pltpu.VMEM((SUB * (32 if consts.get("has_attr") else 16), LANES), F32),
             ],
             interpret=interpret,
-        )(scal, px2, py2, pid2, aux0, wmeta, wnode, wprim)
+        )(scal, px2, py2, pid2, aux0, wmeta, wnode, wprim, wattr)
 
         lr, lg, lb, w, nv = [o.reshape(Rp)[:R][inv_perm] for o in outs]
         return jnp.stack([lr, lg, lb], axis=-1), w, nv

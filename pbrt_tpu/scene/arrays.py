@@ -193,6 +193,9 @@ class SceneArrays:
     wprim_tab: jax.Array | None = None  # (ceil(n_oct/8)*8, 128) f32
     wslot_prim: jax.Array | None = None  # (n_oct*8,) i32 slot -> prim row
     wmeta_tab: jax.Array | None = None  # (n_nodes*8,) i32 child metas (SMEM)
+    # per-prim shading-normal rows (prim_tab layout, lanes 0:9 = n0/n1/n2
+    # xyz); only built when a wide-eligible mesh has vertex normals
+    wattr_tab: jax.Array | None = None
 
 
 @dataclass

@@ -938,10 +938,28 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             np.asarray(prim_light, np.float32)[rows],
             np.asarray(prim_flags, np.float32)[rows],
         ], axis=1)
+        # per-vertex shading normals + uvs ride a second prim-shaped table
+        # so smooth/uv-mapped meshes stay eligible for the wide megakernel;
+        # flat meshes store the face normal at all 3 verts (builder above),
+        # so the in-kernel interpolation degenerates to exactly ng — no
+        # flag needed. attr lanes: 0:9 = n0/n1/n2 xyz, 9:15 = uv0/uv1/uv2
+        attr = None
+        tn_all = _cat(tri_n, (3, 3))[pg_all]  # (T, 3, 3)
+        tuv_all = _cat(tri_uv, (3, 2))[pg_all]  # (T, 3, 2)
+        default_uv = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]], tuv_all.dtype)
+        need_ns = bool((np.asarray(prim_flags, np.int64)[rows] & FLAG_HAS_SHADING_N).any())
+        need_uv = bool(tuv_all.shape[0]) and not np.array_equal(
+            tuv_all, np.broadcast_to(default_uv, tuv_all.shape))
+        if need_ns or need_uv:
+            attr = np.concatenate([
+                tn_all.reshape(len(rows), 9),
+                tuv_all.reshape(len(rows), 6),
+            ], axis=1).astype(np.float32)
         wide = build_wide_bvh(
             np.asarray(prim_lo)[rows], np.asarray(prim_hi)[rows],
             tv[:, 0], tv[:, 1], tv[:, 2],
             extra_cols=extra,
+            attr_cols=attr,
         )
         has_wide_tri = True
         has_wide = all_tri
@@ -1010,6 +1028,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         prim_shadow_alpha_tex=jnp.asarray(np.asarray(prim_shadow_alpha, dtype=np.int32)),
         wnode_tab=jnp.asarray(wide.node_tab) if has_wide_tri else None,
         wprim_tab=jnp.asarray(wide.prim_tab) if has_wide_tri else None,
+        wattr_tab=jnp.asarray(wide.attr_tab)
+        if (has_wide_tri and wide.attr_tab is not None) else None,
         wslot_prim=jnp.asarray(wide.slot_prim) if has_wide_tri else None,
         wmeta_tab=jnp.asarray(wide.meta_tab) if has_wide_tri else None,
         **sss_arrays,

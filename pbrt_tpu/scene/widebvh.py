@@ -47,6 +47,7 @@ class WideBVH:
     node_tab: np.ndarray  # (ceil(Nw/16)*8, 128) f32
     prim_tab: np.ndarray  # (ceil(n_oct/8)*8, 128) f32
     slot_prim: np.ndarray  # (n_oct*8,) i32 global prim row or -1
+    attr_tab: np.ndarray | None  # prim_tab-shaped per-prim attribute rows
     meta_tab: np.ndarray  # (n_nodes*8,) i32 child metas; row nid*8+slot.
     # meta_tab[0:8] seeds the root (sentinel parent 0, child 0 = root meta) —
     # lets the kernel keep child metas in SMEM and read them with scalar
@@ -156,7 +157,8 @@ def _collapse(bvh):
 
 def build_wide_bvh(lo: np.ndarray, hi: np.ndarray, tri_v0: np.ndarray,
                    tri_v1: np.ndarray, tri_v2: np.ndarray,
-                   extra_cols: np.ndarray | None = None) -> WideBVH:
+                   extra_cols: np.ndarray | None = None,
+                   attr_cols: np.ndarray | None = None) -> WideBVH:
     """Build the packed wide BVH over triangle prims.
 
     lo/hi: (P, 3) world AABBs (in GLOBAL prim order); tri_v0/v1/v2: (P, 3)
@@ -164,6 +166,12 @@ def build_wide_bvh(lo: np.ndarray, hi: np.ndarray, tri_v0: np.ndarray,
     per-prim payload written into row columns 11:11+K (the wide megakernel
     rides material id / light id / flip flag here so shading attrs come out
     of the leaf-phase winner reductions with no second table).
+
+    attr_cols: optional (P, K<=16) per-prim attribute payload packed into a
+    SECOND prim_tab-shaped table with identical (octet, slot) indexing —
+    lanes 0..K of each 16-lane prim group. The wide megakernel rides the
+    three per-vertex shading normals here (9 floats) so smooth-shaded
+    meshes stay in-kernel (triangle.rs:355-360 interpolation).
     """
     import sys
 
@@ -210,6 +218,7 @@ def build_wide_bvh(lo: np.ndarray, hi: np.ndarray, tri_v0: np.ndarray,
 
     prim_blocks = (n_oct + 7) // 8
     prim_tab = np.zeros((max(prim_blocks, 1) * 8, 128), np.float32)
+    attr_tab = (np.zeros_like(prim_tab) if attr_cols is not None else None)
     slot_prim = np.full(max(n_oct, 1) * 8, -1, np.int32)
     for o, (off, n) in enumerate(octets):
         r0 = (o // 8) * 8
@@ -226,6 +235,8 @@ def build_wide_bvh(lo: np.ndarray, hi: np.ndarray, tri_v0: np.ndarray,
                 k_extra = extra_cols.shape[1]
                 row[11:11 + k_extra] = extra_cols[g]
             prim_tab[r0 + k, c0:c0 + 16] = row
+            if attr_tab is not None:
+                attr_tab[r0 + k, c0:c0 + attr_cols.shape[1]] = attr_cols[g]
             slot_prim[o * 8 + k] = g
 
     packed_root = root + (nodes[root]["axis"] << 21)
@@ -234,6 +245,7 @@ def build_wide_bvh(lo: np.ndarray, hi: np.ndarray, tri_v0: np.ndarray,
         node_tab=node_tab,
         prim_tab=prim_tab,
         slot_prim=slot_prim,
+        attr_tab=attr_tab,
         meta_tab=meta_tab,
         n_nodes=n_nodes,
         n_octets=n_oct,

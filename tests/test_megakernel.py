@@ -49,6 +49,12 @@ def _mini_spheres(sampler="zerotwosequence", light="distant"):
     if light == "distant":
         lights = [HostLight(kind="distant", from_point=np.array([0.0, 10.0, 0.0]),
                             to_point=np.zeros(3), intensity=np.array([3.0, 3.0, 3.0]))]
+    elif light == "spot":
+        # cone aimed at the scene: the falloff band crosses the ground quad
+        lights = [HostLight(kind="spot", from_point=np.array([0.0, 5.0, 3.0]),
+                            to_point=np.array([0.0, -1.0, 0.0]),
+                            intensity=np.array([55.0, 50.0, 45.0]),
+                            cone_angle=25.0, cone_delta=15.0)]
     else:
         lights = [HostLight(kind="point", from_point=np.array([0.0, 4.0, 2.0]),
                             intensity=np.array([30.0, 28.0, 26.0]))]
@@ -65,7 +71,8 @@ def _mini_spheres(sampler="zerotwosequence", light="distant"):
 
 
 @pytest.mark.parametrize("sampler,light", [("zerotwosequence", "distant"), ("random", "point"),
-                                           ("stratified", "distant")])
+                                           ("stratified", "distant"),
+                                           ("zerotwosequence", "spot")])
 def test_megakernel_matches_xla_persistent(sampler, light):
     desc = _mini_spheres(sampler, light)
     cs = compile_scene(desc)

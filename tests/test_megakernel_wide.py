@@ -71,6 +71,12 @@ def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area",
     if light in ("distant", "both"):
         lights = [HostLight(kind="distant", from_point=np.array([1.0, 10.0, 2.0]),
                             to_point=np.zeros(3), intensity=np.array([2.0, 2.0, 2.0]))]
+    if light == "spot":
+        # falloff band lands on the terrain so the smoothstep^4 cone is hit
+        lights = [HostLight(kind="spot", from_point=np.array([0.0, 3.2, 2.8]),
+                            to_point=np.array([0.0, -0.5, -1.0]),
+                            intensity=np.array([40.0, 36.0, 33.0]),
+                            cone_angle=30.0, cone_delta=18.0)]
     return SceneDescription(
         primitives=[terrain] + walls + [panel],
         lights=lights,
@@ -98,6 +104,8 @@ def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area",
     ("stratified", "area", 4, "power"),
     # halton (pbrt's default): CRT film enumeration in-kernel
     ("halton", "area", 4, "power"),
+    # spot light: baked smoothstep^4 cone falloff in the NEE branch
+    ("zerotwosequence", "spot", 4, "power"),
 ])
 def test_wide_megakernel_matches_xla_persistent(sampler, light, depth, strategy):
     from pbrt_tpu.device.megakernel_wide import extract_wide_consts, make_wide_megakernel_fn
@@ -257,6 +265,252 @@ def test_wide_megakernel_mixed_spheres():
 
     Lr, Lm = np.asarray(Lr), np.asarray(Lm)
     assert (Lr.sum(-1) > 1e-4).mean() > 0.5
+    assert np.allclose(np.asarray(wr), np.asarray(wm))
+    assert abs(float(np.sum(np.asarray(nvr))) - float(np.sum(np.asarray(nvm)))) <= 6
+    diff = np.abs(Lr - Lm)
+    rel = diff / (np.abs(Lr) + 1e-2)
+    assert float(rel.max()) < 2e-2, (float(rel.max()), float(diff.max()))
+    assert float(diff.mean()) < 1e-4
+
+def _uv_sphere(center, radius, n_theta=12, n_phi=18):
+    """UV-sphere triangle mesh with analytic per-vertex normals."""
+    th = np.linspace(0.0, np.pi, n_theta + 1)
+    ph = np.linspace(0.0, 2 * np.pi, n_phi, endpoint=False)
+    gt, gp = np.meshgrid(th, ph, indexing="ij")
+    nx = np.sin(gt) * np.cos(gp)
+    ny = np.cos(gt)
+    nz = np.sin(gt) * np.sin(gp)
+    norms = np.stack([nx, ny, nz], axis=-1).reshape(-1, 3)
+    verts = center + radius * norms
+    idx = []
+    for i in range(n_theta):
+        for j in range(n_phi):
+            a = i * n_phi + j
+            b = i * n_phi + (j + 1) % n_phi
+            c = (i + 1) * n_phi + j
+            d = (i + 1) * n_phi + (j + 1) % n_phi
+            if i > 0:
+                idx.append([a, c, b])
+            if i < n_theta - 1:
+                idx.append([b, c, d])
+    return verts.astype(np.float64), np.asarray(idx, np.int32), norms.astype(np.float64)
+
+
+def test_wide_megakernel_shading_normals():
+    """Per-vertex (smooth) shading normals ride the parallel attr table:
+    winner-reduced in the leaf phase, interpolated + ng-alignment-flipped
+    exactly like shading.py's has_sn branch (triangle.rs:355-360)."""
+    from pbrt_tpu.device.camera import make_camera
+    from pbrt_tpu.device.megakernel_wide import extract_wide_consts, make_wide_megakernel_fn
+    from pbrt_tpu.render import make_persistent_fn
+
+    desc = _room_scene(light="area", with_mirror=True)
+    sv, si, sn = _uv_sphere(np.array([0.0, 0.9, -0.5]), 1.0)
+    desc.primitives.append(HostPrimitive(
+        shape=ShapeRecord(mesh=TriangleMesh(p=sv, indices=si, n=sn)),
+        material=HostMaterial(kind="matte", params={"Kd": ("const", np.array([0.5, 0.55, 0.7]))})))
+    cs = compile_scene(desc)
+    assert cs.static.has_wide
+    assert cs.arrays.wattr_tab is not None
+
+    W, H, spp = 48, 24, 2
+    ys, xs = np.mgrid[0:H, 0:W]
+    px = jnp.asarray(xs.ravel().astype(np.int32))
+    py = jnp.asarray(ys.ravel().astype(np.int32))
+    pid = jnp.asarray((ys * W + xs).ravel().astype(np.uint32))
+
+    os.environ["PBRT_TPU_NO_MEGAKERNEL"] = "1"
+    os.environ["PBRT_TPU_WIDEMEGA"] = "0"
+    try:
+        ref_fn = make_persistent_fn(cs)
+    finally:
+        del os.environ["PBRT_TPU_NO_MEGAKERNEL"]
+        del os.environ["PBRT_TPU_WIDEMEGA"]
+    Lr, wr, nvr = ref_fn(cs.arrays, px, py, pid, jnp.uint32(0), spp, jnp.uint32(0))
+
+    cam = make_camera(desc.camera, desc.film)
+    icfg = {"kind": "path", "max_depth": 4, "rr_threshold": desc.integrator.rr_threshold,
+            "light_strategy": "power"}
+    scfg = {"kind": "zerotwosequence", "spp": spp}
+    fcfg = {"filter": "box", "filter_params": {}, "max_sample_luminance": float("inf")}
+    consts = extract_wide_consts(cs, cam, icfg, scfg, fcfg)
+    assert consts is not None and consts["has_ns"]
+    os.environ["PBRT_TPU_MEGAKERNEL_INTERPRET"] = "1"
+    try:
+        mk_fn = make_wide_megakernel_fn(cs, cam, icfg, scfg, fcfg)
+    finally:
+        del os.environ["PBRT_TPU_MEGAKERNEL_INTERPRET"]
+    assert mk_fn is not None
+    Lm, wm, nvm = mk_fn(cs.arrays, px, py, pid, jnp.uint32(0), spp, jnp.uint32(0))
+
+    Lr, Lm = np.asarray(Lr), np.asarray(Lm)
+    assert (Lr.sum(-1) > 1e-4).mean() > 0.5
+    assert np.allclose(np.asarray(wr), np.asarray(wm))
+    assert abs(float(np.sum(np.asarray(nvr))) - float(np.sum(np.asarray(nvm)))) <= 6
+    diff = np.abs(Lr - Lm)
+    rel = diff / (np.abs(Lr) + 1e-2)
+    assert float(rel.max()) < 2e-2, (float(rel.max()), float(diff.max()))
+    assert float(diff.mean()) < 1e-4
+
+def test_wide_megakernel_checker_uv():
+    """Non-default UVs ride the attr table; a matte-Kd 2D checkerboard over
+    constant cells is baked as an in-kernel select (texture.py:213-220)."""
+    from pbrt_tpu.device.camera import make_camera
+    from pbrt_tpu.device.megakernel_wide import extract_wide_consts, make_wide_megakernel_fn
+    from pbrt_tpu.render import make_persistent_fn
+    from pbrt_tpu.scene.host import HostTexture
+
+    desc = _room_scene(light="area", with_mirror=True)
+    checker = HostTexture(kind="checkerboard", is_float=False,
+                          tex1=("const", np.array([0.725, 0.71, 0.68])),
+                          tex2=("const", np.array([0.14, 0.12, 0.35])),
+                          uscale=6.0, vscale=6.0, udelta=0.25)
+    # tessellated floor grid with a real uv chart (keeps the scene above
+    # the wide-BVH prim threshold)
+    n = 8
+    us = np.linspace(-4.0, 4.0, n + 1)
+    gu, gvv = np.meshgrid(us, us)
+    p = np.stack([gu, np.zeros_like(gu), gvv], axis=-1).reshape(-1, 3)
+    uv = np.stack([(gu + 4.0) / 8.0, (gvv + 4.0) / 8.0], axis=-1).reshape(-1, 2)
+    idx = []
+    for i in range(n):
+        row = i * (n + 1)
+        for j in range(n):
+            a = row + j
+            idx.append([a, a + n + 1, a + 1])
+            idx.append([a + 1, a + n + 1, a + n + 2])
+    idx = np.asarray(idx, np.int32)
+    desc.primitives[0] = HostPrimitive(
+        shape=ShapeRecord(mesh=TriangleMesh(p=p, indices=idx, uv=uv)),
+        material=HostMaterial(kind="matte", params={"Kd": ("texture", checker)}))
+    cs = compile_scene(desc)
+    assert cs.static.has_wide
+    assert cs.arrays.wattr_tab is not None  # non-default uvs -> attr table
+
+    W, H, spp = 48, 24, 2
+    ys, xs = np.mgrid[0:H, 0:W]
+    px = jnp.asarray(xs.ravel().astype(np.int32))
+    py = jnp.asarray(ys.ravel().astype(np.int32))
+    pid = jnp.asarray((ys * W + xs).ravel().astype(np.uint32))
+
+    os.environ["PBRT_TPU_NO_MEGAKERNEL"] = "1"
+    os.environ["PBRT_TPU_WIDEMEGA"] = "0"
+    try:
+        ref_fn = make_persistent_fn(cs)
+    finally:
+        del os.environ["PBRT_TPU_NO_MEGAKERNEL"]
+        del os.environ["PBRT_TPU_WIDEMEGA"]
+    Lr, wr, nvr = ref_fn(cs.arrays, px, py, pid, jnp.uint32(0), spp, jnp.uint32(0))
+
+    cam = make_camera(desc.camera, desc.film)
+    icfg = {"kind": "path", "max_depth": 4, "rr_threshold": desc.integrator.rr_threshold,
+            "light_strategy": "power"}
+    scfg = {"kind": "zerotwosequence", "spp": spp}
+    fcfg = {"filter": "box", "filter_params": {}, "max_sample_luminance": float("inf")}
+    consts = extract_wide_consts(cs, cam, icfg, scfg, fcfg)
+    assert consts is not None and consts["has_attr"]
+    assert any(m.get("kd_tex") for m in consts["mats"].values())
+    os.environ["PBRT_TPU_MEGAKERNEL_INTERPRET"] = "1"
+    try:
+        mk_fn = make_wide_megakernel_fn(cs, cam, icfg, scfg, fcfg)
+    finally:
+        del os.environ["PBRT_TPU_MEGAKERNEL_INTERPRET"]
+    assert mk_fn is not None
+    Lm, wm, nvm = mk_fn(cs.arrays, px, py, pid, jnp.uint32(0), spp, jnp.uint32(0))
+
+    Lr, Lm = np.asarray(Lr), np.asarray(Lm)
+    assert (Lr.sum(-1) > 1e-4).mean() > 0.5
+    assert np.allclose(np.asarray(wr), np.asarray(wm))
+    assert abs(float(np.sum(np.asarray(nvr))) - float(np.sum(np.asarray(nvm)))) <= 6
+    diff = np.abs(Lr - Lm)
+    rel = diff / (np.abs(Lr) + 1e-2)
+    assert float(rel.max()) < 2e-2, (float(rel.max()), float(diff.max()))
+    assert float(diff.mean()) < 1e-4
+
+
+def test_megakernels_reject_mix_material():
+    """mix picks its sub-material stochastically per hit — the megakernels
+    bake lobes at a fixed point, so mix scenes must keep the XLA path."""
+    from pbrt_tpu.device.camera import make_camera
+    from pbrt_tpu.device.megakernel_wide import extract_wide_consts
+
+    desc = _room_scene()
+    m1 = HostMaterial(kind="matte", params={"Kd": ("const", np.array([0.8, 0.1, 0.1]))})
+    m2 = HostMaterial(kind="matte", params={"Kd": ("const", np.array([0.1, 0.1, 0.8]))})
+    desc.primitives[0] = HostPrimitive(
+        shape=desc.primitives[0].shape,
+        material=HostMaterial(kind="mix", params={
+            "amount": ("const", np.array([0.5, 0.5, 0.5])),
+            "material1": ("material", m1),
+            "material2": ("material", m2),
+        }))
+    cs = compile_scene(desc)
+    cam = make_camera(desc.camera, desc.film)
+    icfg = {"kind": "path", "max_depth": 4, "light_strategy": "power"}
+    fcfg = {"filter": "box", "filter_params": {}, "max_sample_luminance": float("inf")}
+    assert extract_wide_consts(cs, cam, icfg, {"kind": "zerotwosequence", "spp": 2}, fcfg) is None
+
+def test_wide_megakernel_constant_infinite():
+    """Constant (imageless) infinite light: uniform-sphere NEE (pdf 1/4pi)
+    + escaped-ray env pickup with deferred MIS, baked closed-form."""
+    from pbrt_tpu.device.camera import make_camera
+    from pbrt_tpu.device.megakernel_wide import extract_wide_consts, make_wide_megakernel_fn
+    from pbrt_tpu.render import make_persistent_fn
+
+    # OPEN scene: displaced terrain under a constant sky, no enclosure --
+    # half the rays escape, exercising the env pickup path
+    terrain = HostPrimitive(
+        shape=ShapeRecord(mesh=TriangleMesh(*_grid(
+            lambda x, z: (x, 0.6 * np.sin(1.3 * x) * np.cos(1.1 * z), z),
+            -6, 6, -6, 6, 10))),
+        material=HostMaterial(kind="matte", params={"Kd": ("const", np.array([0.55, 0.45, 0.35]))}))
+    desc = SceneDescription(
+        primitives=[terrain],
+        lights=[HostLight(kind="infinite", intensity=np.array([0.7, 0.8, 1.0])),
+                HostLight(kind="distant", from_point=np.array([2.0, 8.0, 1.0]),
+                          to_point=np.zeros(3), intensity=np.array([1.5, 1.4, 1.2]))],
+        camera=CameraConfig(kind="perspective",
+                            camera_to_world=Transform.look_at([0, 2.5, 6.5], [0, 0.5, 0], [0, 1, 0]),
+                            fov=60.0),
+        film=FilmConfig(x_resolution=48, y_resolution=24),
+        sampler=SamplerConfig(kind="zerotwosequence", pixel_samples=2),
+        integrator=IntegratorConfig(kind="path", max_depth=4, light_strategy="power"),
+    )
+    cs = compile_scene(desc)
+    assert cs.static.has_wide and cs.static.has_infinite and not cs.static.has_env_map
+
+    W, H, spp = 48, 24, 2
+    ys, xs = np.mgrid[0:H, 0:W]
+    px = jnp.asarray(xs.ravel().astype(np.int32))
+    py = jnp.asarray(ys.ravel().astype(np.int32))
+    pid = jnp.asarray((ys * W + xs).ravel().astype(np.uint32))
+
+    os.environ["PBRT_TPU_NO_MEGAKERNEL"] = "1"
+    os.environ["PBRT_TPU_WIDEMEGA"] = "0"
+    try:
+        ref_fn = make_persistent_fn(cs)
+    finally:
+        del os.environ["PBRT_TPU_NO_MEGAKERNEL"]
+        del os.environ["PBRT_TPU_WIDEMEGA"]
+    Lr, wr, nvr = ref_fn(cs.arrays, px, py, pid, jnp.uint32(0), spp, jnp.uint32(0))
+
+    cam = make_camera(desc.camera, desc.film)
+    icfg = {"kind": "path", "max_depth": 4, "rr_threshold": desc.integrator.rr_threshold,
+            "light_strategy": "power"}
+    scfg = {"kind": "zerotwosequence", "spp": spp}
+    fcfg = {"filter": "box", "filter_params": {}, "max_sample_luminance": float("inf")}
+    consts = extract_wide_consts(cs, cam, icfg, scfg, fcfg)
+    assert consts is not None
+    os.environ["PBRT_TPU_MEGAKERNEL_INTERPRET"] = "1"
+    try:
+        mk_fn = make_wide_megakernel_fn(cs, cam, icfg, scfg, fcfg)
+    finally:
+        del os.environ["PBRT_TPU_MEGAKERNEL_INTERPRET"]
+    assert mk_fn is not None
+    Lm, wm, nvm = mk_fn(cs.arrays, px, py, pid, jnp.uint32(0), spp, jnp.uint32(0))
+
+    Lr, Lm = np.asarray(Lr), np.asarray(Lm)
+    assert (Lr.sum(-1) > 1e-4).mean() > 0.9  # sky fills every escaped pixel
     assert np.allclose(np.asarray(wr), np.asarray(wm))
     assert abs(float(np.sum(np.asarray(nvr))) - float(np.sum(np.asarray(nvm)))) <= 6
     diff = np.abs(Lr - Lm)
