@@ -37,7 +37,7 @@ def _grid(f, u0, u1, v0, v1, n):
 
 
 def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area",
-                strategy="power"):
+                strategy="power", micro=False):
     """Enclosed displaced-terrain mini-room (the bench mesh class): ~260
     triangles, default UVs, matte walls + emissive ceiling panel."""
     def prim(verts, idx, kind="matte", kd=(0.6, 0.6, 0.6), emit=None):
@@ -47,13 +47,21 @@ def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area",
             # winding makes its normal face the ceiling)
             lightp = HostLight(kind="area", intensity=np.asarray(emit, np.float64),
                                two_sided=True)
-        mat = HostMaterial(kind=kind, params={"Kd": ("const", np.asarray(kd))}
-                           if kind == "matte" else {})
+        params = {}
+        if kind in ("matte", "plastic"):
+            params["Kd"] = ("const", np.asarray(kd))
+        if kind == "plastic":
+            params["Ks"] = ("const", np.array([0.4, 0.4, 0.4]))
+            params["roughness"] = ("const", 0.15)
+        if kind == "metal":
+            params["roughness"] = ("const", 0.08)  # default copper eta/k
+        mat = HostMaterial(kind=kind, params=params)
         return HostPrimitive(shape=ShapeRecord(mesh=TriangleMesh(p=verts, indices=idx)),
                              material=mat, area_light=lightp)
 
     terrain = prim(*_grid(lambda x, z: (x, 0.5 * np.sin(1.9 * x) * np.cos(1.3 * z), z),
-                          -4, 4, -4, 4, 8), kd=(0.55, 0.45, 0.35))
+                          -4, 4, -4, 4, 8), kd=(0.55, 0.45, 0.35),
+                   kind="plastic" if micro else "matte")
     y0, y1 = -1.3, 4.0
     walls = [
         prim(*_grid(lambda u, v: (u, v, np.full_like(u, -4.0)), -4, 4, y0, y1, 2)),
@@ -61,7 +69,8 @@ def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area",
         prim(*_grid(lambda u, v: (np.full_like(u, -4.0), v, u), -4, 4, y0, y1, 2),
              kd=(0.55, 0.3, 0.3)),
         prim(*_grid(lambda u, v: (np.full_like(u, 4.0), v, u), -4, 4, y0, y1, 2),
-             kind="mirror" if with_mirror else "matte", kd=(0.3, 0.55, 0.3)),
+             kind="metal" if micro else ("mirror" if with_mirror else "matte"),
+             kd=(0.3, 0.55, 0.3)),
         prim(*_grid(lambda u, v: (u, np.full_like(u, y1), v), -4, 4, -4, 4, 2),
              kd=(0.7, 0.7, 0.7)),
     ]
@@ -106,6 +115,11 @@ def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area",
     ("halton", "area", 4, "power"),
     # spot light: baked smoothstep^4 cone falloff in the NEE branch
     ("zerotwosequence", "spot", 4, "power"),
+    # GGX lobes: plastic (lambert+micro, dielectric F) terrain + copper
+    # metal (conductor F) wall — lobe pick, visible-normal sampling,
+    # micro NEE f/pdf terms
+    ("zerotwosequence", "micro", 4, "power"),
+    ("random", "micro", 5, "power"),
 ])
 def test_wide_megakernel_matches_xla_persistent(sampler, light, depth, strategy):
     from pbrt_tpu.device.megakernel_wide import extract_wide_consts, make_wide_megakernel_fn
@@ -113,8 +127,8 @@ def test_wide_megakernel_matches_xla_persistent(sampler, light, depth, strategy)
     from pbrt_tpu.render import make_persistent_fn
 
     desc = _room_scene(sampler=sampler,
-                       light="area" if light in ("dof", "gauss") else light,
-                       strategy=strategy)
+                       light="area" if light in ("dof", "gauss", "micro") else light,
+                       strategy=strategy, micro=light == "micro")
     desc.integrator.max_depth = depth
     if light == "dof":
         desc.camera.lens_radius = 0.15
