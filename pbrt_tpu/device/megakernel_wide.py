@@ -74,7 +74,8 @@ STACK = 72
 EPS = 1e-4  # leaf-phase min-t, matches pallas_bvh / intersect.SHADOW_EPS
 MAX_MATS = 16
 MAX_LIGHTS = 8
-# GGX microfacet reflection lobe (bsdf.py LOBE_MICRO_R — keep in lockstep)
+# bsdf.py lobe ids — keep in lockstep
+LOBE_OREN_NAYAR = 3
 LOBE_MICRO_R = 4
 # synthetic in-kernel id for the 2-lobe lambert+GGX class (plastic, glossy
 # uber rows): bsdf.py represents it as two slots; the baked kernel folds it
@@ -377,6 +378,15 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
             mats[m] = {"lobe": LOBE_NONE}
             continue
         kinds = [int(lk[m, s]) for s in slots]
+        if kinds == [LOBE_OREN_NAYAR]:
+            # matte with sigma > 0 (reflection.rs OrenNayar :901); cosine
+            # sampled like lambert with the A/B retro factor in f
+            d = ld[m, slots[0]]
+            mats[m] = {"lobe": LOBE_OREN_NAYAR,
+                       "color": d[0:3].astype(float).tolist(),
+                       "on_a": float(d[12]), "on_b": float(d[13]),
+                       "kd_tex": kd_tex}
+            continue
         if kinds in ([LOBE_MICRO_R], [LOBE_LAMBERT_R, LOBE_MICRO_R]):
             # GGX microfacet reflection (metal / plastic / glossy uber rows):
             # slot order is [lambert?, micro], matching bsdf_sample's
@@ -495,7 +505,9 @@ def _build_kernel(consts, n_samples: int):
     cap = n_samples * (max_depth + 2) + 8
 
     mat_rows = sorted(mats)
-    any_diffuse = any(mats[m]["lobe"] in (LOBE_LAMBERT_R, LOBE_PLASTIC) for m in mat_rows)
+    any_on = any(mats[m]["lobe"] == LOBE_OREN_NAYAR for m in mat_rows)
+    any_diffuse = any_on or any(
+        mats[m]["lobe"] in (LOBE_LAMBERT_R, LOBE_PLASTIC) for m in mat_rows)
     any_mirror = any(mats[m]["lobe"] == LOBE_SPEC_R for m in mat_rows)
     any_glass = any(mats[m]["lobe"] == LOBE_FRESNEL_SPEC for m in mat_rows)
     any_micro = any(mats[m]["lobe"] in (LOBE_MICRO_R, LOBE_PLASTIC) for m in mat_rows)
@@ -607,6 +619,26 @@ def _build_kernel(consts, n_samples: int):
         hx, hy, hz = _norm3(ax * nhx, ay * nhy, jnp.maximum(nhz, 1e-6))
         return (jnp.where(flip, -hx, hx), jnp.where(flip, -hy, hy),
                 jnp.where(flip, -hz, hz))
+
+    def on_factor(mat, wo_x, wo_y, wo_z, wi_x, wi_y, wi_z):
+        """Oren-Nayar f / kd: INV_PI * (A + B max_cos sin_alpha tan_beta)
+        (bsdf._lobe_f LOBE_OREN_NAYAR branch, channel form)."""
+        si = jnp.sqrt(jnp.maximum(1.0 - wi_z * wi_z, 0.0))
+        so = jnp.sqrt(jnp.maximum(1.0 - wo_z * wo_z, 0.0))
+        cpi = jnp.where(si > 1e-4, wi_x / jnp.maximum(si, 1e-12), 1.0)
+        spi = jnp.where(si > 1e-4, wi_y / jnp.maximum(si, 1e-12), 0.0)
+        cpo = jnp.where(so > 1e-4, wo_x / jnp.maximum(so, 1e-12), 1.0)
+        spo = jnp.where(so > 1e-4, wo_y / jnp.maximum(so, 1e-12), 0.0)
+        max_cos = jnp.maximum(0.0, cpi * cpo + spi * spo)
+        abs_ci = jnp.abs(wi_z)
+        abs_co = jnp.abs(wo_z)
+        sin_alpha = jnp.where(abs_ci > abs_co, so, si)
+        tan_beta = jnp.where(abs_ci > abs_co,
+                             si / jnp.maximum(abs_ci, 1e-9),
+                             so / jnp.maximum(abs_co, 1e-9))
+        a_v = mat_select(mat, "on_a", 1.0)
+        b_v = mat_select(mat, "on_b", 0.0)
+        return jnp.float32(INV_PI) * (a_v + b_v * max_cos * sin_alpha * tan_beta)
 
     def micro_fresnel(mat, cos_f):
         """lobe_fresnel for the micro lobe: per-mat none/dielectric/conductor."""
@@ -1157,6 +1189,8 @@ def _build_kernel(consts, n_samples: int):
             u1, u2 = sample_2d_traced(hbase, s_cur, dim_base + 3)
             shape = wox.shape
             lam_m = mat_mask_in(mat, (LOBE_LAMBERT_R, LOBE_PLASTIC))
+            on_m = mat_mask(mat, LOBE_OREN_NAYAR) if any_on else _falsev(wox)
+            diff_like = lam_m | on_m
             mic_m = mat_mask_in(mat, (LOBE_MICRO_R, LOBE_PLASTIC)) if any_micro else _falsev(wox)
             plast_m = mat_mask(mat, LOBE_PLASTIC) if any_plastic else _falsev(wox)
             mirror_m = mat_mask(mat, LOBE_SPEC_R) if any_mirror else _falsev(wox)
@@ -1179,7 +1213,7 @@ def _build_kernel(consts, n_samples: int):
                                    n_act - 1)
             else:
                 pick = jnp.zeros(shape, I32)
-            samp_diff = lam_m & (pick == 0)
+            samp_diff = diff_like & (pick == 0)
             samp_mic = mic_m & (~lam_m | (pick == 1))
             if any_diffuse:
                 ddx, ddy = _concentric_disk(u1, u2)
@@ -1278,7 +1312,11 @@ def _build_kernel(consts, n_samples: int):
             # lambert + GGX terms summed; pdf averaged over active lobes
             refl_hemi = wo_z * wiz > 0
             f_diff = jnp.where(lam_m & refl_hemi, jnp.float32(INV_PI), 0.0)
-            pdf_diff = jnp.where(lam_m & refl_hemi, abs_ci * jnp.float32(INV_PI), 0.0)
+            if any_on:
+                f_diff = jnp.where(on_m & refl_hemi,
+                                   on_factor(mat, wo_x, wo_y, wo_z, wix, wiy, wiz),
+                                   f_diff)
+            pdf_diff = jnp.where(diff_like & refl_hemi, abs_ci * jnp.float32(INV_PI), 0.0)
             f_ns_r = kdr * f_diff
             f_ns_g = kdg * f_diff
             f_ns_b = kdb * f_diff
@@ -1314,6 +1352,7 @@ def _build_kernel(consts, n_samples: int):
                 mat, kdr, kdg, kdb):
             """estimate_direct with delta AND diffuse-area lights (MIS)."""
             lam_m = mat_mask_in(mat, (LOBE_LAMBERT_R, LOBE_PLASTIC))
+            on_m = mat_mask(mat, LOBE_OREN_NAYAR) if any_on else None
             mic_m = mat_mask_in(mat, (LOBE_MICRO_R, LOBE_PLASTIC)) if any_micro else None
             plast_m = mat_mask(mat, LOBE_PLASTIC) if any_plastic else None
             if n_lights > 1:
@@ -1438,16 +1477,24 @@ def _build_kernel(consts, n_samples: int):
             # bsdf pdf toward wi (specular lobes contribute pdf 0)
             wi_z = _dot3(wix, wiy, wiz, at["nsx"], at["nsy"], at["nsz"])
             wo_z = _dot3(wox, woy, woz, at["nsx"], at["nsy"], at["nsz"])
-            p_b = jnp.where(lam_m & (wi_z * wo_z > 0),
+            diff_like = lam_m | on_m if any_on else lam_m
+            p_b = jnp.where(diff_like & (wi_z * wo_z > 0),
                             jnp.abs(wi_z) * jnp.float32(INV_PI), 0.0)
-            if any_micro:
-                # full local coords for the GGX terms (estimate_direct's
-                # bsdf_f gate is the GEOMETRIC refl bit; f's own internal
-                # gate is the shading hemisphere)
+            if any_micro or any_on:
+                # full local coords for the GGX/Oren-Nayar terms
+                # (estimate_direct's bsdf_f gate is the GEOMETRIC refl
+                # bit; f's own internal gate is the shading hemisphere)
                 wo_x = _dot3(wox, woy, woz, at["ssx"], at["ssy"], at["ssz"])
                 wo_y = _dot3(wox, woy, woz, at["tsx"], at["tsy"], at["tsz"])
                 wi_x = _dot3(wix, wiy, wiz, at["ssx"], at["ssy"], at["ssz"])
                 wi_y = _dot3(wix, wiy, wiz, at["tsx"], at["tsy"], at["tsz"])
+            if any_on:
+                onf = on_factor(mat, wo_x, wo_y, wo_z, wi_x, wi_y, wi_z)
+                onm = on_m & refl
+                fr_ = jnp.where(onm, kdr * onf * cos_ns, fr_)
+                fg_ = jnp.where(onm, kdg * onf * cos_ns, fg_)
+                fb_ = jnp.where(onm, kdb * onf * cos_ns, fb_)
+            if any_micro:
                 fm_r, fm_g, fm_b, p_m = micro_f_pdf(
                     mat, mic_m, wo_x, wo_y, wo_z, wi_x, wi_y, wi_z)
                 fr_ = fr_ + jnp.where(refl, fm_r * cos_ns, 0.0)

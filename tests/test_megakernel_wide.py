@@ -37,7 +37,7 @@ def _grid(f, u0, u1, v0, v1, n):
 
 
 def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area",
-                strategy="power", micro=False):
+                strategy="power", micro=False, sigma=0.0):
     """Enclosed displaced-terrain mini-room (the bench mesh class): ~260
     triangles, default UVs, matte walls + emissive ceiling panel."""
     def prim(verts, idx, kind="matte", kd=(0.6, 0.6, 0.6), emit=None):
@@ -50,6 +50,8 @@ def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area",
         params = {}
         if kind in ("matte", "plastic"):
             params["Kd"] = ("const", np.asarray(kd))
+        if kind == "matte" and sigma:
+            params["sigma"] = ("const", sigma)  # Oren-Nayar
         if kind == "plastic":
             params["Ks"] = ("const", np.array([0.4, 0.4, 0.4]))
             params["roughness"] = ("const", 0.15)
@@ -120,6 +122,9 @@ def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area",
     # micro NEE f/pdf terms
     ("zerotwosequence", "micro", 4, "power"),
     ("random", "micro", 5, "power"),
+    # Oren-Nayar matte (sigma=25): A/B retro-reflection factor in f for
+    # both the bounce recompute and the NEE term
+    ("zerotwosequence", "sigma", 4, "power"),
 ])
 def test_wide_megakernel_matches_xla_persistent(sampler, light, depth, strategy):
     from pbrt_tpu.device.megakernel_wide import extract_wide_consts, make_wide_megakernel_fn
@@ -127,8 +132,9 @@ def test_wide_megakernel_matches_xla_persistent(sampler, light, depth, strategy)
     from pbrt_tpu.render import make_persistent_fn
 
     desc = _room_scene(sampler=sampler,
-                       light="area" if light in ("dof", "gauss", "micro") else light,
-                       strategy=strategy, micro=light == "micro")
+                       light="area" if light in ("dof", "gauss", "micro", "sigma") else light,
+                       strategy=strategy, micro=light == "micro",
+                       sigma=25.0 if light == "sigma" else 0.0)
     desc.integrator.max_depth = depth
     if light == "dof":
         desc.camera.lens_radius = 0.15
