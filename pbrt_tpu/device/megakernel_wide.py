@@ -34,10 +34,13 @@ lambert/specular/fresnel-specular lobes, single GGX microfacet lobes
 (dielectric or conductor fresnel), and the 2-lobe lambert+GGX combo
 (plastic, glossy uber rows) with per-sample lobe picks — constant
 textures or a matte-Kd 2D-uv checkerboard over constant cells, point +
-spot + distant + diffuse-area lights (uniform or power selection),
-pinhole or thin-lens perspective, box/triangle/gaussian filter,
-(0,2)/random/stratified/halton samplers. mix materials, Beckmann
-lobes, and textured sphere prims keep the XLA path.
+spot + distant + diffuse-area lights on triangles AND full spheres
+(visible-cone NEE outside / uniform area inside, cone-density MIS
+pickup — sphere.rs sample_interaction), Oren-Nayar matte (sigma > 0),
+uniform or power light selection, pinhole or thin-lens perspective,
+box/triangle/gaussian filter, (0,2)/random/stratified/halton samplers.
+mix materials, Beckmann lobes, and textured sphere prims keep the XLA
+path.
 
 Reference semantics: integrator.rs:263-403 + path.rs:79-222 (the loop),
 bvh.rs:705-814 (traversal), triangle.rs:136-399 (watertight test),
@@ -282,7 +285,40 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
         if k in (LIGHT_POINT, LIGHT_DISTANT, LIGHT_SPOT, LIGHT_INFINITE):
             lights.append({"kind": k, "par": light_param[i].astype(float)})
         elif k == LIGHT_AREA:
+            from ..scene.arrays import GEOM_SPHERE, QUADRIC_SPHERE
+
             pid = int(light_prim[i])
+            if int(_h(sa.prim_kind)[pid]) == GEOM_SPHERE:
+                # sphere area light: cone sampling outside, uniform area
+                # inside (sphere.rs sample_interaction; lights.sample_li
+                # cone_spheres branch). Needs the same full-sphere /
+                # outward-orientation conditions as _sphere_cone_info.
+                si_ = int(prim_geom[pid])
+                if int(_h(sa.sph_kind)[si_]) != QUADRIC_SPHERE:
+                    return None
+                sp = _h(sa.sph_param)[si_]
+                r_o = float(sp[0])
+                if not (float(sp[1]) <= -r_o + 1e-6 * r_o
+                        and float(sp[2]) >= r_o - 1e-6 * r_o
+                        and float(sp[3]) >= 2 * np.pi - 1e-6):
+                    return None
+                if prim_flags[pid] & 4:  # reverse-oriented: emits inward
+                    return None
+                o2w_l = _h(sa.sph_o2w)[si_].astype(np.float64)
+                w2o_l = _h(sa.sph_w2o)[si_].astype(np.float64)
+                lights.append({
+                    "kind": k, "par": light_param[i].astype(float),
+                    "sphere": True, "pid": pid,
+                    "c": o2w_l[:3, 3].tolist(),
+                    "r": float(r_o * np.linalg.norm(o2w_l[:3, 0])),
+                    "r_obj": r_o,
+                    "o2w": o2w_l[:3, :4].tolist(),
+                    "w2oT": w2o_l[:3, :3].T.tolist(),
+                    "flip": bool(prim_flags[pid] & FLAG_FLIP_GEOM_N),
+                    "area": float(prim_area[pid]),
+                    "two_sided": bool(light_param[i][3] > 0),
+                })
+                continue
             v = tri_p[prim_geom[pid]].astype(np.float64)
             e1, e2 = v[1] - v[0], v[2] - v[0]
             ng = np.cross(e1, e2)
@@ -315,11 +351,14 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
             if not (zmin <= -r + 1e-7 * r and zmax >= r - 1e-7 * r and phimax >= 2 * np.pi - 1e-6):
                 return None  # partial spheres keep the XLA clip path
             pid = int(sph_pid[i])
-            if int(_h(sa.prim_light)[pid]) >= 0:
-                return None  # sphere area lights keep the XLA path
+            li_ = int(_h(sa.prim_light)[pid])
+            if li_ >= 0 and not (0 <= li_ < len(lights)
+                                 and lights[li_].get("sphere")):
+                return None  # light row wasn't baked as a sphere light
             spheres.append({
                 "w2o": sph_w2o[i], "o2w": sph_o2w[i], "r": r, "phimax": phimax,
                 "mat": int(prim_mat[pid]), "flags": int(prim_flags[pid]),
+                "light": li_,
             })
 
     # material lobes baked exactly like megakernel.extract_consts
@@ -1435,6 +1474,102 @@ def _build_kernel(consts, n_samples: int):
                     dist = jnp.where(m, jnp.float32(wr2), dist)
                     p_l = jnp.where(m, jnp.float32(INV_4PI), p_l)
                     is_delta = is_delta & ~m
+                elif lt.get("sphere"):
+                    # sphere area light (lights.sample_li cone_spheres):
+                    # visible-cone sampling outside, uniform area inside
+                    c = lt["c"]
+                    r_w = float(lt["r"])
+                    tox = jnp.float32(c[0]) - at["px"]
+                    toy = jnp.float32(c[1]) - at["py"]
+                    toz = jnp.float32(c[2]) - at["pz"]
+                    dc2 = jnp.maximum(tox * tox + toy * toy + toz * toz, 1e-12)
+                    dc = jnp.sqrt(dc2)
+                    outside = dc2 > r_w * r_w * 1.0001
+                    invc = 1.0 / dc
+                    wcx, wcy, wcz = tox * invc, toy * invc, toz * invc
+                    # coordinate_system(wc) (shading.py:40)
+                    sgn = jnp.where(wcz >= 0.0, 1.0, -1.0)
+                    a_cs = -1.0 / (sgn + wcz)
+                    b_cs = wcx * wcy * a_cs
+                    vxx = 1.0 + sgn * wcx * wcx * a_cs
+                    vxy = sgn * b_cs
+                    vxz = -sgn * wcx
+                    vyx = b_cs
+                    vyy = sgn + wcy * wcy * a_cs
+                    vyz = -wcy
+                    sin2_tm = jnp.clip(r_w * r_w / dc2, 0.0, 1.0)
+                    cos_tm = jnp.sqrt(jnp.maximum(1.0 - sin2_tm, 0.0))
+                    cos_t = (1.0 - u1) + u1 * cos_tm
+                    sin2_t = jnp.maximum(1.0 - cos_t * cos_t, 0.0)
+                    ds_ = dc * cos_t - jnp.sqrt(jnp.maximum(r_w * r_w - dc2 * sin2_t, 0.0))
+                    cos_a = jnp.clip((dc2 + r_w * r_w - ds_ * ds_)
+                                     / jnp.maximum(2.0 * dc * r_w, 1e-12), -1.0, 1.0)
+                    sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+                    phi_c = jnp.float32(2.0 * math.pi) * u2
+                    sa_c = sin_a * jnp.cos(phi_c)
+                    sa_s = sin_a * jnp.sin(phi_c)
+                    nwx = sa_c * -vxx + sa_s * -vyx + cos_a * -wcx
+                    nwy = sa_c * -vxy + sa_s * -vyy + cos_a * -wcy
+                    nwz = sa_c * -vxz + sa_s * -vyz + cos_a * -wcz
+                    psx_c = jnp.float32(c[0]) + r_w * nwx
+                    psy_c = jnp.float32(c[1]) + r_w * nwy
+                    psz_c = jnp.float32(c[2]) + r_w * nwz
+                    pdf_cone = 1.0 / jnp.maximum(
+                        jnp.float32(2.0 * math.pi) * (1.0 - cos_tm), 1e-12)
+                    # inside: uniform object-space area sample
+                    # (lights._sample_prim_point sphere branch)
+                    zz_s = 1.0 - 2.0 * u1
+                    rr_s = jnp.sqrt(jnp.maximum(0.0, 1.0 - zz_s * zz_s))
+                    ph_s = jnp.float32(2.0 * math.pi) * u2
+                    dox = rr_s * jnp.cos(ph_s)
+                    doy = rr_s * jnp.sin(ph_s)
+                    doz = zz_s
+                    r_o = float(lt["r_obj"])
+                    M = lt["o2w"]
+                    psx_a = (jnp.float32(M[0][0]) * (r_o * dox) + jnp.float32(M[0][1]) * (r_o * doy)
+                             + jnp.float32(M[0][2]) * (r_o * doz) + jnp.float32(M[0][3]))
+                    psy_a = (jnp.float32(M[1][0]) * (r_o * dox) + jnp.float32(M[1][1]) * (r_o * doy)
+                             + jnp.float32(M[1][2]) * (r_o * doz) + jnp.float32(M[1][3]))
+                    psz_a = (jnp.float32(M[2][0]) * (r_o * dox) + jnp.float32(M[2][1]) * (r_o * doy)
+                             + jnp.float32(M[2][2]) * (r_o * doz) + jnp.float32(M[2][3]))
+                    T = lt["w2oT"]
+                    nax = (jnp.float32(T[0][0]) * dox + jnp.float32(T[0][1]) * doy
+                           + jnp.float32(T[0][2]) * doz)
+                    nay = (jnp.float32(T[1][0]) * dox + jnp.float32(T[1][1]) * doy
+                           + jnp.float32(T[1][2]) * doz)
+                    naz = (jnp.float32(T[2][0]) * dox + jnp.float32(T[2][1]) * doy
+                           + jnp.float32(T[2][2]) * doz)
+                    nax, nay, naz = _norm3(nax, nay, naz)
+                    if lt["flip"]:
+                        nax, nay, naz = -nax, -nay, -naz
+                    psx = jnp.where(outside, psx_c, psx_a)
+                    psy = jnp.where(outside, psy_c, psy_a)
+                    psz = jnp.where(outside, psz_c, psz_a)
+                    ngx_l = jnp.where(outside, nwx, nax)
+                    ngy_l = jnp.where(outside, nwy, nay)
+                    ngz_l = jnp.where(outside, nwz, naz)
+                    tx = psx - at["px"]
+                    ty = psy - at["py"]
+                    tz = psz - at["pz"]
+                    d2 = jnp.maximum(tx * tx + ty * ty + tz * tz, 1e-12)
+                    dl = jnp.sqrt(d2)
+                    invl = 1.0 / dl
+                    wxa, wya, wza = tx * invl, ty * invl, tz * invl
+                    cos_l = -(wxa * ngx_l + wya * ngy_l + wza * ngz_l)
+                    emits = outside | (cos_l > 0) | bool(lt["two_sided"])
+                    pdf_a = d2 / jnp.maximum(jnp.abs(cos_l) * jnp.float32(lt["area"]), 1e-12)
+                    pdf_a = jnp.where(jnp.abs(cos_l) > 1e-7, pdf_a, 0.0)
+                    p_sph_l = jnp.where(outside, pdf_cone, pdf_a)
+                    par_l = lt["par"]
+                    wix = jnp.where(m, wxa, wix)
+                    wiy = jnp.where(m, wya, wiy)
+                    wiz = jnp.where(m, wza, wiz)
+                    lir = jnp.where(m & emits, jnp.float32(par_l[0]), jnp.where(m, 0.0, lir))
+                    lig = jnp.where(m & emits, jnp.float32(par_l[1]), jnp.where(m, 0.0, lig))
+                    lib = jnp.where(m & emits, jnp.float32(par_l[2]), jnp.where(m, 0.0, lib))
+                    dist = jnp.where(m, dl, dist)
+                    p_l = jnp.where(m, p_sph_l, p_l)
+                    is_delta = is_delta & ~m
                 else:  # diffuse area on one baked triangle
                     v = lt["v"]
                     su0 = jnp.sqrt(jnp.maximum(u1, 0.0))
@@ -1573,7 +1708,7 @@ def _build_kernel(consts, n_samples: int):
                         at[k_] = jnp.where(better, v_, at[k_])
                     at["mat"] = jnp.where(better, pr["mat"], at["mat"])
                     valid = valid | better
-                    lid_h = jnp.where(better, -1, lid_h)
+                    lid_h = jnp.where(better, pr.get("light", -1), lid_h)
             nv = nv + jnp.where(alive_b & valid, 1.0, 0.0)
 
             wox, woy, woz = -dx, -dy, -dz
@@ -1606,6 +1741,25 @@ def _build_kernel(consts, n_samples: int):
                 cos_l = jnp.abs(_dot3(at["ngx"], at["ngy"], at["ngz"],
                                       -tx * wl, -ty * wl, -tz * wl))
                 p_lh = jnp.where(cos_l > 1e-7, d2 / jnp.maximum(cos_l * area_h, 1e-12), 0.0) * selp
+                for i, lt in enumerate(lights):
+                    if lt["kind"] != LIGHT_AREA or not lt.get("sphere"):
+                        continue
+                    # sphere lights hit from outside use the cone density
+                    # (lights.pdf_li_area_hit cone_spheres branch)
+                    c = lt["c"]
+                    r_w = float(lt["r"])
+                    tcx = jnp.float32(c[0]) - ppx
+                    tcy = jnp.float32(c[1]) - ppy
+                    tcz = jnp.float32(c[2]) - ppz
+                    dc2 = jnp.maximum(tcx * tcx + tcy * tcy + tcz * tcz, 1e-12)
+                    outside = dc2 > r_w * r_w * 1.0001
+                    sin2_tm = jnp.clip(r_w * r_w / dc2, 0.0, 1.0)
+                    cos_tm = jnp.sqrt(jnp.maximum(1.0 - sin2_tm, 0.0))
+                    pdf_cone = 1.0 / jnp.maximum(
+                        jnp.float32(2.0 * math.pi) * (1.0 - cos_tm), 1e-12)
+                    p_lh = jnp.where((lid_h == i) & outside,
+                                     pdf_cone * jnp.float32(consts["light_pmf"][i]),
+                                     p_lh)
                 w_mis = jnp.where(prev_spec > 0, 1.0, power_heuristic(prev_pdf, p_lh))
                 Lr = Lr + jnp.where(emitting, br * ler * w_mis, 0.0)
                 Lg = Lg + jnp.where(emitting, bg * leg * w_mis, 0.0)

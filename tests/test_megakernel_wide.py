@@ -292,6 +292,64 @@ def test_wide_megakernel_mixed_spheres():
     assert float(rel.max()) < 2e-2, (float(rel.max()), float(diff.max()))
     assert float(diff.mean()) < 1e-4
 
+def test_wide_megakernel_sphere_light():
+    """Emissive full-sphere lamp in a mixed scene: visible-cone NEE from
+    outside, uniform-area NEE from inside, and the cone-density MIS pickup
+    on direct hits must match the XLA persistent wave
+    (sphere.rs sample_interaction / pdf_interaction)."""
+    from pbrt_tpu.device.camera import make_camera
+    from pbrt_tpu.device.megakernel_wide import make_wide_megakernel_fn
+    from pbrt_tpu.render import make_persistent_fn
+    from pbrt_tpu.scene.host import Sphere
+
+    desc = _room_scene(light="area", with_mirror=False)
+    desc.primitives.append(HostPrimitive(
+        shape=ShapeRecord(sphere=Sphere(object_to_world=Transform.translate([0.8, 1.6, -0.5]),
+                                        radius=0.5)),
+        material=HostMaterial(kind="matte", params={"Kd": ("const", np.zeros(3))}),
+        area_light=HostLight(kind="area", intensity=np.array([18.0, 15.0, 12.0]))))
+    cs = compile_scene(desc)
+    assert cs.static.has_cone_sphere_lights
+    assert cs.static.n_spheres == 1
+
+    W, H, spp = 48, 24, 2
+    ys, xs = np.mgrid[0:H, 0:W]
+    px = jnp.asarray(xs.ravel().astype(np.int32))
+    py = jnp.asarray(ys.ravel().astype(np.int32))
+    pid = jnp.asarray((ys * W + xs).ravel().astype(np.uint32))
+
+    os.environ["PBRT_TPU_NO_MEGAKERNEL"] = "1"
+    os.environ["PBRT_TPU_WIDEMEGA"] = "0"
+    try:
+        ref_fn = make_persistent_fn(cs)
+    finally:
+        del os.environ["PBRT_TPU_NO_MEGAKERNEL"]
+        del os.environ["PBRT_TPU_WIDEMEGA"]
+    Lr, wr, nvr = ref_fn(cs.arrays, px, py, pid, jnp.uint32(0), spp, jnp.uint32(0))
+
+    cam = make_camera(desc.camera, desc.film)
+    icfg = {"kind": "path", "max_depth": 4, "rr_threshold": desc.integrator.rr_threshold,
+            "light_strategy": "power"}
+    scfg = {"kind": "zerotwosequence", "spp": spp}
+    fcfg = {"filter": "box", "filter_params": {}, "max_sample_luminance": float("inf")}
+    os.environ["PBRT_TPU_MEGAKERNEL_INTERPRET"] = "1"
+    try:
+        mk_fn = make_wide_megakernel_fn(cs, cam, icfg, scfg, fcfg)
+    finally:
+        del os.environ["PBRT_TPU_MEGAKERNEL_INTERPRET"]
+    assert mk_fn is not None
+    Lm, wm, nvm = mk_fn(cs.arrays, px, py, pid, jnp.uint32(0), spp, jnp.uint32(0))
+
+    Lr, Lm = np.asarray(Lr), np.asarray(Lm)
+    assert (Lr.sum(-1) > 1e-4).mean() > 0.5
+    assert np.allclose(np.asarray(wr), np.asarray(wm))
+    assert abs(float(np.sum(np.asarray(nvr))) - float(np.sum(np.asarray(nvm)))) <= 6
+    diff = np.abs(Lr - Lm)
+    rel = diff / (np.abs(Lr) + 1e-2)
+    assert float(rel.max()) < 2e-2, (float(rel.max()), float(diff.max()))
+    assert float(diff.mean()) < 1e-4
+
+
 def _uv_sphere(center, radius, n_theta=12, n_phi=18):
     """UV-sphere triangle mesh with analytic per-vertex normals."""
     th = np.linspace(0.0, np.pi, n_theta + 1)
