@@ -38,9 +38,10 @@ spot + distant + diffuse-area lights on triangles AND full spheres
 (visible-cone NEE outside / uniform area inside, cone-density MIS
 pickup — sphere.rs sample_interaction), Oren-Nayar matte (sigma > 0),
 uniform or power light selection, pinhole or thin-lens perspective,
-box/triangle/gaussian filter, (0,2)/random/stratified/halton samplers.
-mix materials, Beckmann lobes, and textured sphere prims keep the XLA
-path.
+box/triangle/gaussian filter, (0,2)/random/stratified/halton/sobol
+samplers (halton's CRT and sobol's GF(2) global film enumerations run
+in-kernel). mix materials, Beckmann lobes, and textured sphere prims
+keep the XLA path.
 
 Reference semantics: integrator.rs:263-403 + path.rs:79-222 (the loop),
 bvh.rs:705-814 (traversal), triangle.rs:136-399 (watertight test),
@@ -221,13 +222,16 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
         return None
     if cam["kind"] != 0 or cam.get("anim") is not None or cam.get("realistic") is not None:
         return None
-    if scfg["kind"] not in ("zerotwosequence", "lowdiscrepancy", "random", "stratified", "halton"):
+    if scfg["kind"] not in ("zerotwosequence", "lowdiscrepancy", "random",
+                            "stratified", "halton", "sobol"):
         return None
     if scfg["kind"] == "stratified" and float(_h(cam["lens_radius"])) != 0.0:
         return None  # lens dim 1 strata (rot + grid) not baked
     if scfg["kind"] == "halton":
         if scfg.get("halton") is None or float(_h(cam["lens_radius"])) != 0.0:
             return None  # lens dims need Faure-scrambled bases 5/7: not baked
+    if scfg["kind"] == "sobol" and scfg.get("sobol") is None:
+        return None  # global-index tables overflowed (huge film x spp)
     # unit-weight filters only (mitchell/sinc need per-sample f/p weights)
     if fcfg["filter"] not in ("box", "triangle", "gaussian"):
         return None
@@ -502,7 +506,27 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
                     "sx": int(scfg["halton"]["sx"]),
                     "sy": int(scfg["halton"]["sy"])}
                    if scfg["kind"] == "halton" else None),
+        # global-Sobol film enumeration: the GF(2) index inversion and the
+        # dim 0..3 generator columns bake to unrolled u32 XOR selects
+        # (sampler.sobol_global_index / sobol_dim; sobol.rs:61-75)
+        "sobol": (_bake_sobol(scfg["sobol"]) if scfg["kind"] == "sobol" else None),
         "max_lum": float(fcfg.get("max_sample_luminance", float("inf"))),
+    }
+
+
+def _bake_sobol(aux):
+    """Kernel constants for the global-Sobol film enumeration: the
+    sampler.sobol_tables dict plus generator columns for dims 0..3
+    (film jitter x/y + lens u/v)."""
+    from ..core.sobolmat import matrix
+
+    return {
+        "m": int(aux["m"]),
+        "res": int(aux["res"]),
+        "inv_cols": tuple(int(c) for c in aux["inv_cols"]),
+        "delta_cols": tuple(int(c) for c in aux["delta_cols"]),
+        "n_frame_bits": int(aux["n_frame_bits"]),
+        "cols": tuple(tuple(int(c) for c in matrix(d)) for d in range(4)),
     }
 
 
@@ -532,6 +556,7 @@ def _build_kernel(consts, n_samples: int):
     # to keep packet starts sublane-aligned)
     ROWS = 32 if has_attr else 16
     halton_cfg = consts.get("halton")
+    sobol_cfg = consts.get("sobol")
     is_stratified = consts["sampler"] == "stratified"
     spp_cfg = max(int(consts.get("spp", 1)), 1)
     strat_xs = max(int(math.floor(math.sqrt(spp_cfg))), 1)
@@ -860,8 +885,45 @@ def _build_kernel(consts, n_samples: int):
             idx = nxt
         return jnp.minimum(rd * ibn, jnp.float32(1.0 - 2.0 ** -24))
 
+    def _sobol_bits(idx, cols):
+        """Sobol' value at `idx` for one baked generator-column tuple
+        (sampler.sobol_dim with scramble 0, unrolled)."""
+        res_u = jnp.zeros(idx.shape, U32)
+        for j in range(32):
+            c = int(cols[j])
+            if c == 0:
+                continue
+            res_u = res_u ^ jnp.where(((idx >> U32(j)) & U32(1)) > 0, U32(c), U32(0))
+        return _u2f01(res_u)
+
+    def _sobol_index(px_f, py_f, s_sel):
+        """Global Sobol index landing in pixel (px, py) at frame s_sel
+        (sampler.sobol_global_index, baked constants)."""
+        m = sobol_cfg["m"]
+        frame = s_sel
+        delta = jnp.zeros(frame.shape, U32)
+        for c in range(sobol_cfg["n_frame_bits"]):
+            delta = delta ^ jnp.where(((frame >> U32(c)) & U32(1)) > 0,
+                                      U32(sobol_cfg["delta_cols"][c]), U32(0))
+        b = (px_f.astype(I32).astype(U32)
+             | (py_f.astype(I32).astype(U32) << U32(m))) ^ delta
+        low = jnp.zeros(b.shape, U32)
+        for j in range(2 * m):
+            low = low ^ jnp.where(((b >> U32(j)) & U32(1)) > 0,
+                                  U32(sobol_cfg["inv_cols"][j]), U32(0))
+        return (frame << U32(2 * m)) | low
+
     def regen(hbase, px_f, py_f, s_sel, hoff=None):
-        if halton_cfg is not None:
+        sob_idx = None
+        if sobol_cfg is not None:
+            # sampler.sobol_film_jitter: in-pixel offsets of the global point
+            sob_idx = _sobol_index(px_f, py_f, s_sel)
+            res_f = float(sobol_cfg["res"])
+            x = _sobol_bits(sob_idx, sobol_cfg["cols"][0]) * jnp.float32(res_f) - px_f
+            y = _sobol_bits(sob_idx, sobol_cfg["cols"][1]) * jnp.float32(res_f) - py_f
+            u1 = jnp.clip(x, 0.0, 1.0 - 1e-6)
+            u2 = jnp.clip(y, 0.0, 1.0 - 1e-6)
+        elif halton_cfg is not None:
             # halton_film_jitter: global index = offset[pixel] + s * stride,
             # film jitter = fract(ri2 * 2^j), fract(ri3 * 3^k)
             idx = hoff + s_sel * U32(halton_cfg["stride"])
@@ -890,7 +952,11 @@ def _build_kernel(consts, n_samples: int):
             # lens dims = static dim 1 (make_regen samples dim 1 always;
             # unused streams are keyed, not sequential, so pinhole needn't
             # burn them)
-            if is_random:
+            if sobol_cfg is not None:
+                # sampler.sobol_dim_2d(aux, px, py, s, 1) = dims 2/3
+                ul1 = _sobol_bits(sob_idx, sobol_cfg["cols"][2])
+                ul2 = _sobol_bits(sob_idx, sobol_cfg["cols"][3])
+            elif is_random:
                 h = _pcg(hbase ^ s_sel)
                 ul1 = _u2f01(_pcg(h ^ U32(2)))
                 ul2 = _u2f01(_pcg(h ^ U32(3)))

@@ -125,6 +125,8 @@ def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area",
     # Oren-Nayar matte (sigma=25): A/B retro-reflection factor in f for
     # both the bounce recompute and the NEE term
     ("zerotwosequence", "sigma", 4, "power"),
+    # sobol: global film-index enumeration (GF(2) inversion) in-kernel
+    ("sobol", "area", 4, "power"),
 ])
 def test_wide_megakernel_matches_xla_persistent(sampler, light, depth, strategy):
     from pbrt_tpu.device.megakernel_wide import extract_wide_consts, make_wide_megakernel_fn
@@ -168,6 +170,11 @@ def test_wide_megakernel_matches_xla_persistent(sampler, light, depth, strategy)
             from pbrt_tpu.device.sampler import halton_tables
 
             scfg["halton"] = halton_tables(W, H)
+        if sampler == "sobol":
+            from pbrt_tpu.device.sampler import sobol_tables
+
+            scfg["sobol"] = sobol_tables(W, H, spp)
+            assert scfg["sobol"] is not None
         fcfg = {"filter": desc.film.filter_name,
                 "filter_params": dict(desc.film.filter_params),
                 "max_sample_luminance": float("inf")}
