@@ -38,8 +38,9 @@ spot + distant + diffuse-area lights on triangles AND full spheres
 (visible-cone NEE outside / uniform area inside, cone-density MIS
 pickup — sphere.rs sample_interaction), Oren-Nayar matte (sigma > 0),
 uniform or power light selection, pinhole or thin-lens perspective,
-box/triangle/gaussian filter, (0,2)/random/stratified/halton/sobol
-samplers (halton's CRT and sobol's GF(2) global film enumerations run
+box/triangle/gaussian filter, and the full
+(0,2)/random/stratified/halton/sobol/maxmindist sampler family
+(halton's CRT and sobol's GF(2) global film enumerations run
 in-kernel). mix materials, Beckmann lobes, and textured sphere prims
 keep the XLA path.
 
@@ -223,7 +224,7 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
     if cam["kind"] != 0 or cam.get("anim") is not None or cam.get("realistic") is not None:
         return None
     if scfg["kind"] not in ("zerotwosequence", "lowdiscrepancy", "random",
-                            "stratified", "halton", "sobol"):
+                            "stratified", "halton", "sobol", "maxmindist"):
         return None
     if scfg["kind"] == "stratified" and float(_h(cam["lens_radius"])) != 0.0:
         return None  # lens dim 1 strata (rot + grid) not baked
@@ -510,8 +511,20 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
         # dim 0..3 generator columns bake to unrolled u32 XOR selects
         # (sampler.sobol_global_index / sobol_dim; sobol.rs:61-75)
         "sobol": (_bake_sobol(scfg["sobol"]) if scfg["kind"] == "sobol" else None),
+        # MaxMinDist film-dim matrix (sampler.maxmin_2d_dim0; lens + traced
+        # dims already share the generic (0,2) keying)
+        "maxmin": (_bake_maxmin(int(scfg["spp"]))
+                   if scfg["kind"] == "maxmindist" else None),
         "max_lum": float(fcfg.get("max_sample_luminance", float("inf"))),
     }
+
+
+def _bake_maxmin(spp: int):
+    from .sampler import maxmin_matrix
+
+    k = max(int(math.ceil(math.log2(max(spp, 1)))), 0)
+    cols = maxmin_matrix(k)
+    return {"n": 1 << k, "cols": tuple(int(c) for c in cols)}
 
 
 def _bake_sobol(aux):
@@ -557,6 +570,7 @@ def _build_kernel(consts, n_samples: int):
     ROWS = 32 if has_attr else 16
     halton_cfg = consts.get("halton")
     sobol_cfg = consts.get("sobol")
+    maxmin_cfg = consts.get("maxmin")
     is_stratified = consts["sampler"] == "stratified"
     spp_cfg = max(int(consts.get("spp", 1)), 1)
     strat_xs = max(int(math.floor(math.sqrt(spp_cfg))), 1)
@@ -923,6 +937,21 @@ def _build_kernel(consts, n_samples: int):
             y = _sobol_bits(sob_idx, sobol_cfg["cols"][1]) * jnp.float32(res_f) - py_f
             u1 = jnp.clip(x, 0.0, 1.0 - 1e-6)
             u2 = jnp.clip(y, 0.0, 1.0 - 1e-6)
+        elif maxmin_cfg is not None:
+            # sampler.maxmin_2d_dim0: x = (i+.5)/n CP-rotated per pixel,
+            # y = searched generator matrix, XOR-scrambled per pixel
+            n_mm = maxmin_cfg["n"]
+            i_mm = s_sel % U32(n_mm)
+            y_mm = jnp.zeros(i_mm.shape, U32)
+            for j, c in enumerate(maxmin_cfg["cols"]):
+                if c:
+                    y_mm = y_mm ^ jnp.where(((i_mm >> U32(j)) & U32(1)) > 0,
+                                            U32(c), U32(0))
+            y_mm = y_mm ^ _pcg(hbase ^ U32(0x51D))
+            u1 = ((i_mm.astype(F32) + 0.5) / jnp.float32(n_mm)
+                  + _u2f01(_pcg(hbase ^ U32(0xC9))))
+            u1 = jnp.where(u1 >= 1.0, u1 - 1.0, u1)
+            u2 = _u2f01(y_mm)
         elif halton_cfg is not None:
             # halton_film_jitter: global index = offset[pixel] + s * stride,
             # film jitter = fract(ri2 * 2^j), fract(ri3 * 3^k)

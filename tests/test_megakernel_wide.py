@@ -127,6 +127,8 @@ def _room_scene(sampler="zerotwosequence", with_mirror=True, light="area",
     ("zerotwosequence", "sigma", 4, "power"),
     # sobol: global film-index enumeration (GF(2) inversion) in-kernel
     ("sobol", "area", 4, "power"),
+    # maxmindist: searched film matrix + per-pixel CP rotation in-kernel
+    ("maxmindist", "area", 4, "power"),
 ])
 def test_wide_megakernel_matches_xla_persistent(sampler, light, depth, strategy):
     from pbrt_tpu.device.megakernel_wide import extract_wide_consts, make_wide_megakernel_fn
