@@ -13,10 +13,12 @@ Path state lives in registers/VMEM for the whole render and scene data
 instruction stream as compile-time constants.
 
 Eligibility (megakernel_eligible): the brute-force small-scene class —
-<= MAX_PRIMS triangle/full-sphere prims, single-lobe materials
-{matte(lambert), mirror, glass(smooth)} with constant textures, delta
-lights {point, distant}, pinhole perspective camera, box filter,
-(0,2)-family or uniform samplers, no media/motion/area/infinite lights.
+<= MAX_PRIMS triangle/full-sphere prims, baked-lobe materials
+{matte(lambert or Oren-Nayar sigma), mirror, glass(smooth), GGX metal
+(dielectric/conductor Fresnel), lambert+GGX plastic} with constant
+textures, delta lights {point, spot, distant}, pinhole perspective
+camera, box filter, (0,2)-family or uniform samplers, no
+media/motion/area/infinite lights.
 Everything else falls back to the XLA persistent / per-sample waves
 (render.make_persistent_fn chooses).
 
@@ -216,6 +218,293 @@ def _fresnel_dielectric(cos_i, eta_i: float, eta_t: float):
     return jnp.where(tir, 1.0, f)
 
 
+def _fresnel_dielectric_var(cos_i, eta):
+    """fresnel_dielectric with per-lane eta_t (eta_i = 1)."""
+    cos_i = jnp.clip(cos_i, -1.0, 1.0)
+    entering = cos_i > 0
+    ei = jnp.where(entering, 1.0, eta)
+    et = jnp.where(entering, eta, 1.0)
+    ci = jnp.abs(cos_i)
+    sin_t = ei / et * jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+    tir = sin_t >= 1.0
+    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+    r_parl = (et * ci - ei * ct) / jnp.maximum(et * ci + ei * ct, 1e-30)
+    r_perp = (ei * ci - et * ct) / jnp.maximum(ei * ci + et * ct, 1e-30)
+    f = 0.5 * (r_parl * r_parl + r_perp * r_perp)
+    return jnp.where(tir, 1.0, f)
+
+
+# ---------------------------------------------------------------------------
+# Shared baked-material accessors + lobe math (brute AND wide megakernels).
+# All functions operate on (SUB, LANES)-shaped f32 channel arrays; material
+# constants are python floats from the baked `mats` table, selected by
+# per-lane `where` chains over the (few) used material rows.
+# ---------------------------------------------------------------------------
+
+# bsdf.py lobe ids — keep in lockstep
+LOBE_OREN_NAYAR = 3
+LOBE_MICRO_R = 4
+# synthetic in-kernel id for the 2-lobe lambert+GGX class (plastic, glossy
+# uber rows): bsdf.py represents it as two slots; the baked kernels fold it
+# into one mat row with a per-sample lobe pick
+LOBE_PLASTIC = 100
+
+
+def make_mat_helpers(mats, mat_rows):
+    """Closure bundle over one baked material table (see module note)."""
+    import types
+
+    def mat_select(mat, field, default=0.0):
+        out = jnp.broadcast_to(jnp.float32(default), mat.shape)
+        for m in mat_rows:
+            v = mats[m].get(field)
+            if v is None:
+                continue
+            out = jnp.where(mat == m, jnp.float32(v), out)
+        return out
+
+    def mat_color(mat, field, ch):
+        out = jnp.zeros(mat.shape, F32)
+        for m in mat_rows:
+            v = mats[m].get(field)
+            if v is None:
+                continue
+            out = jnp.where(mat == m, jnp.float32(v[ch]), out)
+        return out
+
+    def mat_mask(mat, lobe_kind):
+        out = _falsev(mat)
+        for m in mat_rows:
+            if mats[m]["lobe"] == lobe_kind:
+                out = out | (mat == m)
+        return out
+
+    def mat_mask_in(mat, lobe_kinds):
+        out = _falsev(mat)
+        for m in mat_rows:
+            if mats[m]["lobe"] in lobe_kinds:
+                out = out | (mat == m)
+        return out
+
+    def mat_mask_fr(mat, fr_kind):
+        out = _falsev(mat)
+        for m in mat_rows:
+            if (mats[m]["lobe"] in (LOBE_MICRO_R, LOBE_PLASTIC)
+                    and mats[m]["fr_m"] == fr_kind):
+                out = out | (mat == m)
+        return out
+
+    any_fr_die = any(mats[m]["lobe"] in (LOBE_MICRO_R, LOBE_PLASTIC)
+                     and mats[m]["fr_m"] == 1 for m in mat_rows)
+    any_fr_con = any(mats[m]["lobe"] in (LOBE_MICRO_R, LOBE_PLASTIC)
+                     and mats[m]["fr_m"] == 2 for m in mat_rows)
+
+    # -- GGX microfacet reflection, channel form (bsdf.py ggx_* lockstep) --
+
+    def _ggx_d_ch(hx, hy, hz, ax, ay):
+        c2 = hz * hz
+        e = jnp.where(
+            c2 > 1e-12,
+            (hx * hx / jnp.maximum(ax * ax, 1e-12)
+             + hy * hy / jnp.maximum(ay * ay, 1e-12)) / jnp.maximum(c2, 1e-12),
+            0.0)
+        denom = jnp.float32(math.pi) * ax * ay * c2 * c2 * (1.0 + e) ** 2
+        return jnp.where(c2 > 1e-12, 1.0 / jnp.maximum(denom, 1e-20), 0.0)
+
+    def _ggx_lambda_ch(x, y, z, ax, ay):
+        c2 = z * z
+        a2 = x * x * ax * ax + y * y * ay * ay
+        alpha2_tan2 = jnp.where(c2 > 1e-12, a2 / jnp.maximum(c2, 1e-12), 1e12)
+        lam = 0.5 * (-1.0 + jnp.sqrt(1.0 + alpha2_tan2))
+        return jnp.where(jnp.abs(z) > 1e-6, lam, 1e6)
+
+    def ggx_sample_wh(wo_x, wo_y, wo_z, u1, u2, ax, ay):
+        """Visible-normal sampling (bsdf.ggx_sample_wh, channel form)."""
+        flip = wo_z < 0
+        wfx = jnp.where(flip, -wo_x, wo_x)
+        wfy = jnp.where(flip, -wo_y, wo_y)
+        wfz = jnp.where(flip, -wo_z, wo_z)
+        sx, sy, sz = _norm3(ax * wfx, ay * wfy, wfz)
+        # t1 = norm(cross(z, wi_s)) = norm(-sy, sx, 0); (1,0,0) when near-z
+        tl = jnp.sqrt(jnp.maximum(sx * sx + sy * sy, 0.0))
+        near_z = sz >= 0.9999
+        inv_tl = 1.0 / jnp.maximum(tl, 1e-30)
+        t1x = jnp.where(near_z, 1.0, -sy * inv_tl)
+        t1y = jnp.where(near_z, 0.0, sx * inv_tl)
+        # t2 = cross(wi_s, t1)
+        t2x = sy * 0.0 - sz * t1y
+        t2y = sz * t1x - sx * 0.0
+        t2z = sx * t1y - sy * t1x
+        a = 1.0 / (1.0 + sz)
+        r = jnp.sqrt(jnp.maximum(u1, 0.0))
+        phi = jnp.where(u2 < a, u2 / jnp.maximum(a, 1e-12) * jnp.float32(math.pi),
+                        jnp.float32(math.pi) + (u2 - a) / jnp.maximum(1.0 - a, 1e-12) * jnp.float32(math.pi))
+        p1 = r * jnp.cos(phi)
+        p2 = r * jnp.sin(phi) * jnp.where(u2 < a, 1.0, sz)
+        p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+        nhx = p1 * t1x + p2 * t2x + p3 * sx
+        nhy = p1 * t1y + p2 * t2y + p3 * sy
+        nhz = p2 * t2z + p3 * sz
+        hx, hy, hz = _norm3(ax * nhx, ay * nhy, jnp.maximum(nhz, 1e-6))
+        return (jnp.where(flip, -hx, hx), jnp.where(flip, -hy, hy),
+                jnp.where(flip, -hz, hz))
+
+    def micro_fresnel(mat, cos_f):
+        """lobe_fresnel for the micro lobe: per-mat none/dielectric/conductor."""
+        ones = jnp.ones(cos_f.shape, F32)
+        fr_r = fr_g = fr_b = ones
+        if any_fr_die:
+            die_m = mat_mask_fr(mat, 1)
+            fd = _fresnel_dielectric_var(cos_f, mat_select(mat, "eta_m", 1.5))
+            fr_r = jnp.where(die_m, fd, fr_r)
+            fr_g = jnp.where(die_m, fd, fr_g)
+            fr_b = jnp.where(die_m, fd, fr_b)
+        if any_fr_con:
+            con_m = mat_mask_fr(mat, 2)
+            ci = jnp.clip(jnp.abs(cos_f), 0.0, 1.0)
+            cos2 = ci * ci
+            sin2 = 1.0 - cos2
+            outs = []
+            for ch in range(3):
+                eta_c = mat_color(mat, "eta_rgb", ch)
+                k_c = mat_color(mat, "k_rgb", ch)
+                eta2 = eta_c * eta_c
+                k2 = k_c * k_c
+                t0 = eta2 - k2 - sin2
+                a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * eta2 * k2, 0.0))
+                t1 = a2b2 + cos2
+                a_ = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+                t2 = 2.0 * a_ * ci
+                rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-30)
+                t3 = cos2 * a2b2 + sin2 * sin2
+                t4 = t2 * sin2
+                rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-30)
+                outs.append(0.5 * (rp + rs))
+            fr_r = jnp.where(con_m, outs[0], fr_r)
+            fr_g = jnp.where(con_m, outs[1], fr_g)
+            fr_b = jnp.where(con_m, outs[2], fr_b)
+        return fr_r, fr_g, fr_b
+
+    def micro_f_pdf(mat, mic_m, wo_x, wo_y, wo_z, wi_x, wi_y, wi_z):
+        """GGX MICRO_R f (rgb, no cos factor) + visible-normal solid-angle
+        pdf toward wi, local shading frame (bsdf._lobe_f/_lobe_pdf)."""
+        axv = mat_select(mat, "ax", 1e-3)
+        ayv = mat_select(mat, "ay", 1e-3)
+        whx = wi_x + wo_x
+        why = wi_y + wo_y
+        whz = wi_z + wo_z
+        wh_len = jnp.sqrt(whx * whx + why * why + whz * whz)
+        inv_l = 1.0 / jnp.maximum(wh_len, 1e-30)
+        hx, hy, hz = whx * inv_l, why * inv_l, whz * inv_l
+        d_val = _ggx_d_ch(hx, hy, hz, axv, ayv)
+        g_val = 1.0 / (1.0 + _ggx_lambda_ch(wo_x, wo_y, wo_z, axv, ayv)
+                       + _ggx_lambda_ch(wi_x, wi_y, wi_z, axv, ayv))
+        # fresnel at dot(wi, wh) with wh flipped to the +z hemisphere
+        hsign = jnp.where(hz < 0, -1.0, 1.0)
+        cos_f = (wi_x * hx + wi_y * hy + wi_z * hz) * hsign
+        fr_r, fr_g, fr_b = micro_fresnel(mat, cos_f)
+        abs_ci = jnp.abs(wi_z)
+        abs_co = jnp.abs(wo_z)
+        base = d_val * g_val / jnp.maximum(4.0 * abs_co * abs_ci, 1e-12)
+        refl_hemi = wo_z * wi_z > 0
+        ok = mic_m & refl_hemi & (wh_len > 1e-12) & (abs_ci > 0) & (abs_co > 0)
+        ksr = mat_color(mat, "ks", 0)
+        ksg = mat_color(mat, "ks", 1)
+        ksb = mat_color(mat, "ks", 2)
+        f_r = jnp.where(ok, ksr * fr_r * base, 0.0)
+        f_g = jnp.where(ok, ksg * fr_g * base, 0.0)
+        f_b = jnp.where(ok, ksb * fr_b * base, 0.0)
+        # pdf: D(wh) G1(wo) |wo.wh| / |cos wo| / (4 |wo.wh|)
+        g1 = 1.0 / (1.0 + _ggx_lambda_ch(wo_x, wo_y, wo_z, axv, ayv))
+        dot_oh = jnp.abs(wo_x * hx + wo_y * hy + wo_z * hz)
+        p = (d_val * g1 * dot_oh / jnp.maximum(abs_co, 1e-9)
+             / jnp.maximum(4.0 * dot_oh, 1e-12))
+        p = jnp.where(mic_m & refl_hemi, p, 0.0)
+        return f_r, f_g, f_b, p
+
+    def on_factor(mat, wo_x, wo_y, wo_z, wi_x, wi_y, wi_z):
+        """Oren-Nayar f / kd: INV_PI * (A + B max_cos sin_alpha tan_beta)
+        (bsdf._lobe_f LOBE_OREN_NAYAR branch, channel form)."""
+        si = jnp.sqrt(jnp.maximum(1.0 - wi_z * wi_z, 0.0))
+        so = jnp.sqrt(jnp.maximum(1.0 - wo_z * wo_z, 0.0))
+        cpi = jnp.where(si > 1e-4, wi_x / jnp.maximum(si, 1e-12), 1.0)
+        spi = jnp.where(si > 1e-4, wi_y / jnp.maximum(si, 1e-12), 0.0)
+        cpo = jnp.where(so > 1e-4, wo_x / jnp.maximum(so, 1e-12), 1.0)
+        spo = jnp.where(so > 1e-4, wo_y / jnp.maximum(so, 1e-12), 0.0)
+        max_cos = jnp.maximum(0.0, cpi * cpo + spi * spo)
+        abs_ci = jnp.abs(wi_z)
+        abs_co = jnp.abs(wo_z)
+        sin_alpha = jnp.where(abs_ci > abs_co, so, si)
+        tan_beta = jnp.where(abs_ci > abs_co,
+                             si / jnp.maximum(abs_ci, 1e-9),
+                             so / jnp.maximum(abs_co, 1e-9))
+        a_v = mat_select(mat, "on_a", 1.0)
+        b_v = mat_select(mat, "on_b", 0.0)
+        return jnp.float32(INV_PI) * (a_v + b_v * max_cos * sin_alpha * tan_beta)
+
+    return types.SimpleNamespace(
+        mat_select=mat_select, mat_color=mat_color, mat_mask=mat_mask,
+        mat_mask_in=mat_mask_in, mat_mask_fr=mat_mask_fr,
+        ggx_sample_wh=ggx_sample_wh, micro_fresnel=micro_fresnel,
+        micro_f_pdf=micro_f_pdf, on_factor=on_factor,
+    )
+
+
+def bake_lobe_entry(kinds, slots, ld_m, kd_tex=None):
+    """Bake one material's active lobe slots into a kernel `mats` entry, or
+    return None when the combination isn't kernel-eligible. Shared by the
+    brute and wide extractors (kd_tex — the wide kernel's checkerboard
+    override — must ride a lambert lobe)."""
+    if kinds == [LOBE_OREN_NAYAR]:
+        # matte with sigma > 0 (reflection.rs OrenNayar :901); cosine
+        # sampled like lambert with the A/B retro factor in f
+        d = ld_m[slots[0]]
+        return {"lobe": LOBE_OREN_NAYAR,
+                "color": d[0:3].astype(float).tolist(),
+                "on_a": float(d[12]), "on_b": float(d[13]),
+                "kd_tex": kd_tex}
+    if kinds in ([LOBE_MICRO_R], [LOBE_LAMBERT_R, LOBE_MICRO_R]):
+        # GGX microfacet reflection (metal / plastic / glossy uber rows):
+        # slot order is [lambert?, micro], matching bsdf_sample's
+        # active-slot pick order. Beckmann (data[12]>0) and Schlick
+        # fresnel keep the XLA path.
+        md = ld_m[slots[-1]]
+        if float(md[12]) > 0:
+            return None
+        fr_kind = int(md[11])
+        if fr_kind not in (0, 1, 2):
+            return None
+        two = len(kinds) == 2
+        if kd_tex is not None and not two:
+            return None  # checker Kd needs the lambert lobe
+        return {
+            "lobe": LOBE_PLASTIC if two else LOBE_MICRO_R,
+            "color": (ld_m[slots[0]][0:3].astype(float).tolist()
+                      if two else [0.0, 0.0, 0.0]),
+            "ks": md[0:3].astype(float).tolist(),
+            "ax": float(md[9]), "ay": float(md[10]),
+            "fr_m": fr_kind,
+            "eta_m": float(max(float(md[3]), 1.0 + 1e-6)),
+            "eta_rgb": md[3:6].astype(float).tolist(),
+            "k_rgb": md[6:9].astype(float).tolist(),
+            "kd_tex": kd_tex,
+        }
+    if len(slots) != 1:
+        return None
+    s = int(slots[0])
+    kind = kinds[0]
+    if kind not in (LOBE_LAMBERT_R, LOBE_SPEC_R, LOBE_FRESNEL_SPEC):
+        return None
+    if kd_tex is not None and kind != LOBE_LAMBERT_R:
+        return None  # checker Kd is only baked for the lambert lobe
+    d = ld_m[s]
+    if kind == LOBE_SPEC_R and int(d[11]) not in (0, 1):
+        return None
+    return {"lobe": kind, "color": d[0:3].astype(float).tolist(),
+            "eta": float(d[3]), "kt": d[6:9].astype(float).tolist(),
+            "fresnel": int(d[11]), "kd_tex": kd_tex}
+
+
 # ---------------------------------------------------------------------------
 # Host-side constant extraction + eligibility
 # ---------------------------------------------------------------------------
@@ -330,18 +619,11 @@ def extract_consts(cs, cam, icfg, scfg, fcfg):
         if len(slots) == 0:
             mats[m] = {"lobe": LOBE_NONE}
             continue
-        if len(slots) != 1:
+        kinds = [int(lk[m, s]) for s in slots]
+        entry = bake_lobe_entry(kinds, [int(s) for s in slots], ld[m])
+        if entry is None:
             return None
-        s = int(slots[0])
-        kind = int(lk[m, s])
-        if kind not in (LOBE_LAMBERT_R, LOBE_SPEC_R, LOBE_FRESNEL_SPEC):
-            return None
-        d = ld[m, s]
-        if kind == LOBE_SPEC_R and int(d[11]) not in (0, 1):
-            return None
-        mats[m] = {"lobe": kind, "color": d[0:3].astype(float).tolist(),
-                   "eta": float(d[3]), "kt": d[6:9].astype(float).tolist(),
-                   "fresnel": int(d[11])}
+        mats[m] = entry
 
     # triangle shading constants (verts fixed -> frame fixed)
     for p in prims:
@@ -436,36 +718,22 @@ def _build_kernel(consts, n_samples: int):
     cap = n_samples * (max_depth + 2) + 8
 
     mat_rows = sorted(mats)
-    any_diffuse = any(mats[m]["lobe"] == LOBE_LAMBERT_R for m in mat_rows)
+    any_on = any(mats[m]["lobe"] == LOBE_OREN_NAYAR for m in mat_rows)
+    any_diffuse = any_on or any(
+        mats[m]["lobe"] in (LOBE_LAMBERT_R, LOBE_PLASTIC) for m in mat_rows)
     any_mirror = any(mats[m]["lobe"] == LOBE_SPEC_R for m in mat_rows)
     any_glass = any(mats[m]["lobe"] == LOBE_FRESNEL_SPEC for m in mat_rows)
+    any_micro = any(mats[m]["lobe"] in (LOBE_MICRO_R, LOBE_PLASTIC) for m in mat_rows)
+    any_plastic = any(mats[m]["lobe"] == LOBE_PLASTIC for m in mat_rows)
 
-    def mat_select(mat, field, default=0.0):
-        """where-chain select of a per-material constant."""
-        out = jnp.full_like_fn = None
-        out = jnp.broadcast_to(jnp.float32(default), mat.shape)
-        for m in mat_rows:
-            v = mats[m].get(field)
-            if v is None:
-                continue
-            out = jnp.where(mat == m, jnp.float32(v), out)
-        return out
-
-    def mat_color(mat, field, ch):
-        out = jnp.zeros(mat.shape, F32)
-        for m in mat_rows:
-            v = mats[m].get(field)
-            if v is None:
-                continue
-            out = jnp.where(mat == m, jnp.float32(v[ch]), out)
-        return out
-
-    def mat_mask(mat, lobe_kind):
-        out = _falsev(mat)
-        for m in mat_rows:
-            if mats[m]["lobe"] == lobe_kind:
-                out = out | (mat == m)
-        return out
+    H = make_mat_helpers(mats, mat_rows)
+    mat_select = H.mat_select
+    mat_color = H.mat_color
+    mat_mask = H.mat_mask
+    mat_mask_in = H.mat_mask_in
+    _ggx_sample_wh_ch = H.ggx_sample_wh
+    micro_f_pdf = H.micro_f_pdf
+    on_factor = H.on_factor
 
     def sample_1d_traced(hbase, s_cur, dim_i32):
         """sampler.sample_1d with a traced dim (zerotwo family bottom branch,
@@ -741,8 +1009,11 @@ def _build_kernel(consts, n_samples: int):
         return camera_ray(px_f + 0.5 + dx, py_f + 0.5 + dy)
 
     def nee(hbase, s_cur, dim_base, alive_sh, at, wox, woy, woz,
-            diffuse_m, kdr, kdg, kdb):
+            mat, kdr, kdg, kdb):
         """uniform_sample_onelight + estimate_direct for delta lights."""
+        lam_m = mat_mask_in(mat, (LOBE_LAMBERT_R, LOBE_PLASTIC))
+        on_m = mat_mask(mat, LOBE_OREN_NAYAR) if any_on else None
+        mic_m = mat_mask_in(mat, (LOBE_MICRO_R, LOBE_PLASTIC)) if any_micro else None
         # light selection (dim_base + 0)
         if n_lights > 1:
             u_sel = sample_1d_traced(hbase, s_cur, dim_base)
@@ -816,10 +1087,31 @@ def _build_kernel(consts, n_samples: int):
         refl = (_dot3(wix, wiy, wiz, at["ngx"], at["ngy"], at["ngz"]) *
                 _dot3(wox, woy, woz, at["ngx"], at["ngy"], at["ngz"])) > 0
         cos_ns = jnp.abs(_dot3(wix, wiy, wiz, at["nsx"], at["nsy"], at["nsz"]))
-        fm = diffuse_m & refl
+        fm = lam_m & refl
         fr_ = jnp.where(fm, kdr * jnp.float32(INV_PI) * cos_ns, 0.0)
         fg_ = jnp.where(fm, kdg * jnp.float32(INV_PI) * cos_ns, 0.0)
         fb_ = jnp.where(fm, kdb * jnp.float32(INV_PI) * cos_ns, 0.0)
+        if any_micro or any_on:
+            # full local coords for the GGX/Oren-Nayar f terms (delta
+            # lights: MIS weight 1, no bsdf pdf needed)
+            wo_z = _dot3(wox, woy, woz, at["nsx"], at["nsy"], at["nsz"])
+            wo_x = _dot3(wox, woy, woz, at["ssx"], at["ssy"], at["ssz"])
+            wo_y = _dot3(wox, woy, woz, at["tsx"], at["tsy"], at["tsz"])
+            wi_z = _dot3(wix, wiy, wiz, at["nsx"], at["nsy"], at["nsz"])
+            wi_x = _dot3(wix, wiy, wiz, at["ssx"], at["ssy"], at["ssz"])
+            wi_y = _dot3(wix, wiy, wiz, at["tsx"], at["tsy"], at["tsz"])
+        if any_on:
+            onf = on_factor(mat, wo_x, wo_y, wo_z, wi_x, wi_y, wi_z)
+            onm = on_m & refl
+            fr_ = jnp.where(onm, kdr * onf * cos_ns, fr_)
+            fg_ = jnp.where(onm, kdg * onf * cos_ns, fg_)
+            fb_ = jnp.where(onm, kdb * onf * cos_ns, fb_)
+        if any_micro:
+            fm_r, fm_g, fm_b, _p_m = micro_f_pdf(
+                mat, mic_m, wo_x, wo_y, wo_z, wi_x, wi_y, wi_z)
+            fr_ = fr_ + jnp.where(refl, fm_r * cos_ns, 0.0)
+            fg_ = fg_ + jnp.where(refl, fm_g * cos_ns, 0.0)
+            fb_ = fb_ + jnp.where(refl, fm_b * cos_ns, 0.0)
 
         p_l = spdf  # delta light pdf (1.0) * selection pmf
         contributes = alive_sh & (p_l > 0) & ((fr_ * lir > 0) | (fg_ * lig > 0) | (fb_ * lib > 0))
@@ -837,16 +1129,21 @@ def _build_kernel(consts, n_samples: int):
         return cr, cg, cb
 
     def bsdf_sample(hbase, s_cur, dim_base, at, wox, woy, woz, mat):
-        """bsdf.bsdf_sample for single-lobe matte/mirror/glass materials."""
+        """bsdf.bsdf_sample for the baked lobe classes (matte incl.
+        Oren-Nayar, mirror, glass, GGX micro, lambert+GGX plastic)."""
         # local frame
         wo_x = _dot3(wox, woy, woz, at["ssx"], at["ssy"], at["ssz"])
         wo_y = _dot3(wox, woy, woz, at["tsx"], at["tsy"], at["tsz"])
         wo_z = _dot3(wox, woy, woz, at["nsx"], at["nsy"], at["nsz"])
-        # dims: +2 lobe select (burned: all mats single-lobe), +3 u1/u2
+        # dims: +2 lobe select (drawn only when a 2-lobe mat exists), +3 u1/u2
         u1, u2 = sample_2d_traced(hbase, s_cur, dim_base + 3)
 
         shape = wox.shape
-        diffuse_m = mat_mask(mat, LOBE_LAMBERT_R)
+        lam_m = mat_mask_in(mat, (LOBE_LAMBERT_R, LOBE_PLASTIC))
+        on_m = mat_mask(mat, LOBE_OREN_NAYAR) if any_on else _falsev(wox)
+        diff_like = lam_m | on_m
+        mic_m = mat_mask_in(mat, (LOBE_MICRO_R, LOBE_PLASTIC)) if any_micro else _falsev(wox)
+        plast_m = mat_mask(mat, LOBE_PLASTIC) if any_plastic else _falsev(wox)
         mirror_m = mat_mask(mat, LOBE_SPEC_R) if any_mirror else _falsev(wox)
         glass_m = mat_mask(mat, LOBE_FRESNEL_SPEC) if any_glass else _falsev(wox)
         none_m = mat_mask(mat, LOBE_NONE)
@@ -859,13 +1156,38 @@ def _build_kernel(consts, n_samples: int):
         eta = mat_select(mat, "eta", 1.5)
         eta = jnp.maximum(eta, jnp.float32(1.0 + 1e-6))
 
+        # uniform lobe pick over the active slots (bsdf.bsdf_sample):
+        # plastic has [lambert, micro]; every other eligible mat is
+        # single-lobe (pick 0)
+        if any_plastic:
+            u_lobe = sample_1d_traced(hbase, s_cur, dim_base + 2)
+            n_act = jnp.where(plast_m, 2, 1)
+            pick = jnp.minimum((u_lobe * n_act.astype(F32)).astype(I32),
+                               n_act - 1)
+        else:
+            pick = jnp.zeros(shape, I32)
+        samp_diff = diff_like & (pick == 0)
+        samp_mic = mic_m & (~lam_m | (pick == 1))
+
         if any_diffuse:
             ddx, ddy = _concentric_disk(u1, u2)
             dz = jnp.sqrt(jnp.maximum(0.0, 1.0 - ddx * ddx - ddy * ddy))
             dz = jnp.where(entering, dz, -dz)
-            wix = jnp.where(diffuse_m, ddx, wix)
-            wiy = jnp.where(diffuse_m, ddy, wiy)
-            wiz = jnp.where(diffuse_m, dz, wiz)
+            wix = jnp.where(samp_diff, ddx, wix)
+            wiy = jnp.where(samp_diff, ddy, wiy)
+            wiz = jnp.where(samp_diff, dz, wiz)
+        if any_micro:
+            axv = mat_select(mat, "ax", 1e-3)
+            ayv = mat_select(mat, "ay", 1e-3)
+            hx, hy, hz = _ggx_sample_wh_ch(wo_x, wo_y, wo_z, u1, u2, axv, ayv)
+            dwh = wo_x * hx + wo_y * hy + wo_z * hz
+            wi_mx = -wo_x + 2.0 * dwh * hx
+            wi_my = -wo_y + 2.0 * dwh * hy
+            wi_mz = -wo_z + 2.0 * dwh * hz
+            wix = jnp.where(samp_mic, wi_mx, wix)
+            wiy = jnp.where(samp_mic, wi_my, wiy)
+            wiz = jnp.where(samp_mic, wi_mz, wiz)
+            valid = valid & (~samp_mic | (wo_z * wi_mz > 0))
 
         wi_sr_x, wi_sr_y, wi_sr_z = -wo_x, -wo_y, wo_z
         if any_mirror:
@@ -935,16 +1257,34 @@ def _build_kernel(consts, n_samples: int):
             fb_spec = jnp.where(glass_m, jnp.where(choose_r, kdb * r_term, ktb * t_term), fb_spec)
             pdf_spec = jnp.where(glass_m, jnp.where(choose_r, fr_s, 1.0 - fr_s), pdf_spec)
 
-        # diffuse recompute (bsdf_f / bsdf_pdf over the one lambert lobe)
+        # non-specular recompute over all lobes (bsdf_f/bsdf_pdf):
+        # lambert/Oren-Nayar + GGX terms summed; pdf averaged over lobes
         refl_hemi = wo_z * wiz > 0
-        f_diff = jnp.where(diffuse_m & refl_hemi, jnp.float32(INV_PI), 0.0)
-        pdf_diff = jnp.where(diffuse_m & refl_hemi, abs_ci * jnp.float32(INV_PI), 0.0)
+        f_diff = jnp.where(lam_m & refl_hemi, jnp.float32(INV_PI), 0.0)
+        if any_on:
+            f_diff = jnp.where(on_m & refl_hemi,
+                               on_factor(mat, wo_x, wo_y, wo_z, wix, wiy, wiz),
+                               f_diff)
+        pdf_diff = jnp.where(diff_like & refl_hemi, abs_ci * jnp.float32(INV_PI), 0.0)
+        f_ns_r = kdr * f_diff
+        f_ns_g = kdg * f_diff
+        f_ns_b = kdb * f_diff
+        pdf_ns = pdf_diff
+        if any_micro:
+            fm_r, fm_g, fm_b, p_m = micro_f_pdf(
+                mat, mic_m, wo_x, wo_y, wo_z, wix, wiy, wiz)
+            f_ns_r = f_ns_r + fm_r
+            f_ns_g = f_ns_g + fm_g
+            f_ns_b = f_ns_b + fm_b
+            pdf_ns = pdf_ns + p_m
+            if any_plastic:
+                pdf_ns = pdf_ns / jnp.where(plast_m, 2.0, 1.0)
 
         specular = mirror_m | glass_m
-        fr_o = jnp.where(specular, fr_spec, kdr * f_diff)
-        fg_o = jnp.where(specular, fg_spec, kdg * f_diff)
-        fb_o = jnp.where(specular, fb_spec, kdb * f_diff)
-        pdf = jnp.where(specular, pdf_spec, pdf_diff)
+        fr_o = jnp.where(specular, fr_spec, f_ns_r)
+        fg_o = jnp.where(specular, fg_spec, f_ns_g)
+        fb_o = jnp.where(specular, fb_spec, f_ns_b)
+        pdf = jnp.where(specular, pdf_spec, pdf_ns)
 
         transmissive = glass_m & ~choose_r
         eta_sc = jnp.where(transmissive,
@@ -960,23 +1300,8 @@ def _build_kernel(consts, n_samples: int):
             "fr": fr_o, "fg": fg_o, "fb": fb_o,
             "pdf": pdf, "specular": specular, "valid": valid,
             "eta_scale": eta_sc,
-            "diffuse_m": diffuse_m, "kdr": kdr, "kdg": kdg, "kdb": kdb,
+            "kdr": kdr, "kdg": kdg, "kdb": kdb,
         }
-
-    def _fresnel_dielectric_var(cos_i, eta):
-        """fresnel_dielectric with per-lane eta_t (eta_i = 1)."""
-        cos_i = jnp.clip(cos_i, -1.0, 1.0)
-        entering = cos_i > 0
-        ei = jnp.where(entering, 1.0, eta)
-        et = jnp.where(entering, eta, 1.0)
-        ci = jnp.abs(cos_i)
-        sin_t = ei / et * jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
-        tir = sin_t >= 1.0
-        ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
-        r_parl = (et * ci - ei * ct) / jnp.maximum(et * ci + ei * ct, 1e-30)
-        r_perp = (ei * ci - et * ct) / jnp.maximum(ei * ci + et * ct, 1e-30)
-        f = 0.5 * (r_parl * r_parl + r_perp * r_perp)
-        return jnp.where(tir, 1.0, f)
 
     # -- the kernel -----------------------------------------------------
 
@@ -1030,7 +1355,7 @@ def _build_kernel(consts, n_samples: int):
 
             if n_lights > 0:
                 cr, cg, cb = nee(hbase, s_cur, dim_base, alive_sh, at,
-                                 wox, woy, woz, bs["diffuse_m"],
+                                 wox, woy, woz, mat,
                                  bs["kdr"], bs["kdg"], bs["kdb"])
                 Lr = Lr + br * cr
                 Lg = Lg + bg * cg

@@ -65,8 +65,10 @@ from ..scene.arrays import (
 )
 from .megakernel import (
     DPB, FLAG_FLIP_GEOM_N, FLAG_HAS_SHADING_N, INV_PI, LANES, LOBE_FRESNEL_SPEC,
-    LOBE_LAMBERT_R, LOBE_NONE, LOBE_SPEC_R, RAY_EPS, _concentric_disk, _dot3,
+    LOBE_LAMBERT_R, LOBE_MICRO_R, LOBE_NONE, LOBE_OREN_NAYAR, LOBE_PLASTIC,
+    LOBE_SPEC_R, RAY_EPS, _concentric_disk, _dot3, _fresnel_dielectric_var,
     _gamma, _h, _norm3, _offset_ray, _pcg, _sample02, _u2f01, _vdc,
+    bake_lobe_entry, make_mat_helpers,
 )
 from .pallas_bvh import SMEM_META_MAX_BYTES, _high_bit_index, _low_bit_index
 
@@ -79,13 +81,6 @@ STACK = 72
 EPS = 1e-4  # leaf-phase min-t, matches pallas_bvh / intersect.SHADOW_EPS
 MAX_MATS = 16
 MAX_LIGHTS = 8
-# bsdf.py lobe ids — keep in lockstep
-LOBE_OREN_NAYAR = 3
-LOBE_MICRO_R = 4
-# synthetic in-kernel id for the 2-lobe lambert+GGX class (plastic, glossy
-# uber rows): bsdf.py represents it as two slots; the baked kernel folds it
-# into one mat row with a per-sample lobe pick
-LOBE_PLASTIC = 100
 # resident-table budget (node + prim + attr); v5e VMEM is ~16MB/core and the
 # kernel needs headroom for scratch + path state
 WIDE_VMEM_TABLE_BUDGET = 14 * 2 ** 20
@@ -422,56 +417,10 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
             mats[m] = {"lobe": LOBE_NONE}
             continue
         kinds = [int(lk[m, s]) for s in slots]
-        if kinds == [LOBE_OREN_NAYAR]:
-            # matte with sigma > 0 (reflection.rs OrenNayar :901); cosine
-            # sampled like lambert with the A/B retro factor in f
-            d = ld[m, slots[0]]
-            mats[m] = {"lobe": LOBE_OREN_NAYAR,
-                       "color": d[0:3].astype(float).tolist(),
-                       "on_a": float(d[12]), "on_b": float(d[13]),
-                       "kd_tex": kd_tex}
-            continue
-        if kinds in ([LOBE_MICRO_R], [LOBE_LAMBERT_R, LOBE_MICRO_R]):
-            # GGX microfacet reflection (metal / plastic / glossy uber rows):
-            # slot order is [lambert?, micro], matching bsdf_sample's
-            # active-slot pick order. Beckmann (data[12]>0) and Schlick
-            # fresnel keep the XLA path.
-            md = ld[m, slots[-1]]
-            if float(md[12]) > 0:
-                return None
-            fr_kind = int(md[11])
-            if fr_kind not in (0, 1, 2):
-                return None
-            two = len(kinds) == 2
-            if kd_tex is not None and not two:
-                return None  # checker Kd needs the lambert lobe
-            mats[m] = {
-                "lobe": LOBE_PLASTIC if two else LOBE_MICRO_R,
-                "color": (ld[m, slots[0]][0:3].astype(float).tolist()
-                          if two else [0.0, 0.0, 0.0]),
-                "ks": md[0:3].astype(float).tolist(),
-                "ax": float(md[9]), "ay": float(md[10]),
-                "fr_m": fr_kind,
-                "eta_m": float(max(float(md[3]), 1.0 + 1e-6)),
-                "eta_rgb": md[3:6].astype(float).tolist(),
-                "k_rgb": md[6:9].astype(float).tolist(),
-                "kd_tex": kd_tex,
-            }
-            continue
-        if len(slots) != 1:
+        entry = bake_lobe_entry(kinds, [int(s) for s in slots], ld[m], kd_tex)
+        if entry is None:
             return None
-        s = int(slots[0])
-        kind = int(lk[m, s])
-        if kind not in (LOBE_LAMBERT_R, LOBE_SPEC_R, LOBE_FRESNEL_SPEC):
-            return None
-        if kd_tex is not None and kind != LOBE_LAMBERT_R:
-            return None  # checker Kd is only baked for the lambert lobe
-        d = ld[m, s]
-        if kind == LOBE_SPEC_R and int(d[11]) not in (0, 1):
-            return None
-        mats[m] = {"lobe": kind, "color": d[0:3].astype(float).tolist(),
-                   "eta": float(d[3]), "kt": d[6:9].astype(float).tolist(),
-                   "fresnel": int(d[11]), "kd_tex": kd_tex}
+        mats[m] = entry
     # baked-sphere hits carry no uv; their materials must be untextured
     if any(mats[s_["mat"]].get("kd_tex") for s_ in spheres):
         return None
@@ -608,188 +557,15 @@ def _build_kernel(consts, n_samples: int):
             (lambda ss: (lambda: blk[:, ss * 16:(ss + 1) * 16]))(sl) for sl in range(8)
         ))
 
-    def mat_select(mat, field, default=0.0):
-        out = jnp.broadcast_to(jnp.float32(default), mat.shape)
-        for m in mat_rows:
-            v = mats[m].get(field)
-            if v is None:
-                continue
-            out = jnp.where(mat == m, jnp.float32(v), out)
-        return out
+    H = make_mat_helpers(mats, mat_rows)
+    mat_select = H.mat_select
+    mat_color = H.mat_color
+    mat_mask = H.mat_mask
+    mat_mask_in = H.mat_mask_in
+    _ggx_sample_wh_ch = H.ggx_sample_wh
+    micro_f_pdf = H.micro_f_pdf
+    on_factor = H.on_factor
 
-    def mat_color(mat, field, ch):
-        out = jnp.zeros(mat.shape, F32)
-        for m in mat_rows:
-            v = mats[m].get(field)
-            if v is None:
-                continue
-            out = jnp.where(mat == m, jnp.float32(v[ch]), out)
-        return out
-
-    def mat_mask(mat, lobe_kind):
-        out = _falsev(mat)
-        for m in mat_rows:
-            if mats[m]["lobe"] == lobe_kind:
-                out = out | (mat == m)
-        return out
-
-    def mat_mask_in(mat, lobe_kinds):
-        out = _falsev(mat)
-        for m in mat_rows:
-            if mats[m]["lobe"] in lobe_kinds:
-                out = out | (mat == m)
-        return out
-
-    def mat_mask_fr(mat, fr_kind):
-        out = _falsev(mat)
-        for m in mat_rows:
-            if (mats[m]["lobe"] in (LOBE_MICRO_R, LOBE_PLASTIC)
-                    and mats[m]["fr_m"] == fr_kind):
-                out = out | (mat == m)
-        return out
-
-    # -- GGX microfacet reflection, channel form (bsdf.py ggx_* lockstep) --
-
-    def _ggx_d_ch(hx, hy, hz, ax, ay):
-        c2 = hz * hz
-        e = jnp.where(
-            c2 > 1e-12,
-            (hx * hx / jnp.maximum(ax * ax, 1e-12)
-             + hy * hy / jnp.maximum(ay * ay, 1e-12)) / jnp.maximum(c2, 1e-12),
-            0.0)
-        denom = jnp.float32(math.pi) * ax * ay * c2 * c2 * (1.0 + e) ** 2
-        return jnp.where(c2 > 1e-12, 1.0 / jnp.maximum(denom, 1e-20), 0.0)
-
-    def _ggx_lambda_ch(x, y, z, ax, ay):
-        c2 = z * z
-        a2 = x * x * ax * ax + y * y * ay * ay
-        alpha2_tan2 = jnp.where(c2 > 1e-12, a2 / jnp.maximum(c2, 1e-12), 1e12)
-        lam = 0.5 * (-1.0 + jnp.sqrt(1.0 + alpha2_tan2))
-        return jnp.where(jnp.abs(z) > 1e-6, lam, 1e6)
-
-    def _ggx_sample_wh_ch(wo_x, wo_y, wo_z, u1, u2, ax, ay):
-        """Visible-normal sampling (bsdf.ggx_sample_wh, channel form)."""
-        flip = wo_z < 0
-        wfx = jnp.where(flip, -wo_x, wo_x)
-        wfy = jnp.where(flip, -wo_y, wo_y)
-        wfz = jnp.where(flip, -wo_z, wo_z)
-        sx, sy, sz = _norm3(ax * wfx, ay * wfy, wfz)
-        # t1 = norm(cross(z, wi_s)) = norm(-sy, sx, 0); (1,0,0) when near-z
-        tl = jnp.sqrt(jnp.maximum(sx * sx + sy * sy, 0.0))
-        near_z = sz >= 0.9999
-        inv_tl = 1.0 / jnp.maximum(tl, 1e-30)
-        t1x = jnp.where(near_z, 1.0, -sy * inv_tl)
-        t1y = jnp.where(near_z, 0.0, sx * inv_tl)
-        # t2 = cross(wi_s, t1)
-        t2x = sy * 0.0 - sz * t1y
-        t2y = sz * t1x - sx * 0.0
-        t2z = sx * t1y - sy * t1x
-        a = 1.0 / (1.0 + sz)
-        r = jnp.sqrt(jnp.maximum(u1, 0.0))
-        phi = jnp.where(u2 < a, u2 / jnp.maximum(a, 1e-12) * jnp.float32(math.pi),
-                        jnp.float32(math.pi) + (u2 - a) / jnp.maximum(1.0 - a, 1e-12) * jnp.float32(math.pi))
-        p1 = r * jnp.cos(phi)
-        p2 = r * jnp.sin(phi) * jnp.where(u2 < a, 1.0, sz)
-        p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
-        nhx = p1 * t1x + p2 * t2x + p3 * sx
-        nhy = p1 * t1y + p2 * t2y + p3 * sy
-        nhz = p2 * t2z + p3 * sz
-        hx, hy, hz = _norm3(ax * nhx, ay * nhy, jnp.maximum(nhz, 1e-6))
-        return (jnp.where(flip, -hx, hx), jnp.where(flip, -hy, hy),
-                jnp.where(flip, -hz, hz))
-
-    def on_factor(mat, wo_x, wo_y, wo_z, wi_x, wi_y, wi_z):
-        """Oren-Nayar f / kd: INV_PI * (A + B max_cos sin_alpha tan_beta)
-        (bsdf._lobe_f LOBE_OREN_NAYAR branch, channel form)."""
-        si = jnp.sqrt(jnp.maximum(1.0 - wi_z * wi_z, 0.0))
-        so = jnp.sqrt(jnp.maximum(1.0 - wo_z * wo_z, 0.0))
-        cpi = jnp.where(si > 1e-4, wi_x / jnp.maximum(si, 1e-12), 1.0)
-        spi = jnp.where(si > 1e-4, wi_y / jnp.maximum(si, 1e-12), 0.0)
-        cpo = jnp.where(so > 1e-4, wo_x / jnp.maximum(so, 1e-12), 1.0)
-        spo = jnp.where(so > 1e-4, wo_y / jnp.maximum(so, 1e-12), 0.0)
-        max_cos = jnp.maximum(0.0, cpi * cpo + spi * spo)
-        abs_ci = jnp.abs(wi_z)
-        abs_co = jnp.abs(wo_z)
-        sin_alpha = jnp.where(abs_ci > abs_co, so, si)
-        tan_beta = jnp.where(abs_ci > abs_co,
-                             si / jnp.maximum(abs_ci, 1e-9),
-                             so / jnp.maximum(abs_co, 1e-9))
-        a_v = mat_select(mat, "on_a", 1.0)
-        b_v = mat_select(mat, "on_b", 0.0)
-        return jnp.float32(INV_PI) * (a_v + b_v * max_cos * sin_alpha * tan_beta)
-
-    def micro_fresnel(mat, cos_f):
-        """lobe_fresnel for the micro lobe: per-mat none/dielectric/conductor."""
-        ones = jnp.ones(cos_f.shape, F32)
-        fr_r = fr_g = fr_b = ones
-        if any_fr_die:
-            die_m = mat_mask_fr(mat, 1)
-            fd = _fresnel_dielectric_var(cos_f, mat_select(mat, "eta_m", 1.5))
-            fr_r = jnp.where(die_m, fd, fr_r)
-            fr_g = jnp.where(die_m, fd, fr_g)
-            fr_b = jnp.where(die_m, fd, fr_b)
-        if any_fr_con:
-            con_m = mat_mask_fr(mat, 2)
-            ci = jnp.clip(jnp.abs(cos_f), 0.0, 1.0)
-            cos2 = ci * ci
-            sin2 = 1.0 - cos2
-            outs = []
-            for ch in range(3):
-                eta_c = mat_color(mat, "eta_rgb", ch)
-                k_c = mat_color(mat, "k_rgb", ch)
-                eta2 = eta_c * eta_c
-                k2 = k_c * k_c
-                t0 = eta2 - k2 - sin2
-                a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * eta2 * k2, 0.0))
-                t1 = a2b2 + cos2
-                a_ = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
-                t2 = 2.0 * a_ * ci
-                rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-30)
-                t3 = cos2 * a2b2 + sin2 * sin2
-                t4 = t2 * sin2
-                rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-30)
-                outs.append(0.5 * (rp + rs))
-            fr_r = jnp.where(con_m, outs[0], fr_r)
-            fr_g = jnp.where(con_m, outs[1], fr_g)
-            fr_b = jnp.where(con_m, outs[2], fr_b)
-        return fr_r, fr_g, fr_b
-
-    def micro_f_pdf(mat, mic_m, wo_x, wo_y, wo_z, wi_x, wi_y, wi_z):
-        """GGX MICRO_R f (rgb, no cos factor) + visible-normal solid-angle
-        pdf toward wi, local shading frame (bsdf._lobe_f/_lobe_pdf)."""
-        axv = mat_select(mat, "ax", 1e-3)
-        ayv = mat_select(mat, "ay", 1e-3)
-        whx = wi_x + wo_x
-        why = wi_y + wo_y
-        whz = wi_z + wo_z
-        wh_len = jnp.sqrt(whx * whx + why * why + whz * whz)
-        inv_l = 1.0 / jnp.maximum(wh_len, 1e-30)
-        hx, hy, hz = whx * inv_l, why * inv_l, whz * inv_l
-        d_val = _ggx_d_ch(hx, hy, hz, axv, ayv)
-        g_val = 1.0 / (1.0 + _ggx_lambda_ch(wo_x, wo_y, wo_z, axv, ayv)
-                       + _ggx_lambda_ch(wi_x, wi_y, wi_z, axv, ayv))
-        # fresnel at dot(wi, wh) with wh flipped to the +z hemisphere
-        hsign = jnp.where(hz < 0, -1.0, 1.0)
-        cos_f = (wi_x * hx + wi_y * hy + wi_z * hz) * hsign
-        fr_r, fr_g, fr_b = micro_fresnel(mat, cos_f)
-        abs_ci = jnp.abs(wi_z)
-        abs_co = jnp.abs(wo_z)
-        base = d_val * g_val / jnp.maximum(4.0 * abs_co * abs_ci, 1e-12)
-        refl_hemi = wo_z * wi_z > 0
-        ok = mic_m & refl_hemi & (wh_len > 1e-12) & (abs_ci > 0) & (abs_co > 0)
-        ksr = mat_color(mat, "ks", 0)
-        ksg = mat_color(mat, "ks", 1)
-        ksb = mat_color(mat, "ks", 2)
-        f_r = jnp.where(ok, ksr * fr_r * base, 0.0)
-        f_g = jnp.where(ok, ksg * fr_g * base, 0.0)
-        f_b = jnp.where(ok, ksb * fr_b * base, 0.0)
-        # pdf: D(wh) G1(wo) |wo.wh| / |cos wo| / (4 |wo.wh|)
-        g1 = 1.0 / (1.0 + _ggx_lambda_ch(wo_x, wo_y, wo_z, axv, ayv))
-        dot_oh = jnp.abs(wo_x * hx + wo_y * hy + wo_z * hz)
-        p = (d_val * g1 * dot_oh / jnp.maximum(abs_co, 1e-9)
-             / jnp.maximum(4.0 * dot_oh, 1e-12))
-        p = jnp.where(mic_m & refl_hemi, p, 0.0)
-        return f_r, f_g, f_b, p
 
     def sample_1d_traced(hbase, s_cur, dim_i32):
         if is_random:
@@ -995,20 +771,6 @@ def _build_kernel(consts, n_samples: int):
                 ul1, ul2 = _sample02(s_sel, l1, l2)
             return camera_ray(px_f + 0.5 + dx, py_f + 0.5 + dy, ul1, ul2)
         return camera_ray(px_f + 0.5 + dx, py_f + 0.5 + dy)
-
-    def _fresnel_dielectric_var(cos_i, eta):
-        cos_i = jnp.clip(cos_i, -1.0, 1.0)
-        entering = cos_i > 0
-        ei = jnp.where(entering, 1.0, eta)
-        et = jnp.where(entering, eta, 1.0)
-        ci = jnp.abs(cos_i)
-        sin_t = ei / et * jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
-        tir = sin_t >= 1.0
-        ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
-        r_parl = (et * ci - ei * ct) / jnp.maximum(et * ci + ei * ct, 1e-30)
-        r_perp = (ei * ci - et * ct) / jnp.maximum(ei * ci + et * ct, 1e-30)
-        f = 0.5 * (r_parl * r_parl + r_perp * r_perp)
-        return jnp.where(tir, 1.0, f)
 
     def power_heuristic(f_pdf, g_pdf):
         f2 = f_pdf * f_pdf

@@ -22,17 +22,26 @@ from pbrt_tpu.scene.host import (
 )
 
 
-def _mini_spheres(sampler="zerotwosequence", light="distant"):
-    """Tiny matte/mirror/glass + ground-quad scene (the spheres class)."""
+def _mini_spheres(sampler="zerotwosequence", light="distant", micro=False):
+    """Tiny matte/mirror/glass + ground-quad scene (the spheres class).
+    micro=True swaps in a plastic ground (lambert+GGX, Oren-Nayar off),
+    a copper metal sphere, and a sigma>0 Oren-Nayar matte sphere."""
     from pbrt_tpu.scene.host import TriangleMesh
 
+    gparams = {"Kd": ("const", np.array([0.6, 0.5, 0.4]))}
+    gkind = "matte"
+    if micro:
+        gkind = "plastic"
+        gparams = {"Kd": ("const", np.array([0.6, 0.5, 0.4])),
+                   "Ks": ("const", np.array([0.4, 0.4, 0.4])),
+                   "roughness": ("const", 0.2)}
     ground = HostPrimitive(
         shape=ShapeRecord(mesh=TriangleMesh(
             p=np.array([[-20, -1, -20], [20, -1, -20], [20, -1, 20], [-20, -1, 20]], np.float64),
             indices=np.array([[0, 2, 1], [0, 3, 2]], np.int32),
             uv=np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float64),
         )),
-        material=HostMaterial(kind="matte", params={"Kd": ("const", np.array([0.6, 0.5, 0.4]))}),
+        material=HostMaterial(kind=gkind, params=gparams),
     )
 
     from pbrt_tpu.scene.host import Sphere
@@ -44,8 +53,13 @@ def _mini_spheres(sampler="zerotwosequence", light="distant"):
             material=mat,
         )
 
-    mirror = sphere(-1.3, HostMaterial(kind="mirror", params={"Kr": ("const", np.array([0.9, 0.9, 0.9]))}))
-    glass = sphere(1.3, HostMaterial(kind="glass", params={}))
+    if micro:
+        mirror = sphere(-1.3, HostMaterial(kind="metal", params={"roughness": ("const", 0.08)}))
+        glass = sphere(1.3, HostMaterial(kind="matte", params={
+            "Kd": ("const", np.array([0.5, 0.55, 0.6])), "sigma": ("const", 20.0)}))
+    else:
+        mirror = sphere(-1.3, HostMaterial(kind="mirror", params={"Kr": ("const", np.array([0.9, 0.9, 0.9]))}))
+        glass = sphere(1.3, HostMaterial(kind="glass", params={}))
     if light == "distant":
         lights = [HostLight(kind="distant", from_point=np.array([0.0, 10.0, 0.0]),
                             to_point=np.zeros(3), intensity=np.array([3.0, 3.0, 3.0]))]
@@ -72,9 +86,13 @@ def _mini_spheres(sampler="zerotwosequence", light="distant"):
 
 @pytest.mark.parametrize("sampler,light", [("zerotwosequence", "distant"), ("random", "point"),
                                            ("stratified", "distant"),
-                                           ("zerotwosequence", "spot")])
+                                           ("zerotwosequence", "spot"),
+                                           # GGX metal/plastic + Oren-Nayar
+                                           ("zerotwosequence", "micro"),
+                                           ("random", "micro")])
 def test_megakernel_matches_xla_persistent(sampler, light):
-    desc = _mini_spheres(sampler, light)
+    desc = _mini_spheres(sampler, "point" if light == "micro" else light,
+                         micro=light == "micro")
     cs = compile_scene(desc)
     W, H, spp = 64, 32, 2
     ys, xs = np.mgrid[0:H, 0:W]
