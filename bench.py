@@ -139,26 +139,74 @@ def _mesh_scene(n_side=248):
     )
 
 
-def main():
+def _run_config(name: str):
+    """Measure one config in-process and print its JSON line."""
     sys.path.insert(0, "/root/repo")
     from pbrt_tpu.scene.builder import compile_scene
 
-    cs_s = compile_scene(_spheres_scene())
-    vps_spheres = _measure(cs_s, 1000, 500)
+    if name == "spheres":
+        cs = compile_scene(_spheres_scene())
+    else:
+        cs = compile_scene(_mesh_scene())
+        assert cs.static.has_wide, "mesh bench must exercise the wide-BVH kernel"
+    vps = _measure(cs, 1000, 500)
+    print(json.dumps({"config": name, "vps": vps, "tris": int(cs.static.n_tris)}))
 
-    cs_m = compile_scene(_mesh_scene())
-    assert cs_m.static.has_wide, "mesh bench must exercise the wide-BVH kernel"
-    vps_mesh = _measure(cs_m, 1000, 500)
 
-    print(json.dumps({
+def _measure_subprocess(name: str, extra_env=None):
+    """Run one config in an isolated subprocess (a TPU kernel fault kills
+    the whole process, so each config gets its own)."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(extra_env or {})
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--config", name],
+            capture_output=True, text=True, timeout=3000, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in reversed(out.stdout.splitlines()):
+        try:
+            rec = json.loads(line)
+            if rec.get("config") == name:
+                return rec
+        except (ValueError, TypeError):
+            continue
+    sys.stderr.write(out.stderr[-2000:] + "\n")
+    return None
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--config":
+        _run_config(sys.argv[2])
+        return
+
+    spheres = _measure_subprocess("spheres")
+    mesh = _measure_subprocess("mesh")
+    mesh_path = "wide-megakernel"
+    if mesh is None:
+        # wide megakernel faulted on this device: fall back to the XLA
+        # persistent wavefront + standalone Pallas traversal kernel tier
+        mesh = _measure_subprocess("mesh", {"PBRT_TPU_WIDEMEGA": "0"})
+        mesh_path = "xla-wavefront"
+
+    rec = {
         "metric": "path_vertex_samples_per_sec",
-        "value": round(vps_spheres, 1),
+        "value": round(spheres["vps"], 1) if spheres else 0.0,
         "unit": "vertices/s",
-        "vs_baseline": round(vps_spheres / BASELINE_VPS, 4),
-        "mesh_tris": int(cs_m.static.n_tris),
-        "mesh_value": round(vps_mesh, 1),
-        "mesh_vs_baseline": round(vps_mesh / BASELINE_VPS, 4),
-    }))
+        "vs_baseline": round(spheres["vps"] / BASELINE_VPS, 4) if spheres else 0.0,
+    }
+    if mesh:
+        rec.update({
+            "mesh_tris": mesh["tris"],
+            "mesh_value": round(mesh["vps"], 1),
+            "mesh_vs_baseline": round(mesh["vps"] / BASELINE_VPS, 4),
+            "mesh_path": mesh_path,
+        })
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

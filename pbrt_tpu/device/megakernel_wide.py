@@ -207,6 +207,19 @@ def extract_wide_consts(cs, cam, icfg, scfg, fcfg):
     wmeta = getattr(sa, "wmeta_tab", None)
     if wmeta is None or wmeta.shape[0] * 4 > SMEM_META_MAX_BYTES:
         return None
+    # packet-coherence gate: persistent lanes are pixel-pinned, so from
+    # bounce 2 each 128-lane packet's shared-stack traversal union
+    # approaches the WHOLE tree on big meshes. Measured on a v5e chip:
+    # 123k tris ran at 0.15 Mverts/s (vs multi-M on the XLA wavefront that
+    # re-sorts rays every bounce and feeds the standalone pallas_bvh
+    # kernel), and a full-film launch outlives the device watchdog, which
+    # kills the kernel. Small scenes keep this tier: their whole tree fits
+    # a handful of octets, so the union is cheap regardless of coherence.
+    import os as _os
+
+    if int(getattr(static, "n_tris", 0)) > int(
+            _os.environ.get("PBRT_TPU_WIDEMEGA_MAX_TRIS", "4096")):
+        return None
     if static.n_media or static.has_env_map:
         return None  # media and IMAGE env maps keep the XLA path; a
         # constant (imageless) infinite light is baked closed-form below

@@ -551,18 +551,23 @@ def _joint_probe():
 
             from ..scene.widebvh import build_wide_bvh
 
-            tri = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]],
-                            [[0, 0, 1], [1, 0, 1], [0, 1, 1]]], np.float32)
-            w = build_wide_bvh(tri.min(axis=1), tri.max(axis=1),
-                               tri[:, 0], tri[:, 1], tri[:, 2])
-            o = jnp.zeros((PACKET * GRID_G, 3), F32) + jnp.asarray([0.3, 0.3, -1.0])
-            d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], F32), (PACKET * GRID_G, 3))
-            blocks, _R, _B = pack_rays(o, d, jnp.full(PACKET * GRID_G, 1e30, F32))
-            interp = jax.default_backend() == "cpu"
-            out = _run(jnp.asarray(w.node_tab), jnp.asarray(w.prim_tab), blocks,
-                       w.root, False, interp, meta=jnp.asarray(w.meta_tab), joint=True)
-            jax.block_until_ready(out)
-            _JOINT_PROBE["ok"] = bool(out[0, 1, 0] >= 0)  # ray 0 must hit
+            # the probe is usually first reached INSIDE a render trace
+            # (_traverse_wave under the wave jit); without an eager escape
+            # its outputs would be tracers and bool() below would raise,
+            # silently pinning every TPU render to the sequential kernel
+            with jax.ensure_compile_time_eval():
+                tri = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+                                [[0, 0, 1], [1, 0, 1], [0, 1, 1]]], np.float32)
+                w = build_wide_bvh(tri.min(axis=1), tri.max(axis=1),
+                                   tri[:, 0], tri[:, 1], tri[:, 2])
+                o = jnp.zeros((PACKET * GRID_G, 3), F32) + jnp.asarray([0.3, 0.3, -1.0])
+                d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], F32), (PACKET * GRID_G, 3))
+                blocks, _R, _B = pack_rays(o, d, jnp.full(PACKET * GRID_G, 1e30, F32))
+                interp = jax.default_backend() == "cpu"
+                out = _run(jnp.asarray(w.node_tab), jnp.asarray(w.prim_tab), blocks,
+                           w.root, False, interp, meta=jnp.asarray(w.meta_tab), joint=True)
+                jax.block_until_ready(out)
+                _JOINT_PROBE["ok"] = bool(out[0, 1, 0] >= 0)  # ray 0 must hit
         except Exception as e:  # pragma: no cover - backend-specific
             import logging
 
