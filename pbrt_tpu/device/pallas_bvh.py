@@ -538,36 +538,55 @@ SMEM_META_MAX_BYTES = 384 * 1024
 _JOINT_PROBE = {"ok": None}
 
 
+def _in_trace() -> bool:
+    """True when called under an active jax trace (jit/make_jaxpr/...)."""
+    try:
+        from jax._src import core as _jcore
+
+        return not _jcore.trace_state_clean()
+    except Exception:  # API drift: fall back to probing a fresh array
+        return isinstance(jnp.zeros(()), jax.core.Tracer)
+
+
 def _joint_probe():
     """One-time compile+run of the joint kernel on a 2-triangle tree.
 
     The joint kernel's 8x-unrolled branchless body stresses Mosaic
     (registers/VMEM) far more than the sequential kernel; if the backend
     rejects it, renders silently fall back to the sequential SMEM kernel
-    instead of dying inside the wave jit."""
+    instead of dying inside the wave jit.
+
+    MUST run eagerly (host-side, outside any trace): an earlier version
+    wrapped the probe in `jax.ensure_compile_time_eval()` so it could fire
+    from inside the wave jit, but that context constant-folds every value
+    of the kernel trace into captured ndarray constants, which Mosaic
+    rejects ("captures constants ... pass them as inputs") — the round-1
+    regression that silently pinned all mesh renders to the sequential
+    kernel. Scene compile (scene/builder.py) now triggers the probe
+    eagerly whenever wide tables are built; if the first call still lands
+    inside a trace, report False for that trace WITHOUT caching so a later
+    eager call can succeed.
+    """
     if _JOINT_PROBE["ok"] is None:
+        if _in_trace():
+            return False  # uncached: decided for this trace only
         try:
             import numpy as np
 
             from ..scene.widebvh import build_wide_bvh
 
-            # the probe is usually first reached INSIDE a render trace
-            # (_traverse_wave under the wave jit); without an eager escape
-            # its outputs would be tracers and bool() below would raise,
-            # silently pinning every TPU render to the sequential kernel
-            with jax.ensure_compile_time_eval():
-                tri = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]],
-                                [[0, 0, 1], [1, 0, 1], [0, 1, 1]]], np.float32)
-                w = build_wide_bvh(tri.min(axis=1), tri.max(axis=1),
-                                   tri[:, 0], tri[:, 1], tri[:, 2])
-                o = jnp.zeros((PACKET * GRID_G, 3), F32) + jnp.asarray([0.3, 0.3, -1.0])
-                d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], F32), (PACKET * GRID_G, 3))
-                blocks, _R, _B = pack_rays(o, d, jnp.full(PACKET * GRID_G, 1e30, F32))
-                interp = jax.default_backend() == "cpu"
-                out = _run(jnp.asarray(w.node_tab), jnp.asarray(w.prim_tab), blocks,
-                           w.root, False, interp, meta=jnp.asarray(w.meta_tab), joint=True)
-                jax.block_until_ready(out)
-                _JOINT_PROBE["ok"] = bool(out[0, 1, 0] >= 0)  # ray 0 must hit
+            tri = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+                            [[0, 0, 1], [1, 0, 1], [0, 1, 1]]], np.float32)
+            w = build_wide_bvh(tri.min(axis=1), tri.max(axis=1),
+                               tri[:, 0], tri[:, 1], tri[:, 2])
+            o = jnp.zeros((PACKET * GRID_G, 3), F32) + jnp.asarray([0.3, 0.3, -1.0])
+            d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], F32), (PACKET * GRID_G, 3))
+            blocks, _R, _B = pack_rays(o, d, jnp.full(PACKET * GRID_G, 1e30, F32))
+            interp = jax.default_backend() == "cpu"
+            out = _run(jnp.asarray(w.node_tab), jnp.asarray(w.prim_tab), blocks,
+                       w.root, False, interp, meta=jnp.asarray(w.meta_tab), joint=True)
+            jax.block_until_ready(out)
+            _JOINT_PROBE["ok"] = bool(out[0, 1, 0] >= 0)  # ray 0 must hit
         except Exception as e:  # pragma: no cover - backend-specific
             import logging
 

@@ -963,6 +963,12 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         )
         has_wide_tri = True
         has_wide = all_tri
+        # decide the joint-vs-sequential traversal kernel NOW, eagerly:
+        # the probe must never first fire inside the wave jit (see
+        # device/pallas_bvh._joint_probe)
+        from ..device.pallas_bvh import _joint_probe
+
+        _joint_probe()
 
     arrays = SceneArrays(
         tri_p=jnp.asarray(tri_p_cat),
