@@ -718,6 +718,35 @@ def _pallas_route(static) -> bool:
     return True
 
 
+def _cluster_route(static) -> bool:
+    """Route through the cluster-list tier (device/cluster_list.py)?
+
+    The list-driven walk has no per-pop scalar chain; it beats the
+    wide-BVH packet kernel on coherent waves but its conservative packet
+    culling still loses on incoherent bounce waves, so it is OPT-IN
+    (PBRT_TPU_CLUSTER=1) until it wins outright. PBRT_TPU_CLUSTER=0 also
+    skips building the tables (scene/builder.py)."""
+    import os
+
+    if not getattr(static, "has_cluster", False):
+        return False
+    return os.environ.get("PBRT_TPU_CLUSTER", "") == "1"
+
+
+def _cluster_closest(sa, static, o, d, t_max, sort=True):
+    from .cluster_list import cluster_intersect
+
+    interp = jax.default_backend() == "cpu"
+    t, prim, hitm, b1, b2 = cluster_intersect(
+        sa, static, o, d, t_max, interpret=interp, sort=sort)
+    return {
+        "t": jnp.where(hitm, t, INF),
+        "prim": prim,
+        "b1": jnp.where(hitm, jnp.clip(b1, 0.0, 1.0), 0.0),
+        "b2": jnp.where(hitm, jnp.clip(b2, 0.0, 1.0), 0.0),
+    }
+
+
 def _wide_closest(sa, static, o, d, t_max, sort=False):
     from .pallas_bvh import wide_intersect
 
@@ -742,6 +771,9 @@ def _intersect_once(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None
     if static.accel_kind == "kdtree":
         hit, _ = _traverse_kd(sa, static, o, d, t_max, any_hit=False, time=time)
         return hit
+    if time is None and _cluster_route(static):
+        sort = sort_rays and static.n_prims >= SORT_MIN_PRIMS
+        return _cluster_closest(sa, static, o, d, t_max, sort=sort)
     if time is None and _pallas_route(static):
         sort = sort_rays and static.n_prims >= SORT_MIN_PRIMS
         return _wide_closest(sa, static, o, d, t_max, sort=sort)
@@ -762,6 +794,15 @@ def _intersect_p_once(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=No
         return intersect_p_brute(sa, static, o, d, t_max, time)
     if static.accel_kind == "kdtree":
         _, hit_any = _traverse_kd(sa, static, o, d, t_max, any_hit=True, time=time)
+        return hit_any
+    if time is None and _cluster_route(static):
+        from .cluster_list import cluster_intersect
+
+        interp = jax.default_backend() == "cpu"
+        sort = sort_rays and static.n_prims >= SORT_MIN_PRIMS
+        _t, _prim, hit_any = cluster_intersect(
+            sa, static, o, d, t_max, any_hit=True, interpret=interp, sort=sort
+        )
         return hit_any
     if time is None and _pallas_route(static):
         from .pallas_bvh import wide_intersect

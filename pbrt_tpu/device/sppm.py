@@ -278,13 +278,13 @@ def _photon_pass(sa, static, icfg, seed, it, n_photons, power_cdf, vp, radius,
                 outstanding run are skipped via lax.cond."""
                 phi_c, m_c = carry
                 base = c_idx * KMAX
-                contrib_idx = []
-                contrib_phi = []
-                contrib_m = []
-                for k_off in range(KMAX):
-                    k = base + k_off
-                    slot = jnp.clip(lo_k + k, 0, sorted_vp.shape[0] - 1)
-                    in_run = alive & (lo_k + k < hi_k)
+
+                def _one_k(_, k):
+                    # traced ONCE (lax.scan): an unrolled python loop here
+                    # costs ~0.5s of TRACING per k (full bsdf_f graph copy)
+                    # x KMAX x N_CHUNKS — measured 192s for the whole pass
+                    slot = jnp.clip(lo_k + base + k, 0, sorted_vp.shape[0] - 1)
+                    in_run = alive & (lo_k + base + k < hi_k)
                     v = sorted_vp[slot]
                     dist2 = jnp.sum((vp["p"][v] - si["p"]) ** 2, axis=-1)
                     close = in_run & vp["valid"][v] & (dist2 <= r2[v])
@@ -295,13 +295,16 @@ def _photon_pass(sa, static, icfg, seed, it, n_photons, power_cdf, vp, radius,
                     wi_l = _to_local(svp, wi_ph)
                     refl = _dot(wi_ph, vp["ng"][v]) * _dot(vp["wo"][v], vp["ng"][v]) > 0
                     f_v = bsdf_f(vlob, wo_l, wi_l, refl)
-                    contrib_idx.append(jnp.where(close, v, R))
-                    contrib_phi.append(jnp.where(close[:, None], f_v * beta, 0.0))
-                    contrib_m.append(close)
-                idx = jnp.concatenate(contrib_idx)
-                phv = jnp.concatenate(contrib_phi)
+                    return None, (jnp.where(close, v, R),
+                                  jnp.where(close[:, None], f_v * beta, 0.0),
+                                  close)
+
+                _, (idx_k, phi_k, m_k) = jax.lax.scan(
+                    _one_k, None, jnp.arange(KMAX, dtype=jnp.int32))
+                idx = idx_k.reshape(-1)
+                phv = phi_k.reshape(-1, 3)
                 phv = jnp.where(jnp.isfinite(phv), phv, 0.0)
-                mv = jnp.concatenate(contrib_m)
+                mv = m_k.reshape(-1)
                 # per-channel 1D segment sums: an (N, 3) scatter pads each
                 # row to the 128-lane tile in HLO temps (~42x memory)
                 phi_c = phi_c + jnp.stack(

@@ -196,6 +196,11 @@ class SceneArrays:
     # per-prim shading-normal rows (prim_tab layout, lanes 0:9 = n0/n1/n2
     # xyz); only built when a wide-eligible mesh has vertex normals
     wattr_tab: jax.Array | None = None
+    # --- cluster-list traversal tables (scene/clusters.py); None unless
+    # static.has_cluster ---
+    cl_tab: jax.Array | None = None  # (ceil(C/2)*8, 128) f32 packed tri blocks
+    cl_lo: jax.Array | None = None  # (C, 3) f32 cluster AABB mins
+    cl_hi: jax.Array | None = None  # (C, 3) f32 cluster AABB maxs
 
 
 @dataclass
@@ -259,6 +264,8 @@ class SceneStatic:
     has_wide_tri: bool = False  # wide tables over the TRIANGLE subset exist
     # (true whenever has_wide is; also for mixed tri+sphere scenes, where
     # the XLA wide path stays off but the wide megakernel bakes the spheres)
+    has_cluster: bool = False  # cluster-list traversal tables built
+    n_clusters: int = 0
 
 
 def scene_byte_size(sa: SceneArrays) -> int:

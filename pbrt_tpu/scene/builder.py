@@ -11,6 +11,7 @@ behavior, api.rs:1535-1542), and the BVH into a flat node array.
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -970,6 +971,21 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
 
         _joint_probe()
 
+    # --- cluster-list traversal tables (device/cluster_list.py): the
+    # mesh-scene closest/any-hit tier. Same eligibility as the pure-tri
+    # wide path; prim rows ride the table so shading needs no remap ---
+    has_cluster = False
+    cluster = None
+    if has_wide and os.environ.get("PBRT_TPU_CLUSTER", "1") != "0":
+        from .clusters import build_sah_clusters, pack_cluster_table
+
+        rows = tri_prim_rows
+        tvc = tri_p_cat[np.asarray(prim_geom)[rows]]
+        cluster = build_sah_clusters(
+            tvc[:, 0], tvc[:, 1], tvc[:, 2], rows.astype(np.float32), K=32)
+        cluster_tab = pack_cluster_table(cluster)
+        has_cluster = True
+
     arrays = SceneArrays(
         tri_p=jnp.asarray(tri_p_cat),
         tri_n=jnp.asarray(_cat(tri_n, (3, 3))),
@@ -1038,6 +1054,9 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         if (has_wide_tri and wide.attr_tab is not None) else None,
         wslot_prim=jnp.asarray(wide.slot_prim) if has_wide_tri else None,
         wmeta_tab=jnp.asarray(wide.meta_tab) if has_wide_tri else None,
+        cl_tab=jnp.asarray(cluster_tab) if has_cluster else None,
+        cl_lo=jnp.asarray(cluster.cl_lo) if has_cluster else None,
+        cl_hi=jnp.asarray(cluster.cl_hi) if has_cluster else None,
         **sss_arrays,
     )
     static = SceneStatic(
@@ -1084,6 +1103,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         kd_max_leaf=int(kd.max_leaf) if kd is not None else 1,
         has_wide=has_wide,
         has_wide_tri=has_wide_tri,
+        has_cluster=has_cluster,
+        n_clusters=cluster.n_clusters if has_cluster else 0,
         wide_root=wide.root if has_wide_tri else 1,
     )
     return CompiledScene(arrays=arrays, static=static, description=desc)

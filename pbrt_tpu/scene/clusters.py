@@ -1,23 +1,27 @@
-"""Triangle clustering for the dense cluster tracer (device/cluster_trace.py).
+"""Triangle clustering for the cluster-list traversal tier.
 
-TPU-first replacement for per-node BVH traversal on mesh scenes: instead of
-a divergent stack walk (scalar-latency-bound on TPU — measured ~800ns per
-node visit in the Pallas packet kernel), triangles are partitioned into
-fixed-size spatial clusters. Traversal then becomes two DENSE phases that
-map straight onto the VPU / HBM strengths:
+TPU-first replacement for per-node BVH stack walks on mesh scenes: the
+divergent stack walk is scalar-latency-bound on TPU (measured 1.35 Mrays/s
+incoherent on the 123k-tri bench scene), so traversal is reorganized
+around DENSE phases that map onto the VPU / VMEM strengths:
 
-  1. all rays x all cluster AABBs slab tests  (~98G tests/s measured)
-  2. per-ray gather of the nearest candidate cluster's triangle block
-     (6KB rows stream at ~370GB/s) + dense watertight test of all K tris
+  1. rays are sorted into coherent packets (existing octant+Morton sort),
+  2. each packet is culled against ALL cluster AABBs at once (dense slab
+     tests, ~98G tests/s measured) producing a per-packet candidate list,
+  3. a Pallas kernel walks each packet's list: one VMEM row load + a dense
+     (rays x K tris) watertight test per candidate cluster — no per-node
+     stack, no global lockstep (packets retire independently).
 
-The partition is a largest-axis median split over triangle centroids,
-recursing until ranges are <= K and aligning interior splits to multiples
-of K so every cluster except the global last is exactly full — the device
-tables are rectangular (C, K*12) with a validity lane.
+Cluster quality decides the candidate counts, so clusters are cut from
+the binned-SAH binary BVH (scene/bvh.py): every maximal subtree holding
+<= K triangles becomes one cluster. Depth-first emission makes each
+subtree's prims contiguous in ``bvh.prim_ids`` — a cluster is a
+contiguous run of the SAH-ordered triangle list, and consecutive
+clusters are spatially coherent.
 
-Semantic reference: this plays the role of the reference's BVH leaves
-(src/accelerators/bvh.rs:301-375 SAH build); correctness parity is via the
-identical watertight triangle test, not the tree shape.
+Semantic reference: clusters play the role of the reference BVH's leaves
+(/root/reference/src/accelerators/bvh.rs:301-375 SAH build); correctness
+parity comes from the identical watertight triangle test, not tree shape.
 """
 from __future__ import annotations
 
@@ -25,13 +29,144 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from .bvh import build_bvh
+
+# floats per triangle row: v0 xyz, v1 xyz, v2 xyz, prim_row, valid, pad
+TRI_F = 12
+# extraction segment width (must match device/cluster_list.SEG): the cull
+# extracts at most SEGCAP candidates per 128-cluster segment, so cluster
+# indices are STRIDED across segments — depth-first SAH order is spatial,
+# and a packet's candidates form contiguous runs that would overflow one
+# segment's cap while every other segment sits empty (measured 66% packet
+# overflow on bounce waves before striding)
+SEG = 128
+
 
 @dataclass
 class ClusterTables:
-    bounds_lo: np.ndarray  # (C, 3) f32
-    bounds_hi: np.ndarray  # (C, 3) f32
-    tri_rows: np.ndarray   # (C, K*12) f32: per tri v0/v1/v2 xyz, prim_row, valid, pad
+    cl_lo: np.ndarray     # (C, 3) f32 cluster AABB mins
+    cl_hi: np.ndarray     # (C, 3) f32 cluster AABB maxs
+    tri_rows: np.ndarray  # (C, K*TRI_F) f32 cluster triangle blocks
     K: int
+
+    @property
+    def n_clusters(self) -> int:
+        return self.cl_lo.shape[0]
+
+
+def _sah_cluster_ranges(bvh, K: int) -> list[tuple[int, int]]:
+    """Cut maximal subtrees with <= K prims; returns (start, count) ranges
+    into bvh.prim_ids, in depth-first (spatially coherent) order."""
+    n_prims_tot = int(np.sum(bvh.n_prims))
+    # subtree prim counts via one depth-first pass (prims are contiguous)
+    ranges: list[tuple[int, int]] = []
+    # iterative: (node, prim_start); subtree prim count computed on the fly
+    # by walking: leaf -> (offset, n); interior -> children contiguous.
+    # First compute subtree counts bottom-up (post-order).
+    n = len(bvh.n_prims)
+    count = np.zeros(n, np.int64)
+    start = np.zeros(n, np.int64)
+    stack = [(0, False)]
+    while stack:
+        i, done = stack.pop()
+        if bvh.n_prims[i] > 0:
+            start[i] = bvh.offset[i]
+            count[i] = bvh.n_prims[i]
+            continue
+        l, r = i + 1, int(bvh.offset[i])
+        if done:
+            start[i] = min(start[l], start[r])
+            count[i] = count[l] + count[r]
+        else:
+            stack.append((i, True))
+            stack.append((l, False))
+            stack.append((r, False))
+
+    walk = [0]
+    while walk:
+        i = walk.pop()
+        if count[i] <= K or bvh.n_prims[i] > 0:
+            ranges.append((int(start[i]), int(count[i])))
+            continue
+        l, r = i + 1, int(bvh.offset[i])
+        # left-first keeps depth-first (spatial) order
+        walk.append(r)
+        walk.append(l)
+    assert sum(c for _, c in ranges) == n_prims_tot
+    return ranges
+
+
+def build_sah_clusters(v0, v1, v2, prim_rows, K: int = 32) -> ClusterTables:
+    """v0/v1/v2: (T, 3) world-space triangle verts; prim_rows: (T,) global
+    primitive row of each triangle (what shading looks up)."""
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    prim_rows = np.asarray(prim_rows, np.float32)
+    T = v0.shape[0]
+    lo = np.minimum(np.minimum(v0, v1), v2)
+    hi = np.maximum(np.maximum(v0, v1), v2)
+
+    bvh = build_bvh(lo.astype(np.float64), hi.astype(np.float64), max_prims_in_node=4)
+    order = np.asarray(bvh.prim_ids, np.int64)
+    ranges = _sah_cluster_ranges(bvh, K)
+    C0 = len(ranges)
+    # stride spatially-consecutive clusters across extraction segments
+    # (see SEG above); pad to full segments with never-hit clusters
+    n_seg = (C0 + SEG - 1) // SEG
+    C = n_seg * SEG
+    new_of_old = (np.arange(C0) % n_seg) * SEG + np.arange(C0) // n_seg
+
+    rows = np.zeros((C, K, TRI_F), np.float32)
+    cl_lo = np.full((C, 3), np.float32(3e38))
+    cl_hi = np.full((C, 3), np.float32(-3e38))
+    for c0, (s, cnt) in enumerate(ranges):
+        c = new_of_old[c0]
+        idx = order[s:s + cnt]
+        rows[c, :cnt, 0:3] = v0[idx]
+        rows[c, :cnt, 3:6] = v1[idx]
+        rows[c, :cnt, 6:9] = v2[idx]
+        rows[c, :cnt, 9] = prim_rows[idx]
+        rows[c, :cnt, 10] = 1.0
+        cl_lo[c] = lo[idx].min(axis=0)
+        cl_hi[c] = hi[idx].max(axis=0)
+
+    return ClusterTables(
+        cl_lo=cl_lo, cl_hi=cl_hi,
+        tri_rows=rows.reshape(C, K * TRI_F), K=K,
+    )
+
+
+def pack_cluster_table(ct: ClusterTables) -> np.ndarray:
+    """ClusterTables -> the Pallas kernel's VMEM layout.
+
+    One (8, 128) f32 row-block holds TWO 32-tri clusters: 8 column groups
+    of 16 floats x 8 sublanes = 64 tri slots; cluster 2b takes groups 0-3,
+    cluster 2b+1 groups 4-7. Tri slot layout matches the wide-BVH prim
+    table so the kernel's test code is shared-shape: cols 0-8 = v0/v1/v2
+    xyz, col 9 = valid, col 10 = global prim row. Within a cluster, tri i
+    sits at (sublane i % 8, group i // 8).
+    """
+    assert ct.K == 32, "kernel layout is specialized to K=32"
+    C = ct.n_clusters
+    rows = ct.tri_rows.reshape(C, 32, TRI_F)
+    Cp = (C + 1) // 2 * 2
+    tab = np.zeros((Cp // 2 * 8, 128), np.float32)
+    tri16 = np.zeros((Cp, 32, 16), np.float32)
+    tri16[:C, :, 0:9] = rows[:, :, 0:9]
+    tri16[:C, :, 9] = rows[:, :, 10]  # valid
+    tri16[:C, :, 10] = rows[:, :, 9]  # prim row
+    # (Cp, 32, 16) -> blocks: cluster c, tri i -> block c//2 sublane i%8,
+    # group (c%2)*4 + i//8, lanes group*16..
+    g = tri16.reshape(Cp, 4, 8, 16)            # (cluster, group, sublane, 16)
+    g = g.transpose(0, 2, 1, 3)                # (cluster, sublane, group, 16)
+    g = g.reshape(Cp // 2, 2, 8, 4 * 16)       # (block, half, sublane, 64)
+    g = g.transpose(0, 2, 1, 3).reshape(Cp // 2 * 8, 128)
+    tab[:] = g
+    return tab
+
+
+# --- legacy median-split partition (kept for probe comparisons) -----------
 
 
 def _median_partition(cent: np.ndarray, K: int) -> np.ndarray:
@@ -56,8 +191,7 @@ def _median_partition(cent: np.ndarray, K: int) -> np.ndarray:
 
 
 def build_clusters(v0, v1, v2, prim_rows, K: int = 128) -> ClusterTables:
-    """v0/v1/v2: (T, 3) world-space triangle verts; prim_rows: (T,) global
-    primitive row of each triangle (what shading looks up)."""
+    """Median-split clustering (exactly-full clusters); probe baseline."""
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
@@ -76,20 +210,18 @@ def build_clusters(v0, v1, v2, prim_rows, K: int = 128) -> ClusterTables:
     if pad:
         valid[-1, K - pad:] = 0.0
 
-    rows = np.zeros((C, K, 12), np.float32)
+    rows = np.zeros((C, K, TRI_F), np.float32)
     rows[:, :, 0:3] = v0[idx]
     rows[:, :, 3:6] = v1[idx]
     rows[:, :, 6:9] = v2[idx]
     rows[:, :, 9] = prim_rows[idx]
     rows[:, :, 10] = valid
 
-    # cluster bounds over VALID tris only (pad tris repeat a real one, so
-    # they cannot widen the box anyway, but be explicit)
     blo = np.where(valid[..., None] > 0, lo[idx], np.inf).min(axis=1)
     bhi = np.where(valid[..., None] > 0, hi[idx], -np.inf).max(axis=1)
     return ClusterTables(
-        bounds_lo=blo.astype(np.float32),
-        bounds_hi=bhi.astype(np.float32),
-        tri_rows=rows.reshape(C, K * 12),
+        cl_lo=blo.astype(np.float32),
+        cl_hi=bhi.astype(np.float32),
+        tri_rows=rows.reshape(C, K * TRI_F),
         K=K,
     )

@@ -1,8 +1,11 @@
-"""Probe: per-ray candidate-cluster statistics on the bench mesh scene.
+"""Probe: candidate-cluster statistics for the cluster-list traversal tier.
 
-For nearest-first consumption the #rounds a ray needs is the number of
-candidate clusters whose entry-t is < its closest-hit t (+1 for the hit
-cluster itself). Prints the distribution for camera and incoherent waves.
+Per-ray exact candidate counts (clusters whose AABB the ray enters before
+its closest hit) and per-PACKET union counts (what the list-driven kernel
+actually walks) on the bench mesh scene, for SAH-cut vs median-split
+clusters and packet sizes 32/64.
+
+Usage: python tools/cluster_probe.py [K] [--median]
 """
 from __future__ import annotations
 
@@ -18,19 +21,22 @@ import jax.numpy as jnp
 from bench import _mesh_scene
 from pbrt_tpu.device.camera import generate_rays, make_camera
 from pbrt_tpu.scene.builder import compile_scene
-from pbrt_tpu.scene.clusters import build_clusters
+from pbrt_tpu.scene.clusters import build_clusters, build_sah_clusters
 
 
 def main():
-    K = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    K = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    use_median = "--median" in sys.argv
     desc = _mesh_scene()
     cs = compile_scene(desc)
     sa, static = cs.arrays, cs.static
     tp = np.asarray(sa.tri_p)  # (T, 3, 3)
     prim_rows = np.asarray(sa.tri_prim_ids)
-    ct = build_clusters(tp[:, 0], tp[:, 1], tp[:, 2], prim_rows, K=K)
-    C = ct.bounds_lo.shape[0]
-    print(f"T={tp.shape[0]} K={K} C={C}")
+    build = build_clusters if use_median else build_sah_clusters
+    ct = build(tp[:, 0], tp[:, 1], tp[:, 2], prim_rows, K=K)
+    C = ct.n_clusters
+    print(f"T={tp.shape[0]} K={K} C={C} ({'median' if use_median else 'sah'})"
+          f" table={ct.tri_rows.nbytes / 1e6:.1f}MB")
 
     R = 1 << 16
     W, H = 1000, 500
@@ -44,37 +50,46 @@ def main():
     d_inc = jax.random.normal(jax.random.fold_in(key, 3), (R, 3))
     d_inc = d_inc / jnp.linalg.norm(d_inc, axis=1, keepdims=True)
 
-    lo = jnp.asarray(ct.bounds_lo)
-    hi = jnp.asarray(ct.bounds_hi)
+    lo = jnp.asarray(ct.cl_lo)
+    hi = jnp.asarray(ct.cl_hi)
 
-    from pbrt_tpu.device.intersect import _intersect_once
+    from pbrt_tpu.device.intersect import _intersect_once, _ray_sort_key
 
     @jax.jit
     def stats(o, d):
+        """On-device reductions (the (R, C) matrix never leaves the chip)."""
         inv = 1.0 / jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
         t0 = (lo[None] - o[:, None, :]) * inv[:, None, :]
         t1 = (hi[None] - o[:, None, :]) * inv[:, None, :]
         tn = jnp.max(jnp.minimum(t0, t1), axis=2)
         tf = jnp.min(jnp.maximum(t0, t1), axis=2)
-        te = jnp.where((tn <= tf) & (tf > 0), jnp.maximum(tn, 0.0), jnp.inf)  # (R, C)
+        te = jnp.where((tn <= tf) & (tf > 0), jnp.maximum(tn, 0.0), jnp.inf)
         hit = _intersect_once(sa, static, o, d, jnp.full(R, 1e30, jnp.float32))
-        t_hit = hit["t"]
-        n_before = jnp.sum(te < jnp.minimum(t_hit, 1e29)[:, None], axis=1)
-        n_total = jnp.sum(jnp.isfinite(te), axis=1)
-        return n_before, n_total, t_hit
+        need = te < jnp.minimum(hit["t"], 1e29)[:, None]
+        n_ray = jnp.sum(need, axis=1)
+        out = {"n_ray": n_ray}
+        for P in (32, 64, 128):
+            out[f"u{P}"] = jnp.sum(jnp.any(need.reshape(R // P, P, C), axis=1), axis=1)
+            out[f"f{P}"] = jnp.sum(
+                jnp.any(jnp.isfinite(te).reshape(R // P, P, C), axis=1), axis=1)
+        return out
+
+    def pct(x, q):
+        return float(np.percentile(x, q))
 
     for name, o, d in (("camera", o_cam, d_cam), ("incoherent", o_inc, d_inc)):
-        nb, nt, th = stats(o, d)
-        nb = np.asarray(nb)
-        nt = np.asarray(nt)
-        miss = ~np.isfinite(np.asarray(th))
-        print(f"{name}: miss={miss.mean():.3f}")
-        print(f"  rounds-needed (cands with te<t_hit, +1): "
-              f"mean={nb.mean()+1:.2f} p50={np.percentile(nb,50)+1:.0f} "
-              f"p90={np.percentile(nb,90)+1:.0f} p99={np.percentile(nb,99)+1:.0f} "
-              f"max={nb.max()+1}")
-        print(f"  total candidates along ray: mean={nt.mean():.2f} "
-              f"p99={np.percentile(nt,99):.0f} max={nt.max()}")
+        # sort rays the way production does, so packets match the kernel's
+        key_s = _ray_sort_key(sa, o, d)
+        perm = jnp.argsort(key_s)
+        st = jax.device_get(stats(o[perm], d[perm]))
+        n_ray = st["n_ray"]
+        print(f"{name}: per-ray exact cands: mean={n_ray.mean():.1f} "
+              f"p90={pct(n_ray, 90):.0f} p99={pct(n_ray, 99):.0f} max={n_ray.max()}")
+        for P in (32, 64, 128):
+            u, full = st[f"u{P}"], st[f"f{P}"]
+            print(f"  P={P:3d}: union(need) mean={u.mean():6.1f} p99={pct(u, 99):5.0f} "
+                  f"max={u.max():4d} | union(all-te) mean={full.mean():6.1f} "
+                  f"p99={pct(full, 99):5.0f} max={full.max()}")
 
 
 if __name__ == "__main__":
