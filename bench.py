@@ -140,8 +140,10 @@ def _mesh_scene(n_side=248):
 
 
 def _run_config(name: str):
-    """Measure one config in-process and print its JSON line."""
+    """Measure one config in-process and print its JSON line (with the
+    tier that ACTUALLY executed, from render.LAST_PERSISTENT_TIER)."""
     sys.path.insert(0, "/root/repo")
+    import pbrt_tpu.render as render
     from pbrt_tpu.scene.builder import compile_scene
 
     if name == "spheres":
@@ -150,7 +152,8 @@ def _run_config(name: str):
         cs = compile_scene(_mesh_scene())
         assert cs.static.has_wide, "mesh bench must exercise the wide-BVH kernel"
     vps = _measure(cs, 1000, 500)
-    print(json.dumps({"config": name, "vps": vps, "tris": int(cs.static.n_tris)}))
+    print(json.dumps({"config": name, "vps": vps, "tris": int(cs.static.n_tris),
+                      "tier": render.LAST_PERSISTENT_TIER}))
 
 
 def _measure_subprocess(name: str, extra_env=None):
@@ -185,27 +188,49 @@ def main():
         return
 
     spheres = _measure_subprocess("spheres")
+    # default engine selection, with the executed tier reported by the
+    # subprocess itself (render.LAST_PERSISTENT_TIER — never inferred
+    # from env vars; the round-1 bench mislabeled the mesh tier)
     mesh = _measure_subprocess("mesh")
-    mesh_path = "wide-megakernel"
-    if mesh is None:
-        # wide megakernel faulted on this device: fall back to the XLA
-        # persistent wavefront + standalone Pallas traversal kernel tier
-        mesh = _measure_subprocess("mesh", {"PBRT_TPU_WIDEMEGA": "0"})
-        mesh_path = "xla-wavefront"
+    # A/B: the same config forced onto the XLA wavefront tiers (cluster
+    # kernel on, then the stack-packet kernel) — recorded so tier claims
+    # are auditable
+    mesh_alt = {}
+    for label, env in (
+        ("cluster-list", {"PBRT_TPU_WIDEMEGA": "0", "PBRT_TPU_CLUSTER": "1"}),
+        ("pallas-wide", {"PBRT_TPU_WIDEMEGA": "0", "PBRT_TPU_CLUSTER": "0"}),
+    ):
+        r = _measure_subprocess("mesh", env)
+        if r:
+            mesh_alt[label] = round(r["vps"], 1)
+    if mesh is None and mesh_alt:
+        # default tier faulted on this device: report the best alternative
+        best = max(mesh_alt, key=mesh_alt.get)
+        mesh = {"vps": mesh_alt[best], "tris": 0, "tier": f"fallback:{best}"}
 
     rec = {
         "metric": "path_vertex_samples_per_sec",
-        "value": round(spheres["vps"], 1) if spheres else 0.0,
         "unit": "vertices/s",
-        "vs_baseline": round(spheres["vps"] / BASELINE_VPS, 4) if spheres else 0.0,
     }
+    if spheres:
+        rec["value"] = round(spheres["vps"], 1)
+        rec["vs_baseline"] = round(spheres["vps"] / BASELINE_VPS, 4)
+        rec["spheres_tier"] = spheres.get("tier", "unknown")
+    else:
+        rec["value"] = 0.0
+        rec["vs_baseline"] = 0.0
+        rec["spheres_failed"] = True
     if mesh:
         rec.update({
             "mesh_tris": mesh["tris"],
             "mesh_value": round(mesh["vps"], 1),
             "mesh_vs_baseline": round(mesh["vps"] / BASELINE_VPS, 4),
-            "mesh_path": mesh_path,
+            "mesh_path": mesh.get("tier", "unknown"),
         })
+        if mesh_alt:
+            rec["mesh_alt_tiers"] = mesh_alt
+    else:
+        rec["mesh_failed"] = True
     print(json.dumps(rec))
 
 

@@ -86,6 +86,14 @@ def _camera_pass(sa, static, icfg, scfg, cam, seed, px, py, pids, it):
     prev_spec = jnp.ones(R, bool)
     prev_pdf = jnp.ones(R, F32)
     prev_p = o
+    # lanes that recorded their visible point but still owe the
+    # BSDF-sampled half of the direct-light MIS pair: without it, every
+    # non-delta light (env map, area) is underestimated by the missing
+    # MIS share — measured 1.62x low on constant-env scenes, the
+    # caustic-glass brightness deficit (integrator.rs estimate_direct's
+    # second term; the path integrators get it from the next bounce's
+    # deferred pickup, but SPPM camera paths STOP at the diffuse vertex)
+    mis_tail = jnp.zeros(R, bool)
 
     vp_valid = jnp.zeros(R, bool)
     vp_p = jnp.zeros((R, 3), F32)
@@ -98,27 +106,30 @@ def _camera_pass(sa, static, icfg, scfg, cam, seed, px, py, pids, it):
     vp_ts = jnp.zeros((R, 3), F32)
     vp_ng = jnp.zeros((R, 3), F32)
 
-    for b in range(max_depth):
+    for b in range(max_depth + 1):
         dim = 2 + b * 6
         hit = intersect(sa, static, o, d, jnp.full(R, jnp.inf, F32))
         si = surface_interaction(sa, hit, o, d)
         valid = si["valid"]
 
         if static.has_infinite:
-            esc = alive & ~valid
+            esc = (alive | mis_tail) & ~valid
             le = env_le(sa, static, d)
             p_l = env_pdf_li(sa, static, d) * sel_pdf
             w = jnp.where(prev_spec, 1.0, power_heuristic(1.0, prev_pdf, 1.0, p_l))
             ld = ld + jnp.where(esc[:, None], beta * le * w[:, None], 0.0)
-        alive = alive & valid
         if static.has_area_lights:
             lid = si["light"]
-            emitting = alive & (lid >= 0)
+            emitting = (alive | mis_tail) & valid & (lid >= 0)
             le = area_light_emission(sa, lid, si["ng"], si["wo"])
             area = sa.prim_area[jnp.maximum(si["prim"], 0)]
             p_l = pdf_li_area_hit(sa, prev_p, si["p"], si["ng"], lid, area) * sel_pdf
             w = jnp.where(prev_spec, 1.0, power_heuristic(1.0, prev_pdf, 1.0, p_l))
             ld = ld + jnp.where(emitting[:, None], beta * le * w[:, None], 0.0)
+        alive = alive & valid
+        mis_tail = jnp.zeros(R, bool)  # the owed pickup is consumed
+        if b == max_depth:
+            break
 
         lobes = make_bsdf(sa, static, si["mat"], si["uv"], si["p"])
         has_any = num_lobes(lobes) > 0
@@ -159,21 +170,26 @@ def _camera_pass(sa, static, icfg, scfg, cam, seed, px, py, pids, it):
         vp_ng = jnp.where(record[:, None], si["ng"], vp_ng)
         alive = alive_sh & ~record  # specular-only vertices continue
 
-        if b == max_depth - 1:
-            break
         u_lo = sample_1d(kind_s, seed, pids, it, dim + 2, spp)
         ua, ub = sample_2d(kind_s, seed, pids, it, dim + 3, spp)
         wo_l = _to_local(si, si["wo"])
         bs = bsdf_sample(lobes, wo_l, u_lo, ua, ub)
         wi_w = _to_world(si, bs["wi"])
         thru = bs["f"] * (jnp.abs(_dot(wi_w, si["ns"])) / jnp.maximum(bs["pdf"], 1e-30))[:, None]
-        alive = alive & bs["valid"] & jnp.any(thru > 0, axis=-1)
-        beta = jnp.where(alive[:, None], beta * thru, beta)
+        ok_bs = bs["valid"] & jnp.any(thru > 0, axis=-1)
+        # recorded lanes continue ONE segment for the owed MIS pickup
+        mis_tail = record & ok_bs
+        if b == max_depth - 1:
+            alive = jnp.zeros(R, bool)  # depth limit: tails only
+        else:
+            alive = alive & ok_bs
+        cont = alive | mis_tail
+        beta = jnp.where(cont[:, None], beta * thru, beta)
         prev_spec = bs["specular"]
         prev_pdf = jnp.maximum(bs["pdf"], 1e-30)
         prev_p = si["p"]
-        o = _offset_ray(si["p"], si["ng"], wi_w, si.get("p_err"))
-        d = wi_w
+        o = jnp.where(cont[:, None], _offset_ray(si["p"], si["ng"], wi_w, si.get("p_err")), o)
+        d = jnp.where(cont[:, None], wi_w, d)
 
     vp = {
         "valid": vp_valid, "p": vp_p, "beta": vp_beta, "wo": vp_wo,

@@ -251,9 +251,33 @@ def persistent_eligible(desc, static, cam) -> bool:
 PERSISTENT_SPP_CHUNK = 32
 
 
+# tier label of the most recent make_persistent_fn build — the honest
+# record of which engine a benchmark/render actually executes (bench.py
+# reports it; the round-1 bench inferred the label from an env var and
+# misreported the mesh tier)
+LAST_PERSISTENT_TIER = "unbuilt"
+
+
+def _xla_traversal_tier(static) -> str:
+    from .device.intersect import _cluster_route, _pallas_route
+
+    if static.use_brute_force:
+        return "xla-wavefront/brute"
+    if _cluster_route(static):
+        return "xla-wavefront/cluster-list"
+    if _pallas_route(static):
+        return "xla-wavefront/pallas-wide"
+    return "xla-wavefront/packet"
+
+
 def make_persistent_fn(cs: CompiledScene, cam=None):
     """Build the jitted persistent-wave function: (sa, px, py, pids, s0,
-    n_samples, seed) -> (accLw, accW, n_vertices). n_samples is static."""
+    n_samples, seed) -> (accLw, accW, n_vertices). n_samples is static.
+
+    Sets render.LAST_PERSISTENT_TIER to the tier that will actually
+    execute ("brute-megakernel" | "wide-megakernel" | "xla-wavefront/...").
+    """
+    global LAST_PERSISTENT_TIER
     from .device.integrator import trace_persistent
 
     desc = cs.description
@@ -298,6 +322,7 @@ def make_persistent_fn(cs: CompiledScene, cam=None):
             logging.getLogger(__name__).warning("megakernel build failed (%s); using XLA persistent wave", e)
             mk = None
         if mk is not None:
+            LAST_PERSISTENT_TIER = "brute-megakernel"
             return mk
         # triangle-scene sibling: persistent megakernel with IN-KERNEL
         # wide-BVH traversal (device/megakernel_wide.py)
@@ -311,7 +336,10 @@ def make_persistent_fn(cs: CompiledScene, cam=None):
                     "wide megakernel build failed (%s); using XLA persistent wave", e)
                 mkw = None
             if mkw is not None:
+                LAST_PERSISTENT_TIER = "wide-megakernel"
                 return mkw
+
+    LAST_PERSISTENT_TIER = _xla_traversal_tier(static)
 
     @partial(jax.jit, static_argnums=(5,))
     def wave_p(sa, px, py, pixel_ids, s0, n_samples, seed):

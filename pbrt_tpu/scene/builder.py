@@ -789,7 +789,9 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             inf_idx = i
     if infinite_host is not None and infinite_host.image is not None:
         has_env = True
-        img = np.asarray(infinite_host.image, dtype=np.float64) * np.asarray(infinite_host.intensity)[None, None, :]
+        scale_inf = (np.asarray(infinite_host.intensity, np.float64)
+                     if infinite_host.intensity is not None else np.ones(3))
+        img = np.asarray(infinite_host.image, dtype=np.float64) * scale_inf[None, None, :]
         env_image = jnp.asarray(img.astype(np.float32))
         # luminance-weighted 2D distribution with sin(theta) factor
         # (reference src/lights/infinite.rs:81; sampling.rs Distribution2D)

@@ -84,19 +84,20 @@ def main():
 
         # 2) cull phases
         pl_full = jax.jit(lambda o, d, t: cl.packet_lists(sa.cl_lo, sa.cl_hi, o, d, t))
-        lists, tes, segcnt, ovf = bench(f"{nm}/cull(interval+extract)", lambda: pl_full(o_p, d_p, t_p))
+        lists, segcnt, ovf = bench(f"{nm}/cull(interval+extract)", lambda: pl_full(o_p, d_p, t_p))
+        aabb = jnp.concatenate([sa.cl_lo, sa.cl_hi, jnp.zeros((sa.cl_lo.shape[0], 2), jnp.float32)], axis=1)
         cnts = np.asarray(jnp.sum(segcnt, axis=1))
         print(f"  {nm}: list total mean={cnts.mean():.1f} p99={np.percentile(cnts, 99):.0f} "
               f"max={cnts.max()} overflow={float(jnp.mean(ovf)):.4f}", flush=True)
 
         # 3) kernel walk only
-        krn = jax.jit(lambda b, l, t, s: cl._run_lists(sa.cl_tab, b, l, t, s, False, False))
-        out = bench(f"{nm}/kernel(closest)", lambda: krn(blocks, lists, tes, segcnt))
+        krn = jax.jit(lambda b, l, s: cl._run_lists(sa.cl_tab, aabb, b, l, s, False, False))
+        out = bench(f"{nm}/kernel(closest)", lambda: krn(blocks, lists, segcnt))
         rounds = np.asarray(out[:, 5, 0])
-        print(f"  {nm}: kernel rounds/packet mean={rounds.mean():.1f} "
+        print(f"  {nm}: TRUE rounds/packet mean={rounds.mean():.1f} "
               f"p99={np.percentile(rounds, 99):.0f} max={rounds.max():.0f}", flush=True)
-        krn_a = jax.jit(lambda b, l, t, s: cl._run_lists(sa.cl_tab, b, l, t, s, True, False))
-        bench(f"{nm}/kernel(anyhit)", lambda: krn_a(blocks, lists, tes, segcnt))
+        krn_a = jax.jit(lambda b, l, s: cl._run_lists(sa.cl_tab, aabb, b, l, s, True, False))
+        bench(f"{nm}/kernel(anyhit)", lambda: krn_a(blocks, lists, segcnt))
 
         # 4) e2e
         ci = jax.jit(lambda o, d: cl.cluster_intersect(sa, static, o, d, 1e30))
