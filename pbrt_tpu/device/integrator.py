@@ -672,16 +672,23 @@ def trace_persistent(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dic
     kind_s = scfg["kind"]
     spp = scfg["spp"]
     DPB = 8
-    _select_light, _sel_pmf_of = _light_selectors(sa, static, icfg, True, "path")
+    ikind = icfg.get("kind", "path")
+    direct_all = (ikind == "directlighting"
+                  and icfg.get("strategy", "all") == "all" and static.n_lights > 1)
+    _select_light, _sel_pmf_of = _light_selectors(sa, static, icfg, True, ikind)
 
-    def _nee(si, lobes, alive_m, dim_base, s_cur):
+    def _nee(si, lobes, alive_m, dim_base, s_cur, light_index=None, dim_salt=0):
         """uniform_sample_onelight / estimate_direct, surface-only form —
         must mirror trace_wave._nee_at with medium_vertex=None."""
         if static.n_lights == 0:
             return jnp.zeros((R, 3), F32)
-        u_sel = sample_1d(kind_s, seed, pixel, s_cur, dim_base, spp)
-        u1, u2 = sample_2d(kind_s, seed, pixel, s_cur, dim_base + 1, spp)
-        lid, spdf = _select_light(u_sel, si["p"])
+        u_sel = sample_1d(kind_s, seed, pixel, s_cur, dim_base + 131 * dim_salt, spp)
+        u1, u2 = sample_2d(kind_s, seed, pixel, s_cur, dim_base + 1 + 131 * dim_salt, spp)
+        if light_index is None:
+            lid, spdf = _select_light(u_sel, si["p"])
+        else:
+            lid = jnp.full(R, light_index, jnp.int32)
+            spdf = 1.0
         ls = sample_li(sa, static, lid, si["p"], u1, u2, cone_spheres=static.has_cone_sphere_lights)
         wi = ls["wi"]
         wo_l = _to_local(si, si["wo"])
@@ -737,12 +744,31 @@ def trace_persistent(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dic
         lobes = make_bsdf(sa, static, si["mat"], si["uv"], si["p"], si["duvdx"], si["duvdy"])
         alive_sh = can_scatter & (num_lobes(lobes) > 0)
         if static.n_lights > 0:
-            L = L + beta * _nee(si, lobes, alive_sh, dim_base, s_cur)
+            if direct_all:
+                # UniformSampleAll (directlighting.rs strategy=all): one
+                # NEE per light, unit selection pdf, salted dims
+                for li_idx in range(static.n_lights):
+                    L = L + beta * _nee(si, lobes, alive_sh, dim_base, s_cur,
+                                        light_index=li_idx, dim_salt=li_idx)
+            else:
+                L = L + beta * _nee(si, lobes, alive_sh, dim_base, s_cur)
 
         u_lobe = sample_1d(kind_s, seed, pixel, s_cur, dim_base + 2, spp)
         u1, u2 = sample_2d(kind_s, seed, pixel, s_cur, dim_base + 3, spp)
         wo_l = _to_local(si, si["wo"])
-        bs = bsdf_sample(lobes, wo_l, u_lobe, u1, u2)
+        if ikind == "directlighting":
+            # specular-only continuation (specular_reflect/transmit
+            # recursion, integrator.rs:409-520); diffuse vertices retire
+            from .bsdf import SPECULAR_KINDS
+
+            spec_only = {
+                "kind": jnp.where(_is_specular(lobes["kind"]), lobes["kind"], 0),
+                "data": lobes["data"],
+                "possible": tuple(p & SPECULAR_KINDS for p in lobes["possible"]),
+            }
+            bs = bsdf_sample(spec_only, wo_l, u_lobe, u1, u2)
+        else:
+            bs = bsdf_sample(lobes, wo_l, u_lobe, u1, u2)
         wi_w = _to_world(si, bs["wi"])
         cos_term = jnp.abs(_dot(wi_w, si["ns"]))
         thru = bs["f"] * (cos_term / jnp.maximum(bs["pdf"], 1e-30))[:, None]
@@ -758,15 +784,17 @@ def trace_persistent(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dic
         eta_scale = jnp.where(surf_cont, eta_scale * bs["eta_scale"], eta_scale)
         new_bounces = bounces + surf_cont
 
-        # russian roulette (path.rs:206-214)
-        rr_beta = new_beta * eta_scale[:, None]
-        max_c = jnp.max(rr_beta, axis=-1)
-        q = jnp.maximum(0.05, 1.0 - max_c)
-        do_rr = (new_bounces > 3) & (max_c < icfg.get("rr_threshold", 1.0))
-        u_rr = sample_1d(kind_s, seed, pixel, s_cur, dim_base + 4, spp)
-        killed = do_rr & (u_rr < q)
-        new_alive = new_alive & ~killed
-        new_beta = jnp.where((do_rr & ~killed)[:, None], new_beta / jnp.maximum(1.0 - q, 1e-6)[:, None], new_beta)
+        if ikind == "path":
+            # russian roulette (path.rs:206-214); directlighting's specular
+            # chains are depth-capped only
+            rr_beta = new_beta * eta_scale[:, None]
+            max_c = jnp.max(rr_beta, axis=-1)
+            q = jnp.maximum(0.05, 1.0 - max_c)
+            do_rr = (new_bounces > 3) & (max_c < icfg.get("rr_threshold", 1.0))
+            u_rr = sample_1d(kind_s, seed, pixel, s_cur, dim_base + 4, spp)
+            killed = do_rr & (u_rr < q)
+            new_alive = new_alive & ~killed
+            new_beta = jnp.where((do_rr & ~killed)[:, None], new_beta / jnp.maximum(1.0 - q, 1e-6)[:, None], new_beta)
 
         # --- flush finished samples, regenerate or retire lanes ---
         die = ~done & ~new_alive

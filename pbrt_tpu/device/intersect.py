@@ -324,7 +324,9 @@ def _test_prims(sa: SceneArrays, o, d, t_max, prim_ids, valid, time=None):
         tri_idx = jnp.where(kind == GEOM_TRI, geom, 0)
         tv = sa.tri_p[tri_idx]  # (R, K, 3, 3)
         if time is not None and sa.tri_p_end is not None:
-            tv = tv + time[:, None, None, None] * (sa.tri_p_end[tri_idx] - tv)
+            tv = _motion_quad(tv, sa.tri_p_end[tri_idx],
+                              sa.tri_p_mid[tri_idx] if sa.tri_p_mid is not None else None,
+                              time[:, None, None, None])
         h_t, t_t, _b0, b1_t, b2_t = ray_triangle(o_b, d_b, tv[..., 0, :], tv[..., 1, :], tv[..., 2, :], tm_b)
     else:
         h_t = jnp.zeros(kind.shape, bool)
@@ -336,7 +338,9 @@ def _test_prims(sa: SceneArrays, o, d, t_max, prim_ids, valid, time=None):
         sph_idx = jnp.where(kind == GEOM_SPHERE, geom, 0)
         w2o = sa.sph_w2o[sph_idx]
         if time is not None and sa.sph_w2o_end is not None:
-            w2o = w2o + time[:, None, None, None] * (sa.sph_w2o_end[sph_idx] - w2o)
+            w2o = _motion_quad(w2o, sa.sph_w2o_end[sph_idx],
+                               sa.sph_w2o_mid[sph_idx] if sa.sph_w2o_mid is not None else None,
+                               time[:, None, None, None])
         par = sa.sph_param[sph_idx]
         qk = sa.sph_kind[sph_idx]
         h_s, t_s, p_obj = ray_quadric(o_b, d_b, w2o, par, qk, tm_b)
@@ -391,7 +395,9 @@ def _brute_all(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None):
     if sa.tri_p.shape[0] > 0:
         tv = sa.tri_p[None, :, :, :]  # (1, T, 3, 3) broadcast
         if time is not None and sa.tri_p_end is not None:
-            tv = tv + time[:, None, None, None] * (sa.tri_p_end[None] - tv)
+            tv = _motion_quad(tv, sa.tri_p_end[None],
+                              sa.tri_p_mid[None] if sa.tri_p_mid is not None else None,
+                              time[:, None, None, None])
         tm = jnp.asarray(t_max, F32)[:, None]
         h, t_t, _b0, b1, b2 = ray_triangle(o_b, d_b, tv[..., 0, :], tv[..., 1, :], tv[..., 2, :], tm)
         parts_t.append(jnp.where(h, t_t, INF))
@@ -401,7 +407,9 @@ def _brute_all(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None):
     if sa.sph_param.shape[0] > 0:
         w2o = sa.sph_w2o[None, :, :, :]
         if time is not None and sa.sph_w2o_end is not None:
-            w2o = w2o + time[:, None, None, None] * (sa.sph_w2o_end[None] - w2o)
+            w2o = _motion_quad(w2o, sa.sph_w2o_end[None],
+                               sa.sph_w2o_mid[None] if sa.sph_w2o_mid is not None else None,
+                               time[:, None, None, None])
         par = sa.sph_param[None, :, :]
         qk = sa.sph_kind[None, :]
         tm = jnp.asarray(t_max, F32)[:, None]
@@ -545,7 +553,10 @@ def _traverse(sa: SceneArrays, static: SceneStatic, o, d, t_max, any_hit: bool, 
         if time_p is not None and sa.prim_test_data_end is not None:
             # per-lane keyframe lerp: (B, 1, K, 16) -> (B, PACKET, K, 16)
             rows16e = sa.prim_test_data_end[k_ids]
-            rows16L = rows16[:, None] + time_p[:, :, None, None] * (rows16e - rows16)[:, None]
+            rows16m = (sa.prim_test_data_mid[k_ids][:, None]
+                       if sa.prim_test_data_mid is not None else None)
+            rows16L = _motion_quad(rows16[:, None], rows16e[:, None], rows16m,
+                                   time_p[:, :, None, None])
             v0 = rows16L[..., 0:3]
             v1 = rows16L[..., 3:6]
             v2 = rows16L[..., 6:9]
@@ -640,6 +651,17 @@ def _traverse(sa: SceneArrays, static: SceneStatic, o, d, t_max, any_hit: bool, 
         "b1": b1_flat,
         "b2": b2_flat,
     }, ha_flat
+
+
+def _motion_quad(base, end, mid_gathered, time_b):
+    """Per-ray keyframe interpolation: linear between shutter endpoints,
+    plus the quadratic arc term through the mid-shutter slerp sample when
+    the motion rotates (transform.rs AnimatedTransform applied per ray by
+    primitive.rs TransformedPrimitive; parser/api.py bakes the samples)."""
+    out = base + time_b * (end - base)
+    if mid_gathered is not None:
+        out = out + (time_b * (1.0 - time_b)) * (4.0 * mid_gathered - 2.0 * base - 2.0 * end)
+    return out
 
 
 # rays-per-packet coherence: above this primitive count, sort waves by a

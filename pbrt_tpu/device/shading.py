@@ -79,7 +79,11 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
         ti = jnp.where(is_tri, geom, 0)
         tv = gather_rows(sa.tri_p, ti)  # (R, 3, 3)
         if time is not None and sa.tri_p_end is not None:
-            tv = tv + time[:, None, None] * (gather_rows(sa.tri_p_end, ti) - tv)
+            from .intersect import _motion_quad
+
+            tv = _motion_quad(tv, gather_rows(sa.tri_p_end, ti),
+                              gather_rows(sa.tri_p_mid, ti) if sa.tri_p_mid is not None else None,
+                              time[:, None, None])
         tn = gather_rows(sa.tri_n, ti)
         tuv = gather_rows(sa.tri_uv, ti)
         if has_inst:
@@ -144,8 +148,15 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
         o2w = gather_rows(sa.sph_o2w, si)
         w2o = gather_rows(sa.sph_w2o, si)
         if time is not None and sa.sph_w2o_end is not None:
-            w2o = w2o + time[:, None, None] * (gather_rows(sa.sph_w2o_end, si) - w2o)
-            o2w = o2w + time[:, None, None] * (gather_rows(sa.sph_o2w_end, si) - o2w)
+            from .intersect import _motion_quad
+
+            has_mid = sa.sph_w2o_mid is not None
+            w2o = _motion_quad(w2o, gather_rows(sa.sph_w2o_end, si),
+                               gather_rows(sa.sph_w2o_mid, si) if has_mid else None,
+                               time[:, None, None])
+            o2w = _motion_quad(o2w, gather_rows(sa.sph_o2w_end, si),
+                               gather_rows(sa.sph_o2w_mid, si) if has_mid else None,
+                               time[:, None, None])
         par = gather_rows(sa.sph_param, si)
         qk = gather_rows(sa.sph_kind, si)
         is_cyl = qk == QUADRIC_CYLINDER

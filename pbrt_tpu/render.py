@@ -233,11 +233,12 @@ def make_regen(cam, static, scfg, fcfg, px_base, py_base, pixel_ids, seed):
 
 
 def persistent_eligible(desc, static, cam) -> bool:
-    """The persistent wavefront covers the plain path-integrator configs
-    (the flagship + both bench scenes); everything else uses the
-    per-sample wave."""
+    """The persistent wavefront covers the plain path and directlighting
+    configs (the flagship, both bench scenes, and the spheres fidelity
+    scene — whose 16spp render took 857s through the per-sample wave in
+    round 1); everything else uses the per-sample wave."""
     return (
-        desc.integrator.kind == "path"
+        desc.integrator.kind in ("path", "directlighting")
         and not static.has_motion
         and cam.get("anim") is None
         and cam.get("realistic") is None
@@ -249,6 +250,13 @@ def persistent_eligible(desc, static, cam) -> bool:
 
 
 PERSISTENT_SPP_CHUNK = 32
+# full-film waves bound the samples per DISPATCH instead: a 500k-lane
+# persistent while_loop carrying 16spp of a texture-heavy scene runs
+# minutes inside one device dispatch, which trips the tunneled chip's
+# watchdog (the round-1 wide-megakernel failure mode) — observed again as
+# 'TPU device error' on the spheres fidelity render
+PERSISTENT_SPP_CHUNK_BIG = 4
+PERSISTENT_BIG_WAVE = 200_000
 
 
 # tier label of the most recent make_persistent_fn build — the honest
@@ -284,9 +292,10 @@ def make_persistent_fn(cs: CompiledScene, cam=None):
     if cam is None:
         cam = make_camera(desc.camera, desc.film)
     icfg = {
-        "kind": "path",
+        "kind": desc.integrator.kind if desc.integrator.kind == "directlighting" else "path",
         "max_depth": max(int(desc.integrator.max_depth), 1),
         "rr_threshold": desc.integrator.rr_threshold,
+        "strategy": desc.integrator.strategy,
         "light_strategy": desc.integrator.light_strategy,
     }
     if str(desc.integrator.light_strategy) == "spatial" and cs.static.n_lights > 1:
@@ -313,7 +322,9 @@ def make_persistent_fn(cs: CompiledScene, cam=None):
     # the whole bounce loop runs in one kernel with path state resident in
     # VMEM (device/megakernel.py). Estimator-equivalent to the XLA loop
     # below (tests/test_megakernel.py); PBRT_TPU_NO_MEGAKERNEL=1 opts out.
-    if not os.environ.get("PBRT_TPU_NO_MEGAKERNEL"):
+    if icfg["kind"] == "path" and not os.environ.get("PBRT_TPU_NO_MEGAKERNEL"):
+        # (megakernels bake the path estimator; directlighting runs the
+        # XLA persistent wave below)
         try:
             from .device.megakernel import make_megakernel_fn
 
@@ -490,7 +501,8 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
 
     cam0 = make_camera(desc.camera, desc.film)
     cam0["motion_times"] = (float(getattr(desc, "transform_start_time", 0.0)), float(getattr(desc, "transform_end_time", 1.0)))
-    if persistent_eligible(desc, cs.static, cam0) and checkpoint_path is None:
+    if (persistent_eligible(desc, cs.static, cam0) and checkpoint_path is None
+            and not os.environ.get("PBRT_TPU_FORCE_WAVE")):
         # persistent wavefront: lanes regenerate in place, samples chunked
         # for f64 host accumulation (see device/integrator.trace_persistent)
         cached = _WAVE_CACHE.get("pscene")
@@ -499,12 +511,21 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
             _WAVE_CACHE["pwave"] = make_persistent_fn(cs, cam0)
         wave_p = _WAVE_CACHE["pwave"]
         t0 = time.time()
+        t_compile = 0.0
+        first_call = True
         s = 0
+        spp_chunk = PERSISTENT_SPP_CHUNK_BIG if R >= PERSISTENT_BIG_WAVE else PERSISTENT_SPP_CHUNK
         while s < spp:
-            n_s = min(PERSISTENT_SPP_CHUNK, spp - s)
+            n_s = min(spp_chunk, spp - s)
             for c in range(n_chunks):
                 sl = slice(c * chunk, min((c + 1) * chunk, R))
                 Lw, w, nv = wave_p(sa, px[sl], py[sl], pixel_ids[sl], jnp.uint32(s), n_s, jnp.uint32(seed))
+                if first_call:
+                    # block here so the compile cost is split out of the
+                    # render-rate log line (FIDELITY.json wall-clock split)
+                    jax.block_until_ready(Lw)
+                    t_compile = time.time() - t0
+                    first_call = False
                 acc[sl] += np.asarray(Lw, np.float64)
                 wacc[sl] += np.asarray(w, np.float64)
                 n_vertices += float(np.asarray(jnp.sum(nv)))
@@ -513,9 +534,13 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
                 progress(s, spp)
         dt = time.time() - t0
         log.info(
-            "rendered %dx%d @ %dspp (persistent) in %.2fs (%.2f Mrays/s primary, %.2f Mverts/s)",
-            ww, wh, spp, dt, R * spp / max(dt, 1e-9) / 1e6, n_vertices / max(dt, 1e-9) / 1e6,
+            "rendered %dx%d @ %dspp (persistent, %s) in %.2fs "
+            "(compile+first-chunk %.2fs; %.2f Mrays/s primary, %.2f Mverts/s)",
+            ww, wh, spp, LAST_PERSISTENT_TIER, dt, t_compile,
+            R * spp / max(dt, 1e-9) / 1e6, n_vertices / max(dt, 1e-9) / 1e6,
         )
+        render_compiled.last_timing = {"wall_s": dt, "compile_s": t_compile,
+                                       "tier": LAST_PERSISTENT_TIER}
         from .scene.arrays import scene_byte_size
         from .utils.stats import STATS
 

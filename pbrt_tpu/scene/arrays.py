@@ -196,6 +196,13 @@ class SceneArrays:
     # per-prim shading-normal rows (prim_tab layout, lanes 0:9 = n0/n1/n2
     # xyz); only built when a wide-eligible mesh has vertex normals
     wattr_tab: jax.Array | None = None
+    # --- quadratic-motion mid-shutter keyframes (parser/api.py slerp
+    # sample); None unless a shutter transform ROTATES — linear motion
+    # needs only the *_end tables ---
+    tri_p_mid: jax.Array | None = None  # (T, 3, 3)
+    sph_w2o_mid: jax.Array | None = None  # (S, 3, 4)
+    sph_o2w_mid: jax.Array | None = None  # (S, 3, 4)
+    prim_test_data_mid: jax.Array | None = None  # ptd-shaped
     # --- cluster-list traversal tables (scene/clusters.py); None unless
     # static.has_cluster ---
     cl_tab: jax.Array | None = None  # (ceil(C/2)*8, 128) f32 packed tri blocks

@@ -227,8 +227,12 @@ def _quadric_area(sph, qkind):
 def compile_scene(desc: SceneDescription) -> CompiledScene:
     tri_p, tri_n, tri_uv = [], [], []
     tri_p_e = []  # shutter-close vertices (== tri_p entries when static)
+    tri_p_m = []  # mid-shutter vertices (slerp sample; == start when linear)
     sph_w2o_e = []
     sph_o2w_e = []
+    sph_w2o_m = []
+    sph_o2w_m = []
+    any_rot_motion = False
     any_motion = False
     sph_o2w, sph_w2o, sph_param = [], [], []
     sph_kind_l = []
@@ -467,8 +471,15 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
                 if mesh.p_end is not None:
                     pv_end = np.asarray(mesh.p_end, dtype=np.float64)[f]
                     any_motion = True
+                    if mesh.p_mid is not None:
+                        pv_mid = np.asarray(mesh.p_mid, dtype=np.float64)[f]
+                        if not np.allclose(pv_mid, 0.5 * (pv + pv_end), atol=1e-9):
+                            any_rot_motion = True
+                    else:
+                        pv_mid = 0.5 * (pv + pv_end)
                 else:
                     pv_end = pv
+                    pv_mid = pv
                 e1 = pv[:, 1] - pv[:, 0]
                 e2 = pv[:, 2] - pv[:, 0]
                 gn = np.cross(e1, e2)
@@ -496,6 +507,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
                 t0 = sum(len(c) for c in tri_p)
                 tri_p.append(pv)
                 tri_p_e.append(pv_end)
+                tri_p_m.append(pv_mid)
                 tri_n.append(nv)
                 tri_uv.append(uvv)
                 if inst_t is not None:
@@ -544,8 +556,12 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
                 prim_hi.extend(hi_rows)
             else:
                 pv_end_b = tri_p_e[-1] if len(tri_p_e) else pv
-                prim_lo.extend(np.minimum(pv.min(axis=1), pv_end_b.min(axis=1)))
-                prim_hi.extend(np.maximum(pv.max(axis=1), pv_end_b.max(axis=1)))
+                pv_mid_b = tri_p_m[-1] if len(tri_p_m) else pv
+                # the quadratic arc stays inside the hull of its Bezier
+                # control points {p0, 2m - (p0+p1)/2, p1}
+                ctrl = 2.0 * pv_mid_b - 0.5 * (pv + pv_end_b)
+                prim_lo.extend(np.minimum.reduce([pv.min(axis=1), pv_end_b.min(axis=1), ctrl.min(axis=1)]))
+                prim_hi.extend(np.maximum.reduce([pv.max(axis=1), pv_end_b.max(axis=1), ctrl.max(axis=1)]))
             prim_medium.extend([[medium_id(prim.inside_medium), medium_id(prim.outside_medium)]] * t)
             # alpha / shadow-alpha cutout masks (triangle.rs:29-30)
             a_id = tex_reg.register(mesh.alpha_texture) if mesh.alpha_texture is not None else -1
@@ -563,9 +579,19 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
                 sph_w2o_e.append(sph.object_to_world_end.inverse().m[:3, :])
                 sph_o2w_e.append(sph.object_to_world_end.m[:3, :])
                 any_motion = True
+                o2w_mid = sph.object_to_world_mid
+                if o2w_mid is None:
+                    sph_w2o_m.append(0.5 * (w2o.m[:3, :] + sph.object_to_world_end.inverse().m[:3, :]))
+                    sph_o2w_m.append(0.5 * (o2w.m[:3, :] + sph.object_to_world_end.m[:3, :]))
+                else:
+                    sph_w2o_m.append(o2w_mid.inverse().m[:3, :])
+                    sph_o2w_m.append(o2w_mid.m[:3, :])
+                    any_rot_motion = True
             else:
                 sph_w2o_e.append(w2o.m[:3, :])
                 sph_o2w_e.append(o2w.m[:3, :])
+                sph_w2o_m.append(w2o.m[:3, :])
+                sph_o2w_m.append(o2w.m[:3, :])
             qkind = {"sphere": QUADRIC_SPHERE, "cylinder": QUADRIC_CYLINDER,
                      "disk": QUADRIC_DISK, "cone": QUADRIC_CONE,
                      "paraboloid": QUADRIC_PARABOLOID,
@@ -676,6 +702,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         # always have at least one row
         tri_p.append(np.full((1, 3, 3), 1e30))
         tri_p_e.append(np.full((1, 3, 3), 1e30))
+        tri_p_m.append(np.full((1, 3, 3), 1e30))
         tri_n.append(np.tile(np.array([0.0, 0.0, 1.0]), (1, 3, 1)))
         tri_uv.append(np.zeros((1, 3, 2)))
         prim_kind.append(GEOM_TRI)
@@ -823,10 +850,13 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
 
     tri_p_cat = _cat(tri_p, (3, 3))
     tri_pe_cat = _cat(tri_p_e, (3, 3)) if any_motion else tri_p_cat
+    tri_pm_cat = _cat(tri_p_m, (3, 3)) if any_motion else tri_p_cat
     sph_w2o_cat = np.asarray(sph_w2o, dtype=np.float32).reshape(-1, 3, 4)
     sph_w2oe_cat = np.asarray(sph_w2o_e, dtype=np.float32).reshape(-1, 3, 4) if any_motion else sph_w2o_cat
+    sph_w2om_cat = np.asarray(sph_w2o_m, dtype=np.float32).reshape(-1, 3, 4) if any_motion else sph_w2o_cat
     sph_param_cat = np.asarray(sph_param, dtype=np.float32).reshape(-1, 12)
     ptd_end = ptd.copy() if any_motion else ptd
+    ptd_mid = ptd.copy() if any_rot_motion else ptd_end
     if n_prims:
         pk = np.asarray(prim_kind)
         pg = np.asarray(prim_geom)
@@ -836,6 +866,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             ptd[tri_rows, 0:9] = tri_p_cat[pg[tri_rows]].reshape(len(tri_rows), 9)
             if any_motion:
                 ptd_end[tri_rows, 0:9] = tri_pe_cat[pg[tri_rows]].reshape(len(tri_rows), 9)
+            if any_rot_motion:
+                ptd_mid[tri_rows, 0:9] = tri_pm_cat[pg[tri_rows]].reshape(len(tri_rows), 9)
         if len(sph_rows):
             sk = np.asarray(sph_kind_l, np.float32) if sph_kind_l else np.zeros(1, np.float32)
             ptd[sph_rows, 0:12] = sph_w2o_cat[pg[sph_rows]].reshape(len(sph_rows), 12)
@@ -849,6 +881,12 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
                 ptd_end[sph_rows, 18] = sk[pg[sph_rows]]
                 if _has_partial_hyp:
                     ptd_end[sph_rows, 19:25] = sph_param_cat[pg[sph_rows]][:, 6:12]
+            if any_rot_motion:
+                ptd_mid[sph_rows, 0:12] = sph_w2om_cat[pg[sph_rows]].reshape(len(sph_rows), 12)
+                ptd_mid[sph_rows, 12:18] = sph_param_cat[pg[sph_rows]][:, 0:6]
+                ptd_mid[sph_rows, 18] = sk[pg[sph_rows]]
+                if _has_partial_hyp:
+                    ptd_mid[sph_rows, 19:25] = sph_param_cat[pg[sph_rows]][:, 6:12]
 
     fourier_dev = _stack_fourier_tables(fourier_tables)
 
@@ -1016,6 +1054,10 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         sph_w2o_end=jnp.asarray(sph_w2oe_cat) if any_motion else None,
         sph_o2w_end=jnp.asarray(np.asarray(sph_o2w_e, dtype=np.float32).reshape(-1, 3, 4)) if any_motion else None,
         prim_test_data_end=jnp.asarray(ptd_end) if any_motion else None,
+        tri_p_mid=jnp.asarray(tri_pm_cat) if any_rot_motion else None,
+        sph_w2o_mid=jnp.asarray(sph_w2om_cat) if any_rot_motion else None,
+        sph_o2w_mid=jnp.asarray(np.asarray(sph_o2w_m, dtype=np.float32).reshape(-1, 3, 4)) if any_rot_motion else None,
+        prim_test_data_mid=jnp.asarray(ptd_mid) if any_rot_motion else None,
         mat_kind=jnp.asarray(mat_kind),
         mat_const=jnp.asarray(mat_const),
         mat_tex=jnp.asarray(mat_tex),

@@ -39,6 +39,8 @@ class TriangleMesh:
     reverse_orientation: bool = False
     transform_swaps_handedness: bool = False
     p_end: np.ndarray | None = None  # (V, 3) shutter-close positions (motion blur)
+    p_mid: np.ndarray | None = None  # (V, 3) mid-shutter positions (slerp sample:
+    # quadratic through (p, p_mid, p_end) follows the rotation arc; None = linear)
 
 
 @dataclass
@@ -56,6 +58,7 @@ class Sphere:
     phi_max: float = 2.0 * math.pi  # radians
     reverse_orientation: bool = False
     object_to_world_end: Transform | None = None  # motion blur keyframe
+    object_to_world_mid: Transform | None = None  # mid-shutter slerp sample
     kind: str = "sphere"
     height: float = 0.0
     inner_radius: float = 0.0

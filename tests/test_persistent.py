@@ -105,3 +105,26 @@ def test_persistent_parity_power_strategy_multi_light():
     wave_p = make_persistent_fn(cs)
     Lp, wp, _ = wave_p(cs.arrays, px, py, pids, jnp.uint32(0), spp, jnp.uint32(3))
     np.testing.assert_allclose(np.asarray(Lp), acc, rtol=2e-4, atol=2e-4)
+
+
+def test_persistent_directlighting_matches_wave():
+    """directlighting through the persistent wavefront must reproduce the
+    per-sample wave's estimator (same dims, all-lights NEE, specular-only
+    continuation) — the spheres fidelity scene's render path."""
+    import numpy as np
+
+    from pbrt_tpu.render import render
+
+    desc = _scene()
+    desc.integrator.kind = "directlighting"
+    desc.integrator.max_depth = 3
+    desc.sampler.pixel_samples = 4
+    import os
+
+    img_p = render(desc, spp=4)
+    os.environ["PBRT_TPU_FORCE_WAVE"] = "1"
+    try:
+        img_w = render(desc, spp=4)
+    finally:
+        os.environ.pop("PBRT_TPU_FORCE_WAVE", None)
+    np.testing.assert_allclose(img_p, img_w, rtol=2e-4, atol=2e-5)

@@ -64,8 +64,12 @@ def downsample(img, f):
     return img[:h, :w].reshape(h // f, f, w // f, f, 3).mean(axis=(1, 3))
 
 
-def compare(ours_lin, gold_u8, blur=20):
-    """ours_lin: HDR linear; gold_u8: uint8 golden. Returns metric dict."""
+def compare(ours_lin, gold_u8, blur=4, allow_scale=True):
+    """ours_lin: HDR linear; gold_u8: uint8 golden. Returns metric dict.
+
+    allow_scale=False: the fitted scale is RECORDED but NOT applied — the
+    comparison is absolute, and the caller gates |scale-1| as well (the
+    round-1 gate hid a 1.62x SPPM brightness error behind the fit)."""
     ours = srgb(ours_lin)
     gold = gold_u8.astype(np.float32) / 255.0
     if ours.shape[:2] != gold.shape[:2]:
@@ -76,11 +80,13 @@ def compare(ours_lin, gold_u8, blur=20):
             raise SystemExit(f"shape mismatch {ours.shape} vs {gold.shape}")
     mask = gold.mean(axis=-1) > 0.2
     scale = float(np.median(gold[mask].mean(-1) / np.maximum(ours[mask].mean(-1), 1e-4)))
+    applied = scale if allow_scale else 1.0
     g = downsample(gold, blur)
-    o = downsample(np.clip(ours * scale, 0, 1), blur)
+    o = downsample(np.clip(ours * applied, 0, 1), blur)
     mse = float(((g - o) ** 2).mean())
     rel = float((np.abs(g - o) / np.maximum(g, 1e-3)).mean())
-    return {"scale": round(scale, 4), "blurred_mse": round(mse, 6), "mean_rel_err": round(rel, 4)}
+    return {"scale": round(scale, 4), "scale_applied": round(applied, 4),
+            "blurred_mse": round(mse, 6), "mean_rel_err": round(rel, 4)}
 
 
 def _stage_spheres_scene() -> str:
@@ -125,8 +131,9 @@ def main():
     from pbrt_tpu.render import render
     from pbrt_tpu.core.imageio import read_image
 
-    results = {"protocol": "srgb tone-map + fitted uniform scale + 20x box blur vs bundled 8-bit goldens; "
-                           "missing lines.png reconstructed (see _stage_spheres_scene)",
+    results = {"protocol": "srgb tone-map + 4x box blur vs bundled 8-bit goldens; scale fitted but "
+                           "only APPLIED for spheres (reconstructed lines.png albedo); glass gates "
+                           "absolute brightness |scale-1|<=0.1; missing lines.png reconstructed",
                "scenes": {}}
 
     # --- spheres (directlighting) -------------------------------------------
@@ -169,8 +176,14 @@ def _run_spheres(results, fast):
     # read_image decodes PNG sRGB->linear; re-encode to compare in the
     # golden's own 8-bit sRGB space
     gold = (srgb(read_image(f"{REF}/rendered_scenes/spheres.png")) * 255).astype(np.uint8)
-    m = compare(img, gold)
+    m = compare(img, gold)  # free scale: lines.png albedo is reconstructed
+    from pbrt_tpu.render import render_compiled
+
+    timing = getattr(render_compiled, "last_timing", {})
     m.update(spp=spp, seconds=round(time.time() - t0, 1),
+             compile_s=round(float(timing.get("compile_s", 0.0)), 1),
+             render_s=round(float(timing.get("wall_s", 0.0)), 1),
+             tier=timing.get("tier", "unknown"),
              threshold=THRESHOLDS["spheres"], passed=bool(m["blurred_mse"] < THRESHOLDS["spheres"]))
     results["scenes"]["spheres"] = m
     print("spheres:", json.dumps(m), flush=True)
@@ -192,9 +205,14 @@ def _run_glass(results, fast):
     img = render(desc)
     np.save("/tmp/pbrt_tpu_fidelity/glass_render.npy", np.asarray(img))
     gold = (srgb(read_image(f"{REF}/rendered_scenes/glass.png")) * 255).astype(np.uint8)
-    m = compare(img, gold, blur=10)
+    # glass has no missing assets: the comparison is ABSOLUTE (no fitted
+    # scale) and the fit itself must stay within 1.0 +- 0.1
+    m = compare(img, gold, allow_scale=False)
     m.update(iterations=iters, seconds=round(time.time() - t0, 1),
-             threshold=THRESHOLDS["caustic-glass"], passed=bool(m["blurred_mse"] < THRESHOLDS["caustic-glass"]))
+             threshold=THRESHOLDS["caustic-glass"],
+             scale_ok=bool(abs(m["scale"] - 1.0) <= 0.1),
+             passed=bool(m["blurred_mse"] < THRESHOLDS["caustic-glass"]
+                         and abs(m["scale"] - 1.0) <= 0.1))
     results["scenes"]["caustic-glass"] = m
     print("caustic-glass:", json.dumps(m), flush=True)
 
