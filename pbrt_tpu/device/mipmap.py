@@ -99,11 +99,70 @@ def _bilinear_level(img, u, v, wrap):
     return image_bilinear(img, u, v, wrap)
 
 
+
+# ---------------------------------------------------------------------------
+# Flat mip atlas: all pyramid levels stacked along rows so a PER-LANE level
+# becomes ordinary index arithmetic — the previous per-level masked loops
+# evaluated EVERY level (8 levels x 64 EWA taps = 512 gathers per texel
+# eval, the dominant cost of imagemap-heavy renders)
+# ---------------------------------------------------------------------------
+
+def _mip_atlas(levels):
+    """Stack levels into one (sum Hk, W0, 3) array + static offset/dim
+    tables. No memoization: under jit the inputs are per-trace tracers
+    (an id()-keyed cache would leak or collide), and XLA CSEs the repeated
+    concat within a trace anyway."""
+    w0 = levels[0].shape[1]
+    offs, hs, ws = [], [], []
+    rows = []
+    off = 0
+    for l in levels:
+        h, w = l.shape[0], l.shape[1]
+        offs.append(off)
+        hs.append(h)
+        ws.append(w)
+        pad = w0 - w
+        rows.append(jnp.pad(l, ((0, 0), (0, pad), (0, 0))) if pad else l)
+        off += h
+    atlas = jnp.concatenate(rows, axis=0)
+    return (atlas, jnp.asarray(offs, jnp.int32), jnp.asarray(hs, jnp.int32),
+            jnp.asarray(ws, jnp.int32))
+
+
+def _atlas_bilinear(atlas, off_l, h_l, w_l, u, v, wrap):
+    """Bilinear tap at a PER-LANE pyramid level inside the atlas."""
+    x = u * w_l.astype(F32) - 0.5
+    y = (1.0 - v) * h_l.astype(F32) - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0.astype(F32))[:, None]
+    fy = (y - y0.astype(F32))[:, None]
+
+    def wrapx(i):
+        return jnp.mod(i, w_l) if wrap == "repeat" else jnp.clip(i, 0, w_l - 1)
+
+    def wrapy(j):
+        return (jnp.mod(j, h_l) if wrap == "repeat" else jnp.clip(j, 0, h_l - 1)) + off_l
+
+    c00 = atlas[wrapy(y0), wrapx(x0)]
+    c10 = atlas[wrapy(y0), wrapx(x0 + 1)]
+    c01 = atlas[wrapy(y0 + 1), wrapx(x0)]
+    c11 = atlas[wrapy(y0 + 1), wrapx(x0 + 1)]
+    return (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
+            + c01 * (1 - fx) * fy + c11 * fx * fy)
+
+
+def _level_meta(levels, lvl_i):
+    atlas, offs, hs, ws = _mip_atlas(levels)
+    return atlas, offs[lvl_i], hs[lvl_i], ws[lvl_i]
+
+
 def lookup_trilinear(levels, u, v, width, wrap="repeat"):
     """Trilinear MIPMap lookup (mipmap.rs lookup :202).
 
     levels: python list of (Hk, Wk, 3) arrays (static); width: (R,) footprint
-    in [0,1] texture space.
+    in [0,1] texture space. Taps come from the flat mip atlas at the two
+    PER-LANE adjacent levels (2x4 gathers, not n_levels x 4).
     """
     n = len(levels)
     if n == 1:
@@ -112,17 +171,11 @@ def lookup_trilinear(levels, u, v, width, wrap="repeat"):
     lvl = jnp.clip(lvl, 0.0, n - 1 - 1e-4)
     i0 = jnp.floor(lvl).astype(jnp.int32)
     ft = (lvl - i0.astype(F32))[:, None]
-    # gather both adjacent levels for each ray: evaluate every level lazily
-    # masked (levels have distinct static shapes; n is small: log2 max dim)
-    out = jnp.zeros(u.shape + (3,), F32)
-    for k in range(n):
-        need_lo = i0 == k
-        need_hi = (i0 + 1) == k
-        need = need_lo | need_hi
-        val = _bilinear_level(levels[k], u, v, wrap)
-        w_k = jnp.where(need_lo, 1.0 - ft[:, 0], 0.0) + jnp.where(need_hi, ft[:, 0], 0.0)
-        out = out + jnp.where(need[:, None], val * w_k[:, None], 0.0)
-    return out
+    atlas, o0, h0, w0 = _level_meta(levels, i0)
+    _, o1, h1, w1 = _level_meta(levels, jnp.minimum(i0 + 1, n - 1))
+    v_lo = _atlas_bilinear(atlas, o0, h0, w0, u, v, wrap)
+    v_hi = _atlas_bilinear(atlas, o1, h1, w1, u, v, wrap)
+    return v_lo * (1.0 - ft) + v_hi * ft
 
 
 def lookup_ewa(levels, u, v, duv0, duv1, wrap="repeat", max_anisotropy=8.0):
@@ -144,22 +197,77 @@ def lookup_ewa(levels, u, v, duv0, duv1, wrap="repeat", max_anisotropy=8.0):
     minor = minor * scale[:, None]
     if n == 1:
         return _bilinear_level(levels[0], u, v, wrap)
-    lvl = jnp.clip((n - 1) + jnp.log2(jnp.maximum(min_len, 1e-8)), 0.0, n - 1 - 1e-4)
+    # pick the level from the MINOR axis (mipmap.rs lookup2), but never let
+    # the major axis exceed the bounded +-EWA_R-texel scan window — raising
+    # the level trades a little extra blur along the minor axis for full
+    # ellipse coverage (a half-covered ellipse systematically under-filters
+    # exactly the grazing-angle footprints EWA exists for: the round-1
+    # renders kept distant ground texture crisp where the reference fades)
+    eff = jnp.maximum(min_len, maj_len / EWA_R)
+    lvl = jnp.clip((n - 1) + jnp.log2(jnp.maximum(eff, 1e-8)), 0.0, n - 1 - 1e-4)
     i0 = jnp.floor(lvl).astype(jnp.int32)
-    ft = lvl - i0.astype(F32)
-
-    out = jnp.zeros(u.shape + (3,), F32)
-    for k in range(n):
-        need_lo = i0 == k
-        need_hi = (i0 + 1) == k
-        need = need_lo | need_hi
-        val = _ewa_level(levels[k], u, v, major, minor, wrap)
-        w_k = jnp.where(need_lo, 1.0 - ft, 0.0) + jnp.where(need_hi, ft, 0.0)
-        out = out + jnp.where(need[:, None], val * w_k[:, None], 0.0)
-    return out
+    ft = (lvl - i0.astype(F32))[:, None]
+    atlas, o0, h0, w0 = _level_meta(levels, i0)
+    _, o1, h1, w1 = _level_meta(levels, jnp.minimum(i0 + 1, n - 1))
+    v_lo = _ewa_level_atlas(atlas, o0, h0, w0, u, v, major, minor, wrap)
+    v_hi = _ewa_level_atlas(atlas, o1, h1, w1, u, v, major, minor, wrap)
+    return v_lo * (1.0 - ft) + v_hi * ft
 
 
 _EWA_LUT = np.exp(-2.0 * np.linspace(0.0, 1.0, 128)) - np.exp(-2.0)
+
+
+EWA_R = 4  # half-width of the bounded EWA scan window, in texels
+
+
+def _ewa_level_atlas(atlas, off_l, h_li, w_li, u, v, major, minor, wrap):
+    """Elliptically weighted average at a PER-LANE level (mipmap.rs ewa)."""
+    w = w_li.astype(F32)
+    h = h_li.astype(F32)
+    st = jnp.stack([u * w - 0.5, (1.0 - v) * h - 0.5], axis=-1)
+    wh = jnp.stack([w, h], axis=-1)
+    d0 = major * wh
+    d0 = d0.at[:, 1].multiply(-1.0)
+    d1 = minor * wh
+    d1 = d1.at[:, 1].multiply(-1.0)
+
+    a = d0[:, 1] ** 2 + d1[:, 1] ** 2 + 1.0
+    b = -2.0 * (d0[:, 0] * d0[:, 1] + d1[:, 0] * d1[:, 1])
+    c = d0[:, 0] ** 2 + d1[:, 0] ** 2 + 1.0
+    inv_f = 1.0 / jnp.maximum(a * c - b * b * 0.25, 1e-12)
+    a, b, c = a * inv_f, b * inv_f, c * inv_f
+
+    det = -b * b + 4.0 * a * c
+    inv_det = 1.0 / jnp.maximum(det, 1e-12)
+    u_r = jnp.sqrt(jnp.maximum(c * det, 0.0)) * inv_det * 2.0
+    v_r = jnp.sqrt(jnp.maximum(a * det, 0.0)) * inv_det * 2.0
+    s0 = jnp.ceil(st[:, 0] - jnp.minimum(u_r, EWA_R)).astype(jnp.int32)
+    t0 = jnp.ceil(st[:, 1] - jnp.minimum(v_r, EWA_R)).astype(jnp.int32)
+
+    lut = jnp.asarray(_EWA_LUT, F32)
+    acc = jnp.zeros(u.shape + (3,), F32)
+    wsum = jnp.zeros(u.shape, F32)
+    for dj in range(2 * EWA_R):
+        for di in range(2 * EWA_R):
+            si = s0 + di
+            tj = t0 + dj
+            ss = si.astype(F32) - st[:, 0]
+            tt = tj.astype(F32) - st[:, 1]
+            r2 = a * ss * ss + b * ss * tt + c * tt * tt
+            inside = r2 < 1.0
+            li = jnp.clip((r2 * 128).astype(jnp.int32), 0, 127)
+            wt = jnp.where(inside, lut[li], 0.0)
+            if wrap == "repeat":
+                xi = jnp.mod(si, w_li)
+                yj = jnp.mod(tj, h_li)
+            else:
+                xi = jnp.clip(si, 0, w_li - 1)
+                yj = jnp.clip(tj, 0, h_li - 1)
+            acc = acc + wt[:, None] * atlas[yj + off_l, xi]
+            wsum = wsum + wt
+    fallback = _atlas_bilinear(atlas, off_l, h_li, w_li, u, v, wrap)
+    ok = wsum > 1e-6
+    return jnp.where(ok[:, None], acc / jnp.maximum(wsum, 1e-6)[:, None], fallback)
 
 
 def _ewa_level(img, u, v, major, minor, wrap):

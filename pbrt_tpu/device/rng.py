@@ -126,6 +126,32 @@ PRIMES = np.array(
      509, 521, 523, 541], dtype=np.int64)
 
 
+def radical_inverse_dyn(base_index, index):
+    """Radical inverse with a TRACED base index (per-lane primes).
+
+    The rolled persistent-wavefront bounce loop has per-lane dimensions,
+    so the prime base is a traced gather from PRIMES; 32 fixed digit
+    iterations cover indices < 2^32 in the worst base (2) and terminate
+    early (index hits 0) for larger bases. halton.rs:120-156 continues the
+    SAME sequence into all dims — the traced path no longer falls back to
+    the (0,2) family."""
+    primes_dev = jnp.asarray(PRIMES.astype(np.uint32))
+    b = primes_dev[jnp.clip(jnp.asarray(base_index), 0, len(PRIMES) - 1)]
+    index = jnp.asarray(index).astype(jnp.uint32)
+    bf = b.astype(jnp.float32)
+    inv_base = 1.0 / bf
+    reversed_digits = jnp.zeros(jnp.broadcast_shapes(index.shape, b.shape), jnp.float32)
+    inv_base_n = jnp.ones_like(reversed_digits)
+    for _ in range(32):
+        next_i = index // b
+        digit = index - next_i * b
+        has = index > 0
+        reversed_digits = jnp.where(has, reversed_digits * bf + digit.astype(jnp.float32), reversed_digits)
+        inv_base_n = jnp.where(has, inv_base_n * inv_base, inv_base_n)
+        index = next_i
+    return jnp.minimum(reversed_digits * inv_base_n, ONE_MINUS_EPS)
+
+
 def radical_inverse(base_index: int, index):
     """Radical inverse of `index` in PRIMES[base_index] (static base).
 

@@ -44,12 +44,47 @@ def sobol_dim(sample_idx, dim: int, scramble):
     return rng.u32_to_float(res)
 
 
+def sobol_dim_dyn(sample_idx, dim, scramble, max_dim: int = 64):
+    """Sobol' sample with a TRACED dimension (per-lane bounce dims in the
+    rolled persistent loop): generator-matrix columns for dims < max_dim
+    are stacked into a device table and gathered per lane (sobol.rs
+    continues the same sequence into all dims)."""
+    from ..core.sobolmat import matrix
+
+    global _SOBOL_COLS
+    if _SOBOL_COLS is None or _SOBOL_COLS.shape[0] < max_dim:
+        _SOBOL_COLS = np.stack([matrix(k) for k in range(max_dim)]).astype(np.uint32)
+    cols = jnp.asarray(_SOBOL_COLS)[jnp.clip(jnp.asarray(dim), 0, max_dim - 1)]  # (..., 32)
+    idxu = jnp.asarray(sample_idx).astype(jnp.uint32)
+    res = jnp.broadcast_to(jnp.asarray(scramble, jnp.uint32),
+                           jnp.broadcast_shapes(idxu.shape, cols.shape[:-1]))
+    for j in range(32):
+        res = res ^ jnp.where(((idxu >> j) & jnp.uint32(1)) > 0, cols[..., j], jnp.uint32(0))
+    return rng.u32_to_float(res)
+
+
+_SOBOL_COLS = None
+
+
 def sample_2d(kind: str, seed, pixel, sample_idx, dim, spp: int):
     """One 2D sample. dim may be a static int or a traced int32 (inside the
-    rolled bounce loop); the Halton radical-inverse path needs a static base,
-    so traced dims fall through to the hash-scrambled (0,2) family."""
+    rolled persistent bounce loop); traced dims use the SAME Halton/Sobol
+    sequences via per-lane base/matrix gathers (halton.rs:120-156 /
+    sobol.rs:61-75 continue one global sequence into every dimension)."""
     if kind in ("halton", "sobol") and not isinstance(dim, int):
-        kind = "zerotwosequence"
+        if kind == "sobol":
+            s1 = rng.hash_combine(seed, pixel, (2 * dim).astype(jnp.uint32))
+            s2 = rng.hash_combine(seed, pixel, (2 * dim + 1).astype(jnp.uint32))
+            return (sobol_dim_dyn(sample_idx, 2 * dim, s1),
+                    sobol_dim_dyn(sample_idx, 2 * dim + 1, s2))
+        b0 = jnp.minimum(2 * dim, len(rng.PRIMES) - 2)
+        u1 = rng.radical_inverse_dyn(b0, sample_idx)
+        u2 = rng.radical_inverse_dyn(b0 + 1, sample_idx)
+        r1 = rng.u32_to_float(rng.hash_combine(seed, pixel, (2 * dim).astype(jnp.uint32)))
+        r2 = rng.u32_to_float(rng.hash_combine(seed, pixel, (2 * dim + 1).astype(jnp.uint32)))
+        u1 = u1 + r1
+        u2 = u2 + r2
+        return jnp.where(u1 >= 1.0, u1 - 1.0, u1), jnp.where(u2 >= 1.0, u2 - 1.0, u2)
     if kind == "maxmindist" and isinstance(dim, int) and dim == 0:
         return maxmin_2d_dim0(seed, pixel, sample_idx, spp)
     if kind in ("random", "stratified"):
@@ -102,7 +137,13 @@ def sample_2d(kind: str, seed, pixel, sample_idx, dim, spp: int):
 
 def sample_1d(kind: str, seed, pixel, sample_idx, dim, spp: int):
     if kind in ("halton", "sobol") and not isinstance(dim, int):
-        kind = "zerotwosequence"
+        if kind == "sobol":
+            s1 = rng.hash_combine(seed, pixel, (2 * dim).astype(jnp.uint32))
+            return sobol_dim_dyn(sample_idx, 2 * dim, s1)
+        b0 = jnp.minimum(2 * dim, len(rng.PRIMES) - 2)
+        u = rng.radical_inverse_dyn(b0, sample_idx) + \
+            rng.u32_to_float(rng.hash_combine(seed, pixel, (2 * dim).astype(jnp.uint32)))
+        return jnp.where(u >= 1.0, u - 1.0, u)
     if kind == "stratified" and isinstance(dim, int):
         # 1D jittered strata with per-(pixel, dim) stratum rotation
         rot = rng.hash_combine(seed, pixel, jnp.uint32(104729 + 7919 * dim))

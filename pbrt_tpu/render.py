@@ -255,8 +255,11 @@ PERSISTENT_SPP_CHUNK = 32
 # minutes inside one device dispatch, which trips the tunneled chip's
 # watchdog (the round-1 wide-megakernel failure mode) — observed again as
 # 'TPU device error' on the spheres fidelity render
-PERSISTENT_SPP_CHUNK_BIG = 4
-PERSISTENT_BIG_WAVE = 200_000
+PERSISTENT_SPP_CHUNK_BIG = 2
+PERSISTENT_BIG_WAVE = 150_000
+PERSISTENT_MAX_RAYS = 1 << 18  # ray chunk for the persistent path: one
+# (256k lanes x 2spp) dispatch stays under the watchdog (a 500k x 4spp
+# dispatch of the texture-heavy spheres scene reliably faults)
 
 
 # tier label of the most recent make_persistent_fn build — the honest
@@ -448,16 +451,46 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
             and _jax.default_backend() != "cpu"  # virtual CPU meshes are for
             # the explicit dryrun/tests (parallel/shard.py, __graft_entry__)
             and desc.film.crop_window in (None, (0.0, 1.0, 0.0, 1.0))
-            and desc.integrator.kind in ("path", "volpath", "directlighting", "whitted", "ao")):
+            and desc.integrator.kind in ("path", "volpath", "directlighting", "whitted",
+                                         "ao", "sppm", "bdpt", "mlt")):
         from jax.sharding import Mesh
 
-        from .parallel.shard import render_sharded_step
+        from .parallel.shard import (
+            render_bdpt_sharded_step,
+            render_mlt_sharded_step,
+            render_sharded_step,
+            render_sppm_sharded_step,
+        )
 
         mesh = Mesh(np.array(_devs), ("rays",))
         t0 = time.time()
-        img = np.asarray(render_sharded_step(cs, desc, mesh, spp=spp, seed=seed))
-        log.info("sharded render over %d devices in %.2fs", len(_devs), time.time() - t0)
-        return img.reshape(desc.film.y_resolution, desc.film.x_resolution, 3)
+        kind = desc.integrator.kind
+        W, H = desc.film.x_resolution, desc.film.y_resolution
+        if kind == "sppm":
+            img = np.asarray(render_sppm_sharded_step(
+                cs, desc, mesh, seed=seed,
+                n_iters=max(int(desc.integrator.num_iterations), 1),
+                n_photons=max(int(desc.integrator.photons_per_iteration), 1)))
+        elif kind == "bdpt":
+            img = np.asarray(render_bdpt_sharded_step(
+                cs, desc, mesh, seed=seed,
+                spp=int(spp if spp is not None else desc.sampler.pixel_samples)))
+        elif kind == "mlt":
+            # depth loop mirrors device/mlt.render_mlt: per-depth bootstrap
+            # + chains, b-normalized films summed
+            max_depth = max(int(desc.integrator.max_depth), 1)
+            n_chains = max(int(desc.integrator.n_chains), len(_devs))
+            mpp = max(int(desc.integrator.mutations_per_pixel), 1)
+            n_mut = int(np.clip((mpp * W * H) // (n_chains * (max_depth + 1)), 1, 8192))
+            img = np.zeros((W * H, 3), np.float32)
+            for depth in range(max_depth + 1):
+                img = img + render_mlt_sharded_step(
+                    cs, desc, mesh, seed=seed, depth=depth,
+                    n_chains=n_chains, n_mut=n_mut)
+        else:
+            img = np.asarray(render_sharded_step(cs, desc, mesh, spp=spp, seed=seed))
+        log.info("sharded %s render over %d devices in %.2fs", kind, len(_devs), time.time() - t0)
+        return img.reshape(H, W, 3)
 
     if desc.integrator.kind == "sppm":
         from .device.sppm import render_sppm
@@ -492,7 +525,10 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
 
     sa = cs.arrays
 
-    n_chunks = max(1, int(math.ceil(R / MAX_RAYS_PER_PASS)))
+    rays_cap = (PERSISTENT_MAX_RAYS
+                if persistent_eligible(desc, cs.static, make_camera(desc.camera, desc.film))
+                else MAX_RAYS_PER_PASS)
+    n_chunks = max(1, int(math.ceil(R / rays_cap)))
     chunk = int(math.ceil(R / n_chunks))
 
     acc = np.zeros((R, 3), np.float64)

