@@ -458,7 +458,12 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     for prim in desc.primitives:
         mid = material_id(prim.material)
         if prim.material.kind in ("subsurface", "kdsubsurface"):
-            _sss_mats.setdefault(mid, prim.material)
+            # PBRT_TPU_NO_TABSSS=1 disables the tabulated BSSRDF so the
+            # implicit interior medium's volumetric random walk carries ALL
+            # subsurface transport — the independent estimator the SSS
+            # fidelity cross-validation compares against (tools/fidelity.py)
+            if os.environ.get("PBRT_TPU_NO_TABSSS", "") != "1":
+                _sss_mats.setdefault(mid, prim.material)
         sh = prim.shape
         if sh.mesh is not None:
             mesh = sh.mesh
