@@ -67,7 +67,8 @@ from .megakernel import (
     DPB, FLAG_FLIP_GEOM_N, FLAG_HAS_SHADING_N, INV_PI, LANES, LOBE_FRESNEL_SPEC,
     LOBE_LAMBERT_R, LOBE_MICRO_R, LOBE_NONE, LOBE_OREN_NAYAR, LOBE_PLASTIC,
     LOBE_SPEC_R, RAY_EPS, _concentric_disk, _dot3, _fresnel_dielectric_var,
-    _gamma, _h, _norm3, _offset_ray, _pcg, _sample02, _u2f01, _vdc,
+    _ONE_MINUS_EPS, _gamma, _h, _norm3, _offset_ray, _pcg, _sample02, _u2f01,
+    _vdc,
     bake_lobe_entry, make_mat_helpers,
 )
 from .pallas_bvh import SMEM_META_MAX_BYTES, _high_bit_index, _low_bit_index
@@ -580,23 +581,114 @@ def _build_kernel(consts, n_samples: int):
     on_factor = H.on_factor
 
 
-    def sample_1d_traced(hbase, s_cur, dim_i32):
-        if is_random:
-            h = _pcg(hbase ^ s_cur)
-            return _u2f01(_pcg(h ^ (U32(1024) + dim_i32.astype(U32))))
-        s = _pcg(hbase ^ (U32(4096) + dim_i32.astype(U32)))
-        return _vdc(s_cur, s)
+    # -- traced-dimension samples (per-lane bounce dims). These mirror
+    # sampler.sample_1d/sample_2d's traced-dim branches value-for-value:
+    # halton/sobol continue the REAL low-discrepancy sequences into the
+    # bounce dims (sampler.radical_inverse_dyn / sobol_dim_dyn), the (0,2)
+    # family keeps the generic hash keying (halton.rs:120-156 /
+    # sobol.rs:61-75 semantics).
+    kind_s = consts["sampler"]
+    if kind_s == "halton":
+        from . import rng as _rngmod
 
-    def sample_2d_traced(hbase, s_cur, dim_i32):
-        if is_random:
-            h = _pcg(hbase ^ s_cur)
-            u1 = _u2f01(_pcg(h ^ (U32(2) * dim_i32.astype(U32))))
-            u2 = _u2f01(_pcg(h ^ (U32(2) * dim_i32.astype(U32) + U32(1))))
-            return u1, u2
-        d2 = U32(2) * dim_i32.astype(U32)
-        s1 = _pcg(hbase ^ d2)
-        s2 = _pcg(hbase ^ (d2 + U32(1)))
-        return _sample02(s_cur, s1, s2)
+        _PRIMES_I = [int(p) for p in _rngmod.PRIMES]
+        _NPRIMES = len(_PRIMES_I)
+
+        def _prime_at(idx_i32):
+            """PRIMES[clip(idx, 0, 99)] per lane via ascending select chain
+            (Mosaic has no per-lane vector gather)."""
+            bf = jnp.full(idx_i32.shape, float(_PRIMES_I[0]), F32)
+            for k in range(1, _NPRIMES):
+                bf = jnp.where(idx_i32 >= k, jnp.float32(float(_PRIMES_I[k])), bf)
+            return bf
+
+        def _ri_dyn(base_idx_i32, s_cur):
+            """rng.radical_inverse_dyn with the prime gathered per lane.
+
+            The digit loop runs in f32 with an exact corrected division
+            (all intermediates are integers < 2^24, so the f32 digits are
+            bit-identical to the XLA path's uint32 division)."""
+            bf = _prime_at(base_idx_i32)
+            inv_base = jnp.float32(1.0) / bf
+            idxf = pltpu.bitcast(s_cur, I32).astype(F32)
+            rd = jnp.zeros(idxf.shape, F32)
+            ibn = jnp.ones(idxf.shape, F32)
+            for _ in range(32):
+                q = jnp.floor(idxf * inv_base)
+                r = idxf - q * bf
+                q = jnp.where(r < 0, q - 1, q)
+                r = jnp.where(r < 0, r + bf, r)
+                qq = jnp.where(r >= bf, q + 1, q)
+                r = jnp.where(r >= bf, r - bf, r)
+                has = idxf > 0
+                rd = jnp.where(has, rd * bf + r, rd)
+                ibn = jnp.where(has, ibn * inv_base, ibn)
+                idxf = qq
+            return jnp.minimum(rd * ibn, jnp.float32(_ONE_MINUS_EPS))
+
+        def sample_1d_traced(hbase, s_cur, dim_i32):
+            b0 = jnp.minimum(2 * dim_i32, _NPRIMES - 2)
+            u = _ri_dyn(b0, s_cur) + \
+                _u2f01(_pcg(hbase ^ (U32(2) * dim_i32.astype(U32))))
+            return jnp.where(u >= 1.0, u - 1.0, u)
+
+        def sample_2d_traced(hbase, s_cur, dim_i32):
+            b0 = jnp.minimum(2 * dim_i32, _NPRIMES - 2)
+            u1 = _ri_dyn(b0, s_cur)
+            u2 = _ri_dyn(b0 + 1, s_cur)
+            u1 = u1 + _u2f01(_pcg(hbase ^ (U32(2) * dim_i32.astype(U32))))
+            u2 = u2 + _u2f01(_pcg(hbase ^ (U32(2) * dim_i32.astype(U32) + U32(1))))
+            return (jnp.where(u1 >= 1.0, u1 - 1.0, u1),
+                    jnp.where(u2 >= 1.0, u2 - 1.0, u2))
+    elif kind_s == "sobol":
+        from ..core.sobolmat import matrix as _sobmat
+
+        _SOB_MAX_DIM = 64
+        _SOB_COLS = [[int(c) for c in _sobmat(k)] for k in range(_SOB_MAX_DIM)]
+
+        def _sobol_dyn(d_i32, s_cur, scr):
+            """sampler.sobol_dim_dyn: generator columns selected per lane
+            over the 64-dim table (select chain instead of a gather); the
+            32 index-bit tests are hoisted across candidates."""
+            d = jnp.clip(d_i32, 0, _SOB_MAX_DIM - 1)
+            bits = [((s_cur >> U32(j)) & U32(1)) > 0 for j in range(32)]
+            res = scr
+            for dd in range(_SOB_MAX_DIM):
+                val = jnp.zeros(s_cur.shape, U32)
+                for j in range(32):
+                    c = _SOB_COLS[dd][j]
+                    if c == 0:
+                        continue
+                    val = val ^ jnp.where(bits[j], U32(c), U32(0))
+                res = res ^ jnp.where(d == dd, val, U32(0))
+            return _u2f01(res)
+
+        def sample_1d_traced(hbase, s_cur, dim_i32):
+            d2u = U32(2) * dim_i32.astype(U32)
+            return _sobol_dyn(2 * dim_i32, s_cur, _pcg(hbase ^ d2u))
+
+        def sample_2d_traced(hbase, s_cur, dim_i32):
+            d2u = U32(2) * dim_i32.astype(U32)
+            return (_sobol_dyn(2 * dim_i32, s_cur, _pcg(hbase ^ d2u)),
+                    _sobol_dyn(2 * dim_i32 + 1, s_cur, _pcg(hbase ^ (d2u + U32(1)))))
+    else:
+        def sample_1d_traced(hbase, s_cur, dim_i32):
+            if is_random:
+                h = _pcg(hbase ^ s_cur)
+                return _u2f01(_pcg(h ^ (U32(1024) + dim_i32.astype(U32))))
+            s = _pcg(hbase ^ (U32(4096) + dim_i32.astype(U32)))
+            return _vdc(s_cur, s)
+
+        def sample_2d_traced(hbase, s_cur, dim_i32):
+            if is_random:
+                h = _pcg(hbase ^ s_cur)
+                u1 = _u2f01(_pcg(h ^ (U32(2) * dim_i32.astype(U32))))
+                u2 = _u2f01(_pcg(h ^ (U32(2) * dim_i32.astype(U32) + U32(1))))
+                return u1, u2
+            d2 = U32(2) * dim_i32.astype(U32)
+            s1 = _pcg(hbase ^ d2)
+            s2 = _pcg(hbase ^ (d2 + U32(1)))
+            return _sample02(s_cur, s1, s2)
 
     lens_r = consts["lens_radius"]
     focal = consts["focal_distance"]
