@@ -436,6 +436,14 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
                 sig_s = cvec("sigma_s", [2.55, 3.21, 3.77]) * scale
         return np.maximum(sig_a, 0.0), np.maximum(sig_s, 0.0), g, eta
 
+    def _inside_medium_id(prim, mid: int) -> int:
+        """Inside-medium id, falling back to the material's implicit SSS
+        walk medium (populated only under PBRT_TPU_NO_TABSSS=1)."""
+        if prim.inside_medium:
+            return medium_id(prim.inside_medium)
+        name = _sss_media.get(mid)
+        return med_ids[name] if name else -1
+
     _sss_table_cache: dict[tuple, dict] = {}
 
     def _sss_table_for(g, eta):
@@ -464,6 +472,17 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             # fidelity cross-validation compares against (tools/fidelity.py)
             if os.environ.get("PBRT_TPU_NO_TABSSS", "") != "1":
                 _sss_mats.setdefault(mid, prim.material)
+            elif mid not in _sss_media:
+                # interior homogeneous medium from the material's
+                # (sigma_a, sigma_s, g); the Fresnel+diffuse-transmission
+                # interface BSDF (device/materials.py MAT_SUBSURFACE) plus
+                # this medium's random walk IS the walk estimator
+                sig_a, sig_s, g_m, _eta_m = _sss_coefficients(prim.material)
+                hm = HostMedium(kind="homogeneous", sigma_a=np.asarray(sig_a, float),
+                                sigma_s=np.asarray(sig_s, float), g=float(g_m))
+                name = f"__sss_walk_{mid}"
+                add_medium(hm, name)
+                _sss_media[mid] = name
         sh = prim.shape
         if sh.mesh is not None:
             mesh = sh.mesh
@@ -567,7 +586,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
                 ctrl = 2.0 * pv_mid_b - 0.5 * (pv + pv_end_b)
                 prim_lo.extend(np.minimum.reduce([pv.min(axis=1), pv_end_b.min(axis=1), ctrl.min(axis=1)]))
                 prim_hi.extend(np.maximum.reduce([pv.max(axis=1), pv_end_b.max(axis=1), ctrl.max(axis=1)]))
-            prim_medium.extend([[medium_id(prim.inside_medium), medium_id(prim.outside_medium)]] * t)
+            prim_medium.extend([[_inside_medium_id(prim, mid), medium_id(prim.outside_medium)]] * t)
             # alpha / shadow-alpha cutout masks (triangle.rs:29-30)
             a_id = tex_reg.register(mesh.alpha_texture) if mesh.alpha_texture is not None else -1
             sa_id = tex_reg.register(mesh.shadow_alpha_texture) if mesh.shadow_alpha_texture is not None else a_id
@@ -698,7 +717,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
                 lo, hi = np.minimum(lo, lo2), np.maximum(hi, hi2)
             prim_lo.append(lo)
             prim_hi.append(hi)
-            prim_medium.append([medium_id(prim.inside_medium), medium_id(prim.outside_medium)])
+            prim_medium.append([_inside_medium_id(prim, mid), medium_id(prim.outside_medium)])
 
     n_prims = len(prim_kind)
     if n_prims == 0:
@@ -1106,6 +1125,11 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         cl_tab=jnp.asarray(cluster_tab) if has_cluster else None,
         cl_lo=jnp.asarray(cluster.cl_lo) if has_cluster else None,
         cl_hi=jnp.asarray(cluster.cl_hi) if has_cluster else None,
+        cl_rows=(jnp.asarray(cluster.tri_rows.reshape(cluster.n_clusters, cluster.K, 12))
+                 if has_cluster else None),
+        su_lo=jnp.asarray(cluster.su_lo) if has_cluster else None,
+        su_hi=jnp.asarray(cluster.su_hi) if has_cluster else None,
+        su_members=jnp.asarray(cluster.su_members) if has_cluster else None,
         **sss_arrays,
     )
     static = SceneStatic(
@@ -1134,7 +1158,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             for l in lights
         ),
         use_brute_force=use_brute,
-        n_media=len(med_names),
+        n_media=len(med_param_rows),
         media_kinds=tuple(media_kinds),
         camera_medium=med_ids.get(desc.camera_medium, -1),
         has_sss_media=bool(_sss_media),

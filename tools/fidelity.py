@@ -184,8 +184,7 @@ def _run_sss(results, fast):
 Integrator "path" "integer maxdepth" [5]
 Sampler "zerotwosequence" "integer pixelsamples" [%d]
 Film "image" "integer xresolution" [160] "integer yresolution" [120]
-Scale -1 1 1
-LookAt 3.69558 -3.46243 3.25463 3.04072 -2.85176 2.80939 -0.317366 0.312466 0.895346
+LookAt 0.234 0.292 0.859   0.1515 0.3745 0.83   0 0 1
 Camera "perspective" "float fov" [28.8415038750464]
 WorldBegin
 LightSource "infinite" "rgb L" [0.8 0.8 0.8]
