@@ -8,12 +8,16 @@ principles instead of shipping data:
 - primitive polynomials over GF(2) are enumerated by degree and tested for
   primitivity (irreducible + x has order 2^d - 1 in GF(2)[x]/p), exactly
   the classical Sobol construction;
-- initial direction numbers m_1..m_s are chosen deterministically from a
-  hash (odd, m_i < 2^i) rather than the Joe-Kuo optimized values — each
-  dimension is still a base-2 (0,1)-sequence and all Sobol' structural
-  guarantees hold; only the *joint* t-values of high-dimension pairs are
-  not JK-optimized (documented deviation; the renderer additionally
-  Owen-scrambles per pixel, which further decorrelates projections).
+- initial direction numbers m_1..m_d are SEARCHED per dimension in the
+  Joe-Kuo spirit: a deterministic candidate stream of odd m_i < 2^i is
+  scored by exact 2-D elementary-interval stratification (the
+  (0, m, 2)-net property over every 2^a x 2^b split of the first 2^10
+  points) against the van der Corput dimension and the nearest preceding
+  dimensions — the projections that dominate rendering integrands (film
+  x first-bounce, consecutive bounce pairs). This reproduces what the
+  published Joe-Kuo D(6) tables optimize (joint 2-D t-values) without
+  shipping their data; the renderer additionally XOR-scrambles per
+  pixel, which further decorrelates the remaining projections.
 
 Matrices are cached per dimension; `matrix(d)` returns a (32,) uint32
 column vector array v_j = m_j << (32 - j).
@@ -105,17 +109,13 @@ def _hash64(x: int) -> int:
     return x ^ (x >> 31)
 
 
-@functools.lru_cache(maxsize=None)
-def matrix(dim: int) -> np.ndarray:
-    """32-bit generator matrix columns for Sobol dimension `dim` (0-based)."""
-    if dim == 0:
-        # van der Corput: identity matrix
-        return (np.uint32(1) << (N_BITS - 1 - np.arange(N_BITS, dtype=np.uint32))).astype(np.uint32)
+def _cols_from_initial(dim: int, m_init: tuple) -> np.ndarray:
+    """Expand initial direction numbers through the primitive-polynomial
+    recurrence into the (32,) uint32 column vector."""
     d, a = _primitive_polys(dim)[dim - 1]
-    # deterministic odd initial direction numbers m_i < 2^i
     m = [0] * (N_BITS + 1)
     for i in range(1, d + 1):
-        m[i] = (_hash64(dim * 1315423911 + i) % (1 << i)) | 1
+        m[i] = m_init[i - 1]
     for k in range(d + 1, N_BITS + 1):
         v = m[k - d] ^ (m[k - d] << d)
         for j in range(1, d):
@@ -126,6 +126,175 @@ def matrix(dim: int) -> np.ndarray:
     for j in range(1, N_BITS + 1):
         cols[j - 1] = np.uint32((m[j] << (N_BITS - j)) & 0xFFFFFFFF)
     return cols
+
+
+_SCORE_LOG2N = 10  # score over the first 2^10 points
+
+
+def _points_10bit(cols: np.ndarray) -> np.ndarray:
+    """Top-10-bit values of the first 2^10 Sobol points of one dimension."""
+    n = 1 << _SCORE_LOG2N
+    i = np.arange(n, dtype=np.uint32)
+    x = np.zeros(n, np.uint64)
+    for j in range(_SCORE_LOG2N):
+        x ^= np.where((i >> j) & 1 > 0, np.uint64(int(cols[j])), np.uint64(0))
+    return (x >> np.uint64(32 - _SCORE_LOG2N)).astype(np.int64)  # in [0, 2^10)
+
+
+def _pair_deficiency(xa: np.ndarray, xb: np.ndarray, log2n: int = _SCORE_LOG2N) -> int:
+    """Exact 2-D stratification deficiency of the pair over the first
+    2^log2n points: for every elementary split 2^a x 2^b (a+b=log2n),
+    count cells not holding exactly one point. 0 == the pair is a
+    (0, log2n, 2)-net in base 2 (t-value 0 at this resolution)."""
+    n = 1 << log2n
+    sh = _SCORE_LOG2N - log2n
+    xa = xa[:n] >> sh
+    xb = xb[:n] >> sh
+    bad = 0
+    for a in range(log2n + 1):
+        b = log2n - a
+        cell = (xa >> (log2n - a)) * (1 << b) + (xb >> (log2n - b))
+        occ = np.bincount(cell, minlength=n)
+        # near-square splits dominate rendering integrands (area-light /
+        # BSDF warps use both coordinates at comparable resolution), so
+        # weight each split by 1 + min(a, b): a candidate that is perfect
+        # on the skewed splits but collapses on the square one must lose
+        bad += (1 + min(a, b)) * int(np.sum(occ != 1))
+    return bad
+
+
+@functools.lru_cache(maxsize=None)
+def matrix(dim: int) -> np.ndarray:
+    """32-bit generator matrix columns for Sobol dimension `dim` (0-based).
+
+    Initial direction numbers are searched (Joe-Kuo-style): 48 candidate
+    m-vectors from a deterministic hash stream, scored by exact 2-D
+    stratification against dim 0 (van der Corput) and the two preceding
+    dimensions; ties keep the earliest candidate, so the construction is
+    stable and reproducible."""
+    if dim == 0:
+        # van der Corput: identity matrix
+        return (np.uint32(1) << (N_BITS - 1 - np.arange(N_BITS, dtype=np.uint32))).astype(np.uint32)
+    cached = _disk_cache_get(dim)
+    if cached is not None:
+        return cached
+    d, _a = _primitive_polys(dim)[dim - 1]
+    # the sampler consumes dims as (2k, 2k+1) pairs (sample_2d), so the
+    # even-odd partner dominates the score for odd dims; dim 0 covers the
+    # film/first-bounce projections, dim-2 the cross-pair correlations
+    partners = [(matrix(0), 1)]
+    if dim >= 2:
+        partners.append((matrix(dim - 1), 8 if dim % 2 == 1 else 1))
+    if dim >= 3:
+        partners.append((matrix(dim - 2), 1))
+    partner_pts = [(_points_10bit(c), w) for c, w in partners]
+
+    # candidate space: all (m_1..m_d) with odd m_i < 2^i has
+    # 2^(d(d-1)/2) members — exhaustive through degree 5, hashed
+    # subsampling beyond
+    space = 1 << (d * (d - 1) // 2)
+    n_cand = space if d <= 5 else (4096 if d <= 7 else 1024)
+
+    def cand_init(c):
+        if d <= 5:
+            # enumerate: bits of c select the free (non-low) bits of each m_i
+            ms, shift = [], 0
+            for i in range(1, d + 1):
+                free = i - 1
+                ms.append((((c >> shift) & ((1 << free) - 1)) << 1) | 1)
+                shift += free
+            return tuple(ms)
+        return tuple(
+            (_hash64(dim * 1315423911 + i * 2654435761 + c * 97531) % (1 << i)) | 1
+            for i in range(1, d + 1))
+
+    # square-split deficiency (missing cells of the g x g grid over the
+    # first g^2 points) is the term that tracks rendering variance at
+    # production spp; it DOMINATES the score, with the all-splits
+    # deficiency as tiebreak. Weights favor the spp 64-256 regime.
+    _SQ = ((16, 4, 4), (64, 8, 4), (256, 16, 4), (1024, 32, 2))
+
+    def sq_def(pa, pb):
+        tot = 0
+        for n, g, w in _SQ:
+            import math
+
+            sh = _SCORE_LOG2N - int(math.log2(g))
+            cell = (pa[:n] >> sh) * g + (pb[:n] >> sh)
+            tot += w * (n - len(np.unique(cell)))
+        return tot
+
+    best, best_score = None, None
+    for c in range(n_cand):
+        cols = _cols_from_initial(dim, cand_init(c))
+        pts = _points_10bit(cols)
+        score = 0
+        for pp, w in partner_pts:
+            score += w * (1000 * sq_def(pp, pts)
+                          + _pair_deficiency(pp, pts)
+                          + 4 * _pair_deficiency(pp, pts, log2n=8))
+            if best_score is not None and score >= best_score:
+                break
+        if best_score is None or score < best_score:
+            best, best_score = cols, score
+            if score == 0:
+                break
+    _disk_cache_put(dim, best)
+    return best
+
+
+_CACHE_VERSION = 7  # bump when the construction/search changes
+
+
+def _cache_path():
+    import os
+
+    root = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+    return os.path.join(root, "pbrt_tpu", f"sobol32_v{_CACHE_VERSION}.npy")
+
+
+_disk = None
+
+
+def _disk_load():
+    global _disk
+    if _disk is None:
+        import os
+
+        path = _cache_path()
+        if os.path.exists(path):
+            try:
+                arr = np.load(path)
+                _disk = {i: arr[i] for i in range(arr.shape[0]) if arr[i].any()}
+            except Exception:
+                _disk = {}
+        else:
+            _disk = {}
+    return _disk
+
+
+def _disk_cache_get(dim: int):
+    return _disk_load().get(dim)
+
+
+def _disk_cache_put(dim: int, cols: np.ndarray):
+    import os
+
+    disk = _disk_load()
+    disk[dim] = cols
+    path = _cache_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        n = max(disk) + 1
+        arr = np.zeros((n, N_BITS), np.uint32)
+        for i, c in disk.items():
+            arr[i] = c
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.save(fh, arr)
+        os.replace(tmp, path)
+    except OSError:
+        pass
 
 
 def matrices(n_dims: int) -> np.ndarray:

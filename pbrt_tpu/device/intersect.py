@@ -740,6 +740,21 @@ def _pallas_route(static) -> bool:
     return True
 
 
+def _binned_route(static) -> bool:
+    """Route through the binned per-ray tier (device/binned.py)?
+
+    Dense per-ray culling + fixed-slot candidate extraction — no packets,
+    no stacks, so incoherent bounce waves run at coherent-wave rates.
+    Opt-out via PBRT_TPU_BINNED=0."""
+    import os
+
+    if not getattr(static, "has_cluster", False):
+        return False
+    if getattr(static, "n_clusters", 0) > 8192:
+        return False  # dense super cull scales with S; big scenes keep packets
+    return os.environ.get("PBRT_TPU_BINNED", "1") != "0"
+
+
 def _cluster_route(static) -> bool:
     """Route through the cluster-list tier (device/cluster_list.py)?
 
@@ -793,6 +808,16 @@ def _intersect_once(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None
     if static.accel_kind == "kdtree":
         hit, _ = _traverse_kd(sa, static, o, d, t_max, any_hit=False, time=time)
         return hit
+    if time is None and _binned_route(static):
+        from .binned import binned_intersect
+
+        t, prim, hitm, b1, b2 = binned_intersect(sa, static, o, d, t_max)
+        return {
+            "t": jnp.where(hitm, t, INF),
+            "prim": prim,
+            "b1": jnp.where(hitm, jnp.clip(b1, 0.0, 1.0), 0.0),
+            "b2": jnp.where(hitm, jnp.clip(b2, 0.0, 1.0), 0.0),
+        }
     if time is None and _cluster_route(static):
         sort = sort_rays and static.n_prims >= SORT_MIN_PRIMS
         return _cluster_closest(sa, static, o, d, t_max, sort=sort)
@@ -816,6 +841,12 @@ def _intersect_p_once(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=No
         return intersect_p_brute(sa, static, o, d, t_max, time)
     if static.accel_kind == "kdtree":
         _, hit_any = _traverse_kd(sa, static, o, d, t_max, any_hit=True, time=time)
+        return hit_any
+    if time is None and _binned_route(static):
+        from .binned import binned_intersect
+
+        _t, _prim, hit_any, _b1, _b2 = binned_intersect(
+            sa, static, o, d, t_max, any_hit=True)
         return hit_any
     if time is None and _cluster_route(static):
         from .cluster_list import cluster_intersect

@@ -208,6 +208,12 @@ class SceneArrays:
     cl_tab: jax.Array | None = None  # (ceil(C/2)*8, 128) f32 packed tri blocks
     cl_lo: jax.Array | None = None  # (C, 3) f32 cluster AABB mins
     cl_hi: jax.Array | None = None  # (C, 3) f32 cluster AABB maxs
+    # binned tier (device/binned.py): gather-layout cluster tris + supernodes
+    cl_rows: jax.Array | None = None  # (C, 32, 12) f32 cluster tri blocks
+    su_lo: jax.Array | None = None  # (S, 3) f32 supernode AABB mins
+    su_hi: jax.Array | None = None  # (S, 3) f32 supernode AABB maxs
+    su_members: jax.Array | None = None  # (S, SUPER_M) i32 cluster ids, -1 pad
+    su_bounds: jax.Array | None = None  # (S, SUPER_M*8) f32 member-bounds rows
 
 
 @dataclass

@@ -1125,11 +1125,17 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         cl_tab=jnp.asarray(cluster_tab) if has_cluster else None,
         cl_lo=jnp.asarray(cluster.cl_lo) if has_cluster else None,
         cl_hi=jnp.asarray(cluster.cl_hi) if has_cluster else None,
-        cl_rows=(jnp.asarray(cluster.tri_rows.reshape(cluster.n_clusters, cluster.K, 12))
-                 if has_cluster else None),
+        # binned-tier gather layout: (C, 12*K) COMPONENT-major flat rows —
+        # gather results stay rank-2 with a 128-multiple minor axis (a
+        # (C, K, 12) layout pads the 12-lane axis to 128 on gather: 42x)
+        cl_rows=(jnp.asarray(np.ascontiguousarray(
+            cluster.tri_rows.reshape(cluster.n_clusters, cluster.K, 12)
+            .transpose(0, 2, 1).reshape(cluster.n_clusters, 12 * cluster.K)))
+            if has_cluster else None),
         su_lo=jnp.asarray(cluster.su_lo) if has_cluster else None,
         su_hi=jnp.asarray(cluster.su_hi) if has_cluster else None,
         su_members=jnp.asarray(cluster.su_members) if has_cluster else None,
+        su_bounds=jnp.asarray(cluster.su_bounds) if has_cluster else None,
         **sss_arrays,
     )
     static = SceneStatic(

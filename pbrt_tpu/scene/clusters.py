@@ -48,10 +48,22 @@ class ClusterTables:
     cl_hi: np.ndarray     # (C, 3) f32 cluster AABB maxs
     tri_rows: np.ndarray  # (C, K*TRI_F) f32 cluster triangle blocks
     K: int
+    # supernode level for the binned tier (device/binned.py): groups of
+    # spatially-adjacent clusters from a coarser cut of the SAME SAH tree
+    su_lo: np.ndarray | None = None       # (S, 3)
+    su_hi: np.ndarray | None = None       # (S, 3)
+    su_members: np.ndarray | None = None  # (S, SUPER_M) i32 cluster ids, -1 pad
+    # row-gatherable member bounds: lane m*8+0..7 = (lox loy loz hix hiy
+    # hiz cid pad) of member m — ONE 512B DMA row per (ray, supernode)
+    # instead of 48 scalar-core element gathers (device/binned.py phase 2)
+    su_bounds: np.ndarray | None = None   # (S, SUPER_M * 8) f32
 
     @property
     def n_clusters(self) -> int:
         return self.cl_lo.shape[0]
+
+
+SUPER_M = 16  # cluster-member slots per supernode (chunked if exceeded)
 
 
 def _sah_cluster_ranges(bvh, K: int) -> list[tuple[int, int]]:
@@ -131,9 +143,46 @@ def build_sah_clusters(v0, v1, v2, prim_rows, K: int = 32) -> ClusterTables:
         cl_lo[c] = lo[idx].min(axis=0)
         cl_hi[c] = hi[idx].max(axis=0)
 
+    # --- supernode level: the coarser cut (<= SUPER_M*K tris) of the same
+    # tree. Both cuts emit contiguous depth-first tri ranges, so every
+    # cluster range nests inside exactly one supernode range; supernodes
+    # with more than SUPER_M member clusters are chunked (chunk AABB =
+    # union of its own members, so chunks stay tight).
+    super_ranges = _sah_cluster_ranges(bvh, SUPER_M * K)
+    su_starts = np.array([s for s, _ in super_ranges], np.int64)
+    members: list[list[int]] = [[] for _ in super_ranges]
+    for c0, (s, cnt) in enumerate(ranges):
+        si = int(np.searchsorted(su_starts, s, side="right")) - 1
+        members[si].append(int(new_of_old[c0]))
+    su_lo_l, su_hi_l, su_mem_l = [], [], []
+    for mem in members:
+        for i in range(0, len(mem), SUPER_M):
+            chunk = mem[i:i + SUPER_M]
+            su_lo_l.append(cl_lo[chunk].min(axis=0))
+            su_hi_l.append(cl_hi[chunk].max(axis=0))
+            su_mem_l.append(chunk + [-1] * (SUPER_M - len(chunk)))
+
+    su_mem = np.asarray(su_mem_l, np.int32)
+    S = su_mem.shape[0]
+    su_bounds = np.zeros((S, SUPER_M, 8), np.float32)
+    for s in range(S):
+        for m, cid in enumerate(su_mem[s]):
+            if cid < 0:
+                su_bounds[s, m, 0:3] = 3e38
+                su_bounds[s, m, 3:6] = -3e38
+                su_bounds[s, m, 6] = -1.0
+            else:
+                su_bounds[s, m, 0:3] = cl_lo[cid]
+                su_bounds[s, m, 3:6] = cl_hi[cid]
+                su_bounds[s, m, 6] = float(cid)
+
     return ClusterTables(
         cl_lo=cl_lo, cl_hi=cl_hi,
         tri_rows=rows.reshape(C, K * TRI_F), K=K,
+        su_lo=np.asarray(su_lo_l, np.float32),
+        su_hi=np.asarray(su_hi_l, np.float32),
+        su_members=su_mem,
+        su_bounds=su_bounds.reshape(S, SUPER_M * 8),
     )
 
 

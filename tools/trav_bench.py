@@ -65,6 +65,26 @@ def main():
 
     tmax = jnp.full((R,), 1e30, jnp.float32)
 
+    # --- binned per-ray tier ---
+    if getattr(static, "has_cluster", False) and getattr(sa, "su_lo", None) is not None:
+        from pbrt_tpu.device.binned import binned_intersect
+
+        bi = jax.jit(lambda o, d: binned_intersect(sa, static, o, d, 1e30))
+        bo_cam = bench("binned/closest/camera", lambda: bi(o_cam, d_cam))
+        bo_inc = bench("binned/closest/incoherent", lambda: bi(o_inc, d_inc))
+        ba = jax.jit(lambda o, d: binned_intersect(sa, static, o, d, 1e30, any_hit=True))
+        bench("binned/anyhit/incoherent", lambda: ba(o_inc, d_inc))
+        for nm, out in (("camera", bo_cam), ("incoherent", bo_inc)):
+            from pbrt_tpu.device.binned import _binned_core
+            t, prim, hitm, b1, b2, ovf = _binned_core(
+                int(static.n_clusters), False, sa.su_lo, sa.su_hi, sa.su_bounds,
+                sa.cl_rows,
+                (o_cam if nm == "camera" else o_inc),
+                (d_cam if nm == "camera" else d_inc), R,
+                jnp.full((R,), 1e30, jnp.float32))
+            print(f"  binned/{nm}: hit={float(jnp.mean(hitm)):.3f} "
+                  f"overflow={float(jnp.mean(ovf)):.4f}")
+
     # --- cluster-list tier ---
     if getattr(static, "has_cluster", False):
         from pbrt_tpu.device.cluster_list import cluster_intersect, packet_lists
@@ -79,7 +99,8 @@ def main():
             sa.cl_lo, sa.cl_hi, o, d, jnp.full(o.shape[0], 1e30, jnp.float32)))
         for nm, o_, d_ in (("camera", o_cam, d_cam), ("incoherent", o_inc, d_inc)):
             bench(f"cluster/cull-only/{nm}", lambda o_=o_, d_=d_: pl_(o_, d_))
-            _l, _t, counts, ovf = jax.device_get(pl_(o_, d_))
+            _l, segcnt, ovf = jax.device_get(pl_(o_, d_))
+            counts = segcnt.sum(axis=1)
             print(f"  {nm}: list len mean={counts.mean():.1f} "
                   f"p99={np.percentile(counts, 99):.0f} max={counts.max()} "
                   f"overflow={ovf.mean():.4f}")
