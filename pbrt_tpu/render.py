@@ -492,20 +492,23 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
         else:
             img = np.asarray(render_sharded_step(cs, desc, mesh, spp=spp, seed=seed))
         log.info("sharded %s render over %d devices in %.2fs", kind, len(_devs), time.time() - t0)
-        return img.reshape(H, W, 3)
+        # film "scale" applies to EVERY output path (film.rs write_image);
+        # the early returns here skipped it — caustic-glass (scale 1.5)
+        # measured exactly 1.5^(1/2.4) dark in the sRGB-space fidelity fit
+        return img.reshape(H, W, 3) * desc.film.scale
 
     if desc.integrator.kind == "sppm":
         from .device.sppm import render_sppm
 
-        return render_sppm(cs, seed=seed, progress=progress)
+        return render_sppm(cs, seed=seed, progress=progress) * desc.film.scale
     if desc.integrator.kind == "bdpt":
         from .device.bdpt import render_bdpt
 
-        return render_bdpt(cs, seed=seed, spp=spp, progress=progress)
+        return render_bdpt(cs, seed=seed, spp=spp, progress=progress) * desc.film.scale
     if desc.integrator.kind == "mlt":
         from .device.mlt import render_mlt
 
-        return render_mlt(cs, seed=seed, progress=progress)
+        return render_mlt(cs, seed=seed, progress=progress) * desc.film.scale
     W = desc.film.x_resolution
     H = desc.film.y_resolution
     spp = int(spp if spp is not None else desc.sampler.pixel_samples)

@@ -31,5 +31,17 @@ def test_committed_fidelity_numbers():
         thr = rec["threshold"]
         assert mse == mse, f"{name}: NaN fidelity result"
         assert mse < thr, f"{name}: blurred_mse {mse} over threshold {thr}"
+        assert rec.get("passed") is True, f"{name}: committed entry not passing"
+        # entries must be produced by the CURRENT tool protocol: the glass
+        # gate is absolute brightness, so its entry must carry the
+        # scale_ok/scale_applied fields (a round-2 entry predating the
+        # protocol sailed through while the live gate failed)
+        if name == "caustic-glass":
+            assert "scale_ok" in rec and "scale_applied" in rec, \
+                f"{name}: entry predates the absolute-brightness protocol"
+            assert rec["scale_ok"] is True, f"{name}: |scale-1| gate failed"
+        if name == "sss":
+            assert rec.get("blurred_mse", 1.0) > 0.0, \
+                "sss: two estimators bit-identical — the walk estimator is a no-op"
         checked += 1
     assert checked >= 1, "no fidelity scenes recorded"
