@@ -13,16 +13,16 @@ the same rate as coherent ones:
      test, fused directly into 32-wide bitmask words (no (R, S) bool
      materialization);
   2. EXTRACT: per ray, pop up to K1 set bits from the word vector
-     (lowest-bit loop — pure vector ops, rays ride the lanes), then
-     order the popped supernodes near-to-far with an in-register sort
-     network on their slab entry distances;
-  3. CLUSTER CULL: gather the <=8 member clusters of each popped
-     supernode, slab-test, extract up to K2 clusters the same way;
+     (lowest-bit loop — pure vector ops, rays ride the lanes);
+  3. CLUSTER CULL: one 512B row DMA per (ray, supernode) fetches all
+     <=16 member-cluster AABBs + ids (scene/clusters.py su_bounds);
+     slab tests run on static slices of the row, then the K2 nearest
+     candidates come out via pure min-reductions (no argmin gathers);
   4. TRIANGLE TEST: for each of the K2 candidate slots (near-to-far),
-     gather the cluster's packed 32-triangle block and run the exact
+     row-gather the cluster's packed 32-triangle block and run the exact
      watertight test (intersect.ray_triangle — bit-identical to the
      packet tiers); t_best shrinks slot-by-slot, so far candidates are
-     pruned for free.
+     pruned for free, and winners resolve by packed min-reductions.
 
 Rays whose candidate sets overflow the fixed K1/K2 slots fall back to
 the wide-BVH packet kernel with all in-budget lanes masked dead
@@ -46,7 +46,7 @@ U32 = jnp.uint32
 INF = jnp.inf
 EPS = 1e-4  # matches intersect.SHADOW_EPS
 
-K1 = 8   # supernode candidate slots per ray (supers hold <= 16 clusters)
+K1 = 16  # supernode candidate slots per ray (supers hold <= 16 clusters)
 K2 = 12  # cluster candidate slots per ray
 
 
@@ -78,22 +78,6 @@ def _slab_cw(lo3, hi3, oinv, inv, t_max):
     tf = tf * 1.0000004
     ok = (tn <= tf) & (tf > 0) & (tn < t_max)
     return jnp.where(ok, jnp.maximum(tn, 0.0), INF)
-
-
-def _g1(table_1d, idx):
-    """Barrier-isolated 1-D gather. When XLA fuses a TPU gather with its
-    index math / consumers the fused emission runs ~185x slower than the
-    standalone lowering (measured in device/gather.py); barriers on both
-    sides force the fast path. idx may be any shape."""
-    ib = jax.lax.optimization_barrier(idx.reshape(-1))
-    return jax.lax.optimization_barrier(table_1d[ib]).reshape(idx.shape)
-
-
-def _take1(arr2d, j):
-    """Barrier-isolated take_along_axis(arr2d, j[:, None], 1)[:, 0]."""
-    R, W = arr2d.shape
-    flat = arr2d.reshape(-1)
-    return _g1(flat, j.astype(I32) + W * jnp.arange(R, dtype=I32))
 
 
 def _low_bit_index32(w):
@@ -130,28 +114,18 @@ def _extract_bits(words, K: int):
         words = jnp.where(sel & has[:, None], words ^ bit[:, None], words)
         return words, out
 
-    words, out = jax.lax.fori_loop(0, K, body,
-                                   (words, jnp.full((K, R), -1, I32)))
+    def cond(st):
+        k, (w, _o) = st
+        return (k < K) & jnp.any(w != 0)
+
+    def step(st):
+        k, inner = st
+        return k + 1, body(k, inner)
+
+    _, (words, out) = jax.lax.while_loop(
+        cond, step, (jnp.int32(0), (words, jnp.full((K, R), -1, I32))))
     overflow = jnp.any(words != 0, axis=1)
     return out.T, overflow
-
-
-def _sort_by_t(idx, tn, K: int):
-    """Order (idx, tn) slots ascending by tn with an odd-even network
-    (K small and static; all ops are (R,)-vectorized compare-swaps)."""
-    cols_i = [idx[:, k] for k in range(K)]
-    cols_t = [tn[:, k] for k in range(K)]
-    for p in range(K):
-        start = p % 2
-        for k in range(start, K - 1, 2):
-            a, b = cols_t[k], cols_t[k + 1]
-            ia, ib = cols_i[k], cols_i[k + 1]
-            sw = b < a
-            cols_t[k] = jnp.where(sw, b, a)
-            cols_t[k + 1] = jnp.where(sw, a, b)
-            cols_i[k] = jnp.where(sw, ib, ia)
-            cols_i[k + 1] = jnp.where(sw, ia, ib)
-    return jnp.stack(cols_i, axis=1), jnp.stack(cols_t, axis=1)
 
 
 def _cull_supers_words(su_lo, su_hi, o, inv, t_arr, block: int = 4096):
@@ -247,9 +221,20 @@ def _binned_core(n_clusters, any_hit, su_lo, su_hi, su_bounds,
         t2 = jnp.where(at_min & (idf == cidf[:, None]), INF, t2)
         return t2, cand, cand_t
 
-    t2, cand, cand_t = jax.lax.fori_loop(
-        0, K2, ext_body,
-        (tn2, jnp.full((K2, R), -1, I32), jnp.full((K2, R), INF, F32)))
+    def ext_cond(st):
+        k, (t2, _c, _ct) = st
+        # early exit once every lane's candidates are exhausted (mean live
+        # candidates per ray is ~3; running all K2 rounds wastes most)
+        return (k < K2) & jnp.any(jnp.isfinite(jnp.min(t2, axis=1)))
+
+    def ext_step(st):
+        k, inner = st
+        return k + 1, ext_body(k, inner)
+
+    _, (t2, cand, cand_t) = jax.lax.while_loop(
+        ext_cond, ext_step,
+        (jnp.int32(0),
+         (tn2, jnp.full((K2, R), -1, I32), jnp.full((K2, R), INF, F32))))
     ovf2 = jnp.any(jnp.isfinite(t2) & live2, axis=1)
     # nearest unextracted candidate: if it lies beyond the final t_best the
     # truncation was harmless and no fallback is needed
@@ -297,13 +282,45 @@ def _binned_core(n_clusters, any_hit, su_lo, su_hi, su_bounds,
         b2_best = jnp.where(upd, b2j, b2_best)
         return t_best, prim_best, b1_best, b2_best, hit_any | win
 
-    t_best, prim_best, b1_best, b2_best, hit_any = jax.lax.fori_loop(
-        0, K2, tri_body,
-        (jnp.where(t_arr > 0, t_arr, -1.0), jnp.full((R,), -1, I32),
-         jnp.zeros((R,), F32), jnp.zeros((R,), F32), jnp.zeros((R,), bool)))
+    def tri_cond(st):
+        k, inner = st
+        t_best, _p, _b1, _b2, hit_any = inner
+        act = (cand[jnp.minimum(k, K2 - 1)] >= 0) & (cand_t[jnp.minimum(k, K2 - 1)] < t_best)
+        if any_hit:
+            act = act & ~hit_any
+        return (k < K2) & jnp.any(act)
+
+    def tri_step(st):
+        k, inner = st
+        return k + 1, tri_body(k, inner)
+
+    _, (t_best, prim_best, b1_best, b2_best, hit_any) = jax.lax.while_loop(
+        tri_cond, tri_step,
+        (jnp.int32(0),
+         (jnp.where(t_arr > 0, t_arr, -1.0), jnp.full((R,), -1, I32),
+          jnp.zeros((R,), F32), jnp.zeros((R,), F32), jnp.zeros((R,), bool))))
 
     hitm = prim_best >= 0
-    overflow = ovf1 | (ovf2 & (t2_min < t_best))
+    # residue check: rays whose supernode words overflowed K1 only need
+    # the fallback if some UNVISITED supernode could still beat t_best —
+    # re-cull against t_best and mask out the visited slots
+    def resid(_):
+        words2, _S = _cull_supers_words(su_lo, su_hi, o, inv,
+                                        jnp.where(t_arr > 0, t_best, -1.0))
+        Wn = words2.shape[1]
+        iota_w = jnp.arange(Wn, dtype=I32)
+        visited = jnp.zeros((R, Wn), U32)
+        for k in range(K1):
+            sid = sup_idx[:, k]
+            bit = (U32(1) << (jnp.maximum(sid, 0) % 32).astype(U32))
+            visited = visited | jnp.where(
+                (iota_w[None, :] == (jnp.maximum(sid, 0) // 32)[:, None])
+                & (sid >= 0)[:, None], bit[:, None], U32(0))
+        return jnp.any(words2 & ~visited != 0, axis=1)
+
+    ovf1_real = jax.lax.cond(jnp.any(ovf1), resid,
+                             lambda _: jnp.zeros((R,), bool), 0) & ovf1
+    overflow = ovf1_real | (ovf2 & (t2_min < t_best))
     if any_hit:
         overflow = overflow & ~hit_any  # a found occluder settles the query
     return t_best, prim_best, hitm, b1_best, b2_best, overflow
