@@ -223,9 +223,12 @@ def _binned_core(n_clusters, any_hit, su_lo, su_hi, su_bounds,
 
     def ext_cond(st):
         k, (t2, _c, _ct) = st
-        # early exit once every lane's candidates are exhausted (mean live
-        # candidates per ray is ~3; running all K2 rounds wastes most)
-        return (k < K2) & jnp.any(jnp.isfinite(jnp.min(t2, axis=1)))
+        # exit once fewer than ~0.4% of lanes still hold candidates (mean
+        # live candidates per ray is ~3; the long tail is cheaper through
+        # the packet fallback than through more full-width rounds — the
+        # abandoned rays flag overflow via t2_min below)
+        live = jnp.sum(jnp.isfinite(jnp.min(t2, axis=1)))
+        return (k < K2) & (live > R // 256)
 
     def ext_step(st):
         k, inner = st
@@ -240,25 +243,40 @@ def _binned_core(n_clusters, any_hit, su_lo, su_hi, su_bounds,
     # truncation was harmless and no fallback is needed
     t2_min = jnp.min(t2, axis=1)
 
-    # ---- phase 4: per-slot triangle tests, near-to-far (fori_loop:
-    # one column's row-gather + watertight intermediates live at a time) ----
-    def tri_body(k, st):
-        t_best, prim_best, b1_best, b2_best, hit_any = st
-        cid = cand[k]
-        active = (cid >= 0) & (cand_t[k] < t_best)
-        if any_hit:
-            active = active & ~hit_any
-        cid_b = jax.lax.optimization_barrier(jnp.maximum(cid, 0))
-        rows = jax.lax.optimization_barrier(cl_rows[cid_b])  # (R, 384) component-major
+    # ---- phase 4: triangle tests, 4 candidate slots per round so every
+    # component slice is exactly (R, 128) — (R, 32) intermediates occupy
+    # full 128-lane tiles anyway, so the 1-slot form paid 4x the memory
+    # traffic of its useful data ----
+    G4 = 4  # slots per round
 
-        def comp(c):  # component c of all 32 tris: (R, 32)
-            return jax.lax.slice_in_dim(rows, c * 32, (c + 1) * 32, axis=1)
+    def tri_body(g, st):
+        t_best, prim_best, b1_best, b2_best, hit_any = st
+        rows4 = []
+        act4 = []
+        for j in range(G4):
+            cid = cand[g * G4 + j]
+            a = (cid >= 0) & (cand_t[g * G4 + j] < t_best)
+            if any_hit:
+                a = a & ~hit_any
+            cid_b = jax.lax.optimization_barrier(jnp.maximum(cid, 0))
+            rows4.append(jax.lax.optimization_barrier(cl_rows[cid_b]))
+            act4.append(a)
+
+        def comp(c):  # component c of the 4 slots' 32 tris each: (R, 128)
+            return jnp.concatenate(
+                [jax.lax.slice_in_dim(r, c * 32, (c + 1) * 32, axis=1)
+                 for r in rows4], axis=1)
 
         v0 = jnp.stack([comp(0), comp(1), comp(2)], axis=-1)
         v1 = jnp.stack([comp(3), comp(4), comp(5)], axis=-1)
         v2 = jnp.stack([comp(6), comp(7), comp(8)], axis=-1)
-        valid = (comp(10) > 0) & active[:, None]
-        tq = jnp.where(active, t_best, -1.0)
+        act_l = jnp.concatenate(
+            [jnp.broadcast_to(a[:, None], (R, 32)) for a in act4], axis=1)
+        valid = (comp(10) > 0) & act_l
+        any_act = act4[0]
+        for a in act4[1:]:
+            any_act = any_act | a
+        tq = jnp.where(any_act, t_best, -1.0)
         h, t, b0, b1, b2 = ray_triangle(o[:, None, :], d[:, None, :],
                                         v0, v1, v2, tq[:, None])
         h = h & valid
@@ -271,9 +289,12 @@ def _binned_core(n_clusters, any_hit, su_lo, su_hi, su_bounds,
         at_min = th <= tj[:, None]
         primf = jnp.min(jnp.where(at_min, comp(9), BIGID), axis=1)
         wmask = at_min & (comp(9) == primf[:, None])
-        # a prim row appears once per cluster, so wmask has <= 1 lane set
-        b1j = jnp.sum(jnp.where(wmask, b1, 0.0), axis=1)
-        b2j = jnp.sum(jnp.where(wmask, b2, 0.0), axis=1)
+        # a prim row appears once per cluster; exact-t ties across slots
+        # resolve to the min prim, and a cluster repeated in two slots
+        # cannot happen (slots extract distinct clusters)
+        nw = jnp.maximum(jnp.sum(wmask, axis=1), 1)
+        b1j = jnp.sum(jnp.where(wmask, b1, 0.0), axis=1) / nw
+        b2j = jnp.sum(jnp.where(wmask, b2, 0.0), axis=1) / nw
         prim_j = jnp.where(win, primf, -1.0).astype(I32)
         upd = win & (tj < t_best)
         t_best = jnp.where(upd, tj, t_best)
@@ -282,23 +303,36 @@ def _binned_core(n_clusters, any_hit, su_lo, su_hi, su_bounds,
         b2_best = jnp.where(upd, b2j, b2_best)
         return t_best, prim_best, b1_best, b2_best, hit_any | win
 
+    NG = (K2 + G4 - 1) // G4
+
     def tri_cond(st):
-        k, inner = st
+        g, inner = st
         t_best, _p, _b1, _b2, hit_any = inner
-        act = (cand[jnp.minimum(k, K2 - 1)] >= 0) & (cand_t[jnp.minimum(k, K2 - 1)] < t_best)
+        gc = jnp.minimum(g, NG - 1)
+        act = jnp.zeros((R,), bool)
+        for j in range(G4):
+            k = jnp.minimum(gc * G4 + j, K2 - 1)
+            act = act | ((cand[k] >= 0) & (cand_t[k] < t_best))
         if any_hit:
             act = act & ~hit_any
-        return (k < K2) & jnp.any(act)
+        # same fractional exit as extraction: a sub-0.4% tail rides the
+        # packet fallback (flagged below via tri_resid)
+        return (g < NG) & (jnp.sum(act) > R // 256)
 
     def tri_step(st):
-        k, inner = st
-        return k + 1, tri_body(k, inner)
+        g, inner = st
+        return g + 1, tri_body(g, inner)
 
-    _, (t_best, prim_best, b1_best, b2_best, hit_any) = jax.lax.while_loop(
+    g_end, (t_best, prim_best, b1_best, b2_best, hit_any) = jax.lax.while_loop(
         tri_cond, tri_step,
         (jnp.int32(0),
          (jnp.where(t_arr > 0, t_arr, -1.0), jnp.full((R,), -1, I32),
           jnp.zeros((R,), F32), jnp.zeros((R,), F32), jnp.zeros((R,), bool))))
+    # rays abandoned by the fractional exit with a still-viable candidate
+    tri_resid = jnp.zeros((R,), bool)
+    for k in range(K2):
+        tri_resid = tri_resid | ((k >= g_end * G4) & (cand[k] >= 0)
+                                 & (cand_t[k] < t_best))
 
     hitm = prim_best >= 0
     # residue check: rays whose supernode words overflowed K1 only need
@@ -320,7 +354,7 @@ def _binned_core(n_clusters, any_hit, su_lo, su_hi, su_bounds,
 
     ovf1_real = jax.lax.cond(jnp.any(ovf1), resid,
                              lambda _: jnp.zeros((R,), bool), 0) & ovf1
-    overflow = ovf1_real | (ovf2 & (t2_min < t_best))
+    overflow = ovf1_real | (ovf2 & (t2_min < t_best)) | tri_resid
     if any_hit:
         overflow = overflow & ~hit_any  # a found occluder settles the query
     return t_best, prim_best, hitm, b1_best, b2_best, overflow

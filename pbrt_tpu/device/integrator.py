@@ -89,6 +89,20 @@ def _light_select_pdf(static: SceneStatic):
     return 1.0 / max(static.n_lights, 1)
 
 
+def _light_ns(static: SceneStatic, li_idx: int) -> int:
+    """Per-light "nsamples" for UniformSampleAll (light.rs nsamples)."""
+    ns = getattr(static, "light_n_samples", ())
+    return max(int(ns[li_idx]), 1) if li_idx < len(ns) else 1
+
+
+def _round_ns(kind: str, n: int) -> int:
+    """Sampler::round_count — pow2 samplers round the array size up to a
+    power of two (sampler.rs; zerotwosequence.rs/maxmindist.rs)."""
+    if kind in ("zerotwosequence", "lowdiscrepancy", "maxmindist") and n > 1:
+        return 1 << (n - 1).bit_length()
+    return max(n, 1)
+
+
 def _light_selectors(sa, static: SceneStatic, icfg: dict, nee_on: bool, ikind: str):
     """Light-selection distribution closures, shared by the per-sample wave
     and the persistent wave (lightdistrib.rs create_light_sample_
@@ -291,10 +305,12 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         return jnp.where(occ[:, None], 0.0, 1.0)
 
     def _nee_at(si, lobes, alive_m, medium_v, b, dim_base, light_index=None, dim_salt=0,
-                medium_vertex=None):
+                medium_vertex=None, array_j=0, array_n=1):
         """NEE supporting both surface (BSDF) and medium (phase) vertices.
 
         medium_vertex: None for surface-only, else dict {p, wo, g, active}.
+        array_j/array_n: UniformSampleAll array samples (sampler.rs
+        request_2d_array + stratified.rs array strata).
         """
         if static.n_lights == 0:
             return jnp.zeros((R, 3), F32)
@@ -308,6 +324,15 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         else:
             lid = jnp.full(R, light_index, jnp.int32)
             spdf = 1.0
+            if array_n > 1:
+                from . import rng as _rng
+
+                r1 = _rng.hash_combine(seed, pixel, sample_idx, jnp.uint32(0xA117 + light_index))
+                r2 = _rng.hash_combine(seed, pixel, sample_idx, jnp.uint32(0xB229 + light_index))
+                p1 = (jnp.uint32(array_j) + r1 % jnp.uint32(array_n)) % jnp.uint32(array_n)
+                p2 = (jnp.uint32(array_j) + r2 % jnp.uint32(array_n)) % jnp.uint32(array_n)
+                u1 = (p1.astype(F32) + u1) / array_n
+                u2 = (p2.astype(F32) + u2) / array_n
 
         if medium_vertex is None:
             p_v = si["p"]
@@ -494,8 +519,17 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         # --- NEE (uniform_sample_onelight / estimate_direct) ---
         if nee_on and static.n_lights > 0:
             if ikind == "directlighting" and icfg.get("strategy", "all") == "all":
+                # UniformSampleAll: light.nsamples stratified array samples
+                # per light, averaged (uniform_sample_all_lights)
                 for li_idx in range(static.n_lights):
-                    L = L + beta * _nee_at(si, lobes, alive_sh, medium, b, dim_base, light_index=li_idx, dim_salt=li_idx)
+                    ns = _round_ns(kind_s, _light_ns(static, li_idx))
+                    acc = jnp.zeros((R, 3), F32)
+                    for j in range(ns):
+                        acc = acc + _nee_at(si, lobes, alive_sh, medium, b,
+                                            dim_base, light_index=li_idx,
+                                            dim_salt=1 + li_idx * 64 + j,
+                                            array_j=j, array_n=ns)
+                    L = L + beta * acc / ns
             else:
                 L = L + beta * _nee_at(si, lobes, alive_nee, medium, b, dim_base, medium_vertex=med_vertex)
         elif ikind == "whitted" and static.n_lights > 0:
@@ -677,9 +711,14 @@ def trace_persistent(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dic
                   and icfg.get("strategy", "all") == "all" and static.n_lights > 1)
     _select_light, _sel_pmf_of = _light_selectors(sa, static, icfg, True, ikind)
 
-    def _nee(si, lobes, alive_m, dim_base, s_cur, light_index=None, dim_salt=0):
+    def _nee(si, lobes, alive_m, dim_base, s_cur, light_index=None, dim_salt=0,
+             array_j=0, array_n=1):
         """uniform_sample_onelight / estimate_direct, surface-only form —
-        must mirror trace_wave._nee_at with medium_vertex=None."""
+        must mirror trace_wave._nee_at with medium_vertex=None.
+
+        array_j/array_n: UniformSampleAll array samples (sampler.rs
+        request_2d_array + stratified.rs array strata): sample j of the
+        light's n-point shifted-diagonal Latin-hypercube array."""
         if static.n_lights == 0:
             return jnp.zeros((R, 3), F32)
         u_sel = sample_1d(kind_s, seed, pixel, s_cur, dim_base + 131 * dim_salt, spp)
@@ -689,6 +728,15 @@ def trace_persistent(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dic
         else:
             lid = jnp.full(R, light_index, jnp.int32)
             spdf = 1.0
+            if array_n > 1:
+                from . import rng as _rng
+
+                r1 = _rng.hash_combine(seed, pixel, s_cur, jnp.uint32(0xA117 + light_index))
+                r2 = _rng.hash_combine(seed, pixel, s_cur, jnp.uint32(0xB229 + light_index))
+                p1 = (jnp.uint32(array_j) + r1 % jnp.uint32(array_n)) % jnp.uint32(array_n)
+                p2 = (jnp.uint32(array_j) + r2 % jnp.uint32(array_n)) % jnp.uint32(array_n)
+                u1 = (p1.astype(F32) + u1) / array_n
+                u2 = (p2.astype(F32) + u2) / array_n
         ls = sample_li(sa, static, lid, si["p"], u1, u2, cone_spheres=static.has_cone_sphere_lights)
         wi = ls["wi"]
         wo_l = _to_local(si, si["wo"])
@@ -745,11 +793,18 @@ def trace_persistent(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dic
         alive_sh = can_scatter & (num_lobes(lobes) > 0)
         if static.n_lights > 0:
             if direct_all:
-                # UniformSampleAll (directlighting.rs strategy=all): one
-                # NEE per light, unit selection pdf, salted dims
+                # UniformSampleAll (directlighting.rs strategy=all):
+                # light.nsamples stratified array samples per light,
+                # averaged (uniform_sample_all_lights; sampler round_count)
                 for li_idx in range(static.n_lights):
-                    L = L + beta * _nee(si, lobes, alive_sh, dim_base, s_cur,
-                                        light_index=li_idx, dim_salt=li_idx)
+                    ns = _round_ns(kind_s, _light_ns(static, li_idx))
+                    acc = jnp.zeros((R, 3), F32)
+                    for j in range(ns):
+                        acc = acc + _nee(si, lobes, alive_sh, dim_base, s_cur,
+                                         light_index=li_idx,
+                                         dim_salt=1 + li_idx * 64 + j,
+                                         array_j=j, array_n=ns)
+                    L = L + beta * acc / ns
             else:
                 L = L + beta * _nee(si, lobes, alive_sh, dim_base, s_cur)
 

@@ -246,6 +246,7 @@ class SceneStatic:
     n_nodes: int = 0
     n_materials: int = 0
     n_lights: int = 0
+    light_n_samples: tuple = ()  # per-light "nsamples" (UniformSampleAll arrays)
     n_delta_lights: int = 0
     max_leaf: int = 4
     mat_kinds_present: tuple = ()

@@ -321,7 +321,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         mat_rows[mid] = _compile_material(mat, tex_reg, material_id, register_fourier)
         return mid
 
-    lights: list[tuple] = []  # (kind, params(12,), prim_id)
+    lights: list[tuple] = []  # (kind, params(12,), prim_id, nsamples)
 
     # --- non-area lights first -------------------------------------------------
     infinite_host: HostLight | None = None
@@ -343,13 +343,13 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             p = np.zeros(12)
             p[0:3] = hl.from_point
             p[3:6] = hl.intensity
-            lights.append((LIGHT_POINT, p, -1))
+            lights.append((LIGHT_POINT, p, -1, max(int(getattr(hl, 'n_samples', 1)), 1)))
             _push_light_frame(hl, False)
         elif hl.kind == "goniometric":
             p = np.zeros(12)
             p[0:3] = hl.light_to_world.xpoint(np.zeros(3))
             p[3:6] = hl.intensity
-            lights.append((LIGHT_GONIO, p, -1))
+            lights.append((LIGHT_GONIO, p, -1, max(int(getattr(hl, 'n_samples', 1)), 1)))
             _push_light_frame(hl, True)
         elif hl.kind == "projection":
             p = np.zeros(12)
@@ -361,7 +361,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             if hl.image is not None and hl.image.shape[0] > 0:
                 aspect = hl.image.shape[1] / hl.image.shape[0]
             p[10] = aspect
-            lights.append((LIGHT_PROJECTION, p, -1))
+            lights.append((LIGHT_PROJECTION, p, -1, max(int(getattr(hl, 'n_samples', 1)), 1)))
             _push_light_frame(hl, True)
         elif hl.kind == "spot":
             p = np.zeros(12)
@@ -372,7 +372,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             p[6:9] = d
             p[9] = np.cos(np.radians(hl.cone_angle))  # cosTotalWidth
             p[10] = np.cos(np.radians(hl.cone_angle - hl.cone_delta))  # cosFalloffStart
-            lights.append((LIGHT_SPOT, p, -1))
+            lights.append((LIGHT_SPOT, p, -1, max(int(getattr(hl, 'n_samples', 1)), 1)))
             _push_light_frame(hl, False)
         elif hl.kind == "distant":
             p = np.zeros(12)
@@ -380,12 +380,12 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             d = d / max(np.linalg.norm(d), 1e-12)
             p[0:3] = d
             p[3:6] = hl.intensity
-            lights.append((LIGHT_DISTANT, p, -1))
+            lights.append((LIGHT_DISTANT, p, -1, max(int(getattr(hl, 'n_samples', 1)), 1)))
             _push_light_frame(hl, False)
         elif hl.kind == "infinite":
             p = np.zeros(12)
             p[3:6] = hl.intensity
-            lights.append((LIGHT_INFINITE, p, -1))
+            lights.append((LIGHT_INFINITE, p, -1, max(int(getattr(hl, 'n_samples', 1)), 1)))
             _push_light_frame(hl, False)
             infinite_host = hl
         else:
@@ -565,7 +565,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
                     lp[0:3] = prim.area_light.intensity
                     lp[3] = 1.0 if prim.area_light.two_sided else 0.0
                     for ti in range(t):
-                        lights.append((LIGHT_AREA, lp, base_prim + ti))
+                        lights.append((LIGHT_AREA, lp, base_prim + ti, max(int(getattr(prim.area_light, 'n_samples', 1)), 1)))
                         light_w2l_rows.append(np.eye(4)[:3, :])
                         light_image_keys.append(None)
             prim_kind.extend([GEOM_TRI] * t)
@@ -681,7 +681,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
                 lp = np.zeros(12)
                 lp[0:3] = prim.area_light.intensity
                 lp[3] = 1.0 if prim.area_light.two_sided else 0.0
-                lights.append((LIGHT_AREA, lp, pid))
+                lights.append((LIGHT_AREA, lp, pid, max(int(getattr(prim.area_light, 'n_samples', 1)), 1)))
                 light_w2l_rows.append(np.eye(4)[:3, :])
                 light_image_keys.append(None)
             prim_kind.append(GEOM_SPHERE)
@@ -789,7 +789,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         prim_lo = _perm(prim_lo)
         prim_hi = _perm(prim_hi)
         # remap prim references held by lights
-        lights = [(k, p_, (int(inv[pr]) if pr >= 0 else -1)) for (k, p_, pr) in lights]
+        lights = [(k, p_, (int(inv[pr]) if pr >= 0 else -1), ns_) for (k, p_, pr, ns_) in lights]
         bvh.prim_ids = np.arange(n_prims, dtype=np.int32)
 
     # packed tables for the packet traversal kernel:
@@ -835,7 +835,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     inf_idx = -1
     has_env = False
     env_image = env_cond = env_marg = env_w2l = None
-    for i, (k, _p, _pr) in enumerate(lights):
+    for i, (k, _p, _pr, _ns) in enumerate(lights):
         if k == LIGHT_INFINITE:
             inf_idx = i
     if infinite_host is not None and infinite_host.image is not None:
@@ -1145,6 +1145,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         n_nodes=len(bvh.n_prims),
         n_materials=len(mat_rows),
         n_lights=n_lights,
+        light_n_samples=tuple(l[3] for l in lights),
         n_delta_lights=sum(1 for l in lights if l[0] in (LIGHT_POINT, LIGHT_SPOT, LIGHT_DISTANT)),
         max_leaf=max_leaf,
         mat_kinds_present=tuple(sorted(set(int(k) for k in mat_kind))),
