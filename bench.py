@@ -228,8 +228,8 @@ def main():
     # are auditable
     mesh_alt = {}
     for label, env in (
-        ("cluster-list", {"PBRT_TPU_WIDEMEGA": "0", "PBRT_TPU_CLUSTER": "1"}),
-        ("pallas-wide", {"PBRT_TPU_WIDEMEGA": "0", "PBRT_TPU_CLUSTER": "0"}),
+        ("binned", {"PBRT_TPU_WIDEMEGA": "0", "PBRT_TPU_BINNED": "1"}),
+        ("pallas-wide", {"PBRT_TPU_WIDEMEGA": "0"}),
     ):
         r = _measure_subprocess("mesh", env)
         if r:

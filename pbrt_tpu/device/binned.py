@@ -364,8 +364,8 @@ def binned_intersect(sa, static, o, d, t_max, any_hit: bool = False,
                      interpret: bool = False, sort: bool = False):
     """Closest-hit (or any-hit) over the cluster tables, binned tier.
 
-    Same contract as pallas_bvh.wide_intersect / cluster_list
-    cluster_intersect: returns (t, prim_row, hitmask, b1, b2). `sort` and
+    Same contract as pallas_bvh.wide_intersect:
+    returns (t, prim_row, hitmask, b1, b2). `sort` and
     `interpret` are accepted for signature compatibility; this tier has
     no kernels to interpret and never needs ray sorting.
     """

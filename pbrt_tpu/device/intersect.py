@@ -752,36 +752,10 @@ def _binned_route(static) -> bool:
         return False
     if getattr(static, "n_clusters", 0) > 8192:
         return False  # dense super cull scales with S; big scenes keep packets
-    return os.environ.get("PBRT_TPU_BINNED", "1") != "0"
-
-
-def _cluster_route(static) -> bool:
-    """Route through the cluster-list tier (device/cluster_list.py)?
-
-    The list-driven walk has no per-pop scalar chain; it beats the
-    wide-BVH packet kernel on coherent waves but its conservative packet
-    culling still loses on incoherent bounce waves, so it is OPT-IN
-    (PBRT_TPU_CLUSTER=1) until it wins outright. PBRT_TPU_CLUSTER=0 also
-    skips building the tables (scene/builder.py)."""
-    import os
-
-    if not getattr(static, "has_cluster", False):
-        return False
-    return os.environ.get("PBRT_TPU_CLUSTER", "") == "1"
-
-
-def _cluster_closest(sa, static, o, d, t_max, sort=True):
-    from .cluster_list import cluster_intersect
-
-    interp = jax.default_backend() == "cpu"
-    t, prim, hitm, b1, b2 = cluster_intersect(
-        sa, static, o, d, t_max, interpret=interp, sort=sort)
-    return {
-        "t": jnp.where(hitm, t, INF),
-        "prim": prim,
-        "b1": jnp.where(hitm, jnp.clip(b1, 0.0, 1.0), 0.0),
-        "b2": jnp.where(hitm, jnp.clip(b2, 0.0, 1.0), 0.0),
-    }
+    # opt-in: the binned tier is coherence-free but plateaus at ~1.2
+    # Mrays/s on the 123k-tri bench (XLA gather/row-DMA floor) — the
+    # packet kernel still wins coherent waves 4x, so it stays default
+    return os.environ.get("PBRT_TPU_BINNED", "") == "1"
 
 
 def _wide_closest(sa, static, o, d, t_max, sort=False):
@@ -818,9 +792,6 @@ def _intersect_once(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None
             "b1": jnp.where(hitm, jnp.clip(b1, 0.0, 1.0), 0.0),
             "b2": jnp.where(hitm, jnp.clip(b2, 0.0, 1.0), 0.0),
         }
-    if time is None and _cluster_route(static):
-        sort = sort_rays and static.n_prims >= SORT_MIN_PRIMS
-        return _cluster_closest(sa, static, o, d, t_max, sort=sort)
     if time is None and _pallas_route(static):
         sort = sort_rays and static.n_prims >= SORT_MIN_PRIMS
         return _wide_closest(sa, static, o, d, t_max, sort=sort)
@@ -847,15 +818,6 @@ def _intersect_p_once(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=No
 
         _t, _prim, hit_any, _b1, _b2 = binned_intersect(
             sa, static, o, d, t_max, any_hit=True)
-        return hit_any
-    if time is None and _cluster_route(static):
-        from .cluster_list import cluster_intersect
-
-        interp = jax.default_backend() == "cpu"
-        sort = sort_rays and static.n_prims >= SORT_MIN_PRIMS
-        _t, _prim, hit_any = cluster_intersect(
-            sa, static, o, d, t_max, any_hit=True, interpret=interp, sort=sort
-        )
         return hit_any
     if time is None and _pallas_route(static):
         from .pallas_bvh import wide_intersect

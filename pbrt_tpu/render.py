@@ -270,14 +270,12 @@ LAST_PERSISTENT_TIER = "unbuilt"
 
 
 def _xla_traversal_tier(static) -> str:
-    from .device.intersect import _binned_route, _cluster_route, _pallas_route
+    from .device.intersect import _binned_route, _pallas_route
 
     if static.use_brute_force:
         return "xla-wavefront/brute"
     if _binned_route(static):
         return "xla-wavefront/binned"
-    if _cluster_route(static):
-        return "xla-wavefront/cluster-list"
     if _pallas_route(static):
         return "xla-wavefront/pallas-wide"
     return "xla-wavefront/packet"

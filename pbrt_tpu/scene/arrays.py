@@ -205,7 +205,6 @@ class SceneArrays:
     prim_test_data_mid: jax.Array | None = None  # ptd-shaped
     # --- cluster-list traversal tables (scene/clusters.py); None unless
     # static.has_cluster ---
-    cl_tab: jax.Array | None = None  # (ceil(C/2)*8, 128) f32 packed tri blocks
     cl_lo: jax.Array | None = None  # (C, 3) f32 cluster AABB mins
     cl_hi: jax.Array | None = None  # (C, 3) f32 cluster AABB maxs
     # binned tier (device/binned.py): gather-layout cluster tris + supernodes

@@ -1041,13 +1041,12 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     has_cluster = False
     cluster = None
     if has_wide and os.environ.get("PBRT_TPU_CLUSTER", "1") != "0":
-        from .clusters import build_sah_clusters, pack_cluster_table
+        from .clusters import build_sah_clusters
 
         rows = tri_prim_rows
         tvc = tri_p_cat[np.asarray(prim_geom)[rows]]
         cluster = build_sah_clusters(
             tvc[:, 0], tvc[:, 1], tvc[:, 2], rows.astype(np.float32), K=32)
-        cluster_tab = pack_cluster_table(cluster)
         has_cluster = True
 
     arrays = SceneArrays(
@@ -1122,7 +1121,6 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         if (has_wide_tri and wide.attr_tab is not None) else None,
         wslot_prim=jnp.asarray(wide.slot_prim) if has_wide_tri else None,
         wmeta_tab=jnp.asarray(wide.meta_tab) if has_wide_tri else None,
-        cl_tab=jnp.asarray(cluster_tab) if has_cluster else None,
         cl_lo=jnp.asarray(cluster.cl_lo) if has_cluster else None,
         cl_hi=jnp.asarray(cluster.cl_hi) if has_cluster else None,
         # binned-tier gather layout: (C, 12*K) COMPONENT-major flat rows —

@@ -1,23 +1,17 @@
-"""Triangle clustering for the cluster-list traversal tier.
+"""SAH triangle clustering: the geometry tables of the binned traversal
+tier (device/binned.py).
 
-TPU-first replacement for per-node BVH stack walks on mesh scenes: the
-divergent stack walk is scalar-latency-bound on TPU (measured 1.35 Mrays/s
-incoherent on the 123k-tri bench scene), so traversal is reorganized
-around DENSE phases that map onto the VPU / VMEM strengths:
-
-  1. rays are sorted into coherent packets (existing octant+Morton sort),
-  2. each packet is culled against ALL cluster AABBs at once (dense slab
-     tests, ~98G tests/s measured) producing a per-packet candidate list,
-  3. a Pallas kernel walks each packet's list: one VMEM row load + a dense
-     (rays x K tris) watertight test per candidate cluster — no per-node
-     stack, no global lockstep (packets retire independently).
-
-Cluster quality decides the candidate counts, so clusters are cut from
-the binned-SAH binary BVH (scene/bvh.py): every maximal subtree holding
-<= K triangles becomes one cluster. Depth-first emission makes each
-subtree's prims contiguous in ``bvh.prim_ids`` — a cluster is a
+Clusters are cut from the binned-SAH binary BVH (scene/bvh.py): every
+maximal subtree holding <= K triangles becomes one cluster; a coarser
+cut of the same tree groups clusters into supernodes whose member AABBs
+are packed into 512B row-gatherable records. Depth-first emission makes
+each subtree's prims contiguous in ``bvh.prim_ids`` — a cluster is a
 contiguous run of the SAH-ordered triangle list, and consecutive
 clusters are spatially coherent.
+
+(The cluster-LIST Pallas kernel these tables originally fed was removed
+after its A/B: it tied the wide-BVH packet kernel on coherent waves and
+lost 2x on incoherent ones — round-2 verdict task 5.)
 
 Semantic reference: clusters play the role of the reference BVH's leaves
 (/root/reference/src/accelerators/bvh.rs:301-375 SAH build); correctness
@@ -33,12 +27,8 @@ from .bvh import build_bvh
 
 # floats per triangle row: v0 xyz, v1 xyz, v2 xyz, prim_row, valid, pad
 TRI_F = 12
-# extraction segment width (must match device/cluster_list.SEG): the cull
-# extracts at most SEGCAP candidates per 128-cluster segment, so cluster
-# indices are STRIDED across segments — depth-first SAH order is spatial,
-# and a packet's candidates form contiguous runs that would overflow one
-# segment's cap while every other segment sits empty (measured 66% packet
-# overflow on bounce waves before striding)
+# cluster-id striding stride (ids are striped across SEG-sized segments;
+# kept for table stability — the binned tier is order-agnostic)
 SEG = 128
 
 
@@ -184,35 +174,6 @@ def build_sah_clusters(v0, v1, v2, prim_rows, K: int = 32) -> ClusterTables:
         su_members=su_mem,
         su_bounds=su_bounds.reshape(S, SUPER_M * 8),
     )
-
-
-def pack_cluster_table(ct: ClusterTables) -> np.ndarray:
-    """ClusterTables -> the Pallas kernel's VMEM layout.
-
-    One (8, 128) f32 row-block holds TWO 32-tri clusters: 8 column groups
-    of 16 floats x 8 sublanes = 64 tri slots; cluster 2b takes groups 0-3,
-    cluster 2b+1 groups 4-7. Tri slot layout matches the wide-BVH prim
-    table so the kernel's test code is shared-shape: cols 0-8 = v0/v1/v2
-    xyz, col 9 = valid, col 10 = global prim row. Within a cluster, tri i
-    sits at (sublane i % 8, group i // 8).
-    """
-    assert ct.K == 32, "kernel layout is specialized to K=32"
-    C = ct.n_clusters
-    rows = ct.tri_rows.reshape(C, 32, TRI_F)
-    Cp = (C + 1) // 2 * 2
-    tab = np.zeros((Cp // 2 * 8, 128), np.float32)
-    tri16 = np.zeros((Cp, 32, 16), np.float32)
-    tri16[:C, :, 0:9] = rows[:, :, 0:9]
-    tri16[:C, :, 9] = rows[:, :, 10]  # valid
-    tri16[:C, :, 10] = rows[:, :, 9]  # prim row
-    # (Cp, 32, 16) -> blocks: cluster c, tri i -> block c//2 sublane i%8,
-    # group (c%2)*4 + i//8, lanes group*16..
-    g = tri16.reshape(Cp, 4, 8, 16)            # (cluster, group, sublane, 16)
-    g = g.transpose(0, 2, 1, 3)                # (cluster, sublane, group, 16)
-    g = g.reshape(Cp // 2, 2, 8, 4 * 16)       # (block, half, sublane, 64)
-    g = g.transpose(0, 2, 1, 3).reshape(Cp // 2 * 8, 128)
-    tab[:] = g
-    return tab
 
 
 # --- legacy median-split partition (kept for probe comparisons) -----------
