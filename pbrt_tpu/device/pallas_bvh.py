@@ -599,7 +599,12 @@ def _joint_probe():
 def _joint_enabled():
     import os
 
-    if os.environ.get("PBRT_TPU_JOINT", "1") == "0":
+    # default: SEQUENTIAL. The round-3 A/B (tools/trav_bench.py on the
+    # 123k-tri bench, sorted e2e) measured seq 4.29/1.14/1.03 Mrays/s
+    # (camera/incoherent/anyhit) vs joint 2.57/0.54/0.47 — the joint
+    # kernel's latency-hiding layout loses ~2x across the board on the
+    # current toolchain. PBRT_TPU_JOINT=1 opts back in for A/Bs.
+    if os.environ.get("PBRT_TPU_JOINT", "0") != "1":
         return False
     return _joint_probe()
 
