@@ -45,19 +45,17 @@ def _measure(cs, W, H, icfg_depth=5, n_spp=16, reps=2):
     sa = cs.arrays
 
     R = W * H
-    rays_cap = int(os.environ.get("PBRT_TPU_BENCH_LANES", R_.PERSISTENT_MAX_RAYS))
-    spp_chunk_default = (R_.PERSISTENT_SPP_CHUNK_BIG if R >= R_.PERSISTENT_BIG_WAVE
-                         else R_.PERSISTENT_SPP_CHUNK)
-    spp_chunk = int(os.environ.get("PBRT_TPU_BENCH_SPPCHUNK", spp_chunk_default))
-    n_chunks = max(1, int(math.ceil(R / rays_cap)))
-    chunk = int(math.ceil(R / n_chunks))
-
     ys, xs = np.mgrid[0:H, 0:W]
     px = jnp.asarray(xs.ravel().astype(np.int32))
     py = jnp.asarray(ys.ravel().astype(np.int32))
     pids = jnp.asarray((ys * W + xs).ravel().astype(np.uint32))
 
     wave_p = R_.make_persistent_fn(cs)
+    cap0, sppc0 = R_.persistent_dispatch_shape(R_.LAST_PERSISTENT_TIER, R)
+    rays_cap = int(os.environ.get("PBRT_TPU_BENCH_LANES", cap0))
+    spp_chunk = int(os.environ.get("PBRT_TPU_BENCH_SPPCHUNK", sppc0))
+    n_chunks = max(1, int(math.ceil(R / rays_cap)))
+    chunk = int(math.ceil(R / n_chunks))
 
     def full_pass(seed_base):
         verts = 0.0

@@ -257,9 +257,23 @@ PERSISTENT_SPP_CHUNK = 32
 # 'TPU device error' on the spheres fidelity render
 PERSISTENT_SPP_CHUNK_BIG = 2
 PERSISTENT_BIG_WAVE = 150_000
-PERSISTENT_MAX_RAYS = 1 << 18  # ray chunk for the persistent path: one
+PERSISTENT_MAX_RAYS = 1 << 18  # ray chunk for the MEGAKERNEL tiers: one
 # (256k lanes x 2spp) dispatch stays under the watchdog (a 500k x 4spp
 # dispatch of the texture-heavy spheres scene reliably faults)
+
+
+def persistent_dispatch_shape(tier: str, R: int):
+    """(rays_cap, spp_chunk) per engine tier, swept on TPU (SWEEP_r03.json).
+
+    The XLA wavefront sustains full-film single dispatches (1.16 Mverts/s
+    at 524288 lanes, spp-chunk-insensitive, no watchdog faults on the
+    sequential kernel); the texture-heavy megakernel scenes still fault
+    beyond ~256k x 2, so they keep the conservative shape."""
+    if tier.startswith("xla-wavefront"):
+        return (1 << 19), 4
+    if R >= PERSISTENT_BIG_WAVE:
+        return PERSISTENT_MAX_RAYS, PERSISTENT_SPP_CHUNK_BIG
+    return PERSISTENT_MAX_RAYS, PERSISTENT_SPP_CHUNK
 
 
 # tier label of the most recent make_persistent_fn build — the honest
@@ -553,7 +567,10 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
         t_compile = 0.0
         first_call = True
         s = 0
-        spp_chunk = PERSISTENT_SPP_CHUNK_BIG if R >= PERSISTENT_BIG_WAVE else PERSISTENT_SPP_CHUNK
+        # re-chunk for the tier that will actually execute (swept shapes)
+        rays_cap, spp_chunk = persistent_dispatch_shape(LAST_PERSISTENT_TIER, R)
+        n_chunks = max(1, int(math.ceil(R / rays_cap)))
+        chunk = int(math.ceil(R / n_chunks))
         while s < spp:
             n_s = min(spp_chunk, spp - s)
             for c in range(n_chunks):
