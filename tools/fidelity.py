@@ -256,6 +256,7 @@ def _run_spheres(results, fast):
     desc = pbrt_parse(_stage_spheres_scene())
     spp = 4 if fast else 16
     img = render(desc, spp=spp)
+    os.makedirs("/tmp/pbrt_tpu_fidelity", exist_ok=True)
     np.save("/tmp/pbrt_tpu_fidelity/spheres_render.npy", np.asarray(img))
     # read_image decodes PNG sRGB->linear; re-encode to compare in the
     # golden's own 8-bit sRGB space
@@ -287,6 +288,7 @@ def _run_glass(results, fast):
     desc.film.x_resolution = 350
     desc.film.y_resolution = 500
     img = render(desc)
+    os.makedirs("/tmp/pbrt_tpu_fidelity", exist_ok=True)
     np.save("/tmp/pbrt_tpu_fidelity/glass_render.npy", np.asarray(img))
     gold = (srgb(read_image(f"{REF}/rendered_scenes/glass.png")) * 255).astype(np.uint8)
     # glass has no missing assets: the comparison is ABSOLUTE (no fitted
