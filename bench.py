@@ -51,7 +51,8 @@ def _measure(cs, W, H, icfg_depth=5, n_spp=16, reps=2):
     pids = jnp.asarray((ys * W + xs).ravel().astype(np.uint32))
 
     wave_p = R_.make_persistent_fn(cs)
-    cap0, sppc0 = R_.persistent_dispatch_shape(R_.LAST_PERSISTENT_TIER, R)
+    cap0, sppc0 = R_.persistent_dispatch_shape(
+        R_.LAST_PERSISTENT_TIER, R, textured=R_._has_imagemaps(cs.static))
     rays_cap = int(os.environ.get("PBRT_TPU_BENCH_LANES", cap0))
     spp_chunk = int(os.environ.get("PBRT_TPU_BENCH_SPPCHUNK", sppc0))
     n_chunks = max(1, int(math.ceil(R / rays_cap)))

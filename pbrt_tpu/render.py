@@ -262,18 +262,31 @@ PERSISTENT_MAX_RAYS = 1 << 18  # ray chunk for the MEGAKERNEL tiers: one
 # dispatch of the texture-heavy spheres scene reliably faults)
 
 
-def persistent_dispatch_shape(tier: str, R: int):
+def persistent_dispatch_shape(tier: str, R: int, textured: bool = False):
     """(rays_cap, spp_chunk) per engine tier, swept on TPU (SWEEP_r03.json).
 
-    The XLA wavefront sustains full-film single dispatches (1.16 Mverts/s
-    at 524288 lanes, spp-chunk-insensitive, no watchdog faults on the
-    sequential kernel); the texture-heavy megakernel scenes still fault
-    beyond ~256k x 2, so they keep the conservative shape."""
-    if tier.startswith("xla-wavefront"):
+    Watchdog risk scales with per-dispatch WALL TIME, not lane count:
+    - megakernel tiers run 100-200M verts/s — a full-film x 16spp
+      dispatch is ~0.1-1s, far under the watchdog (chunking them instead
+      cost 10x in per-dispatch overhead: 207 -> 19M on the spheres bench);
+    - the mesh XLA wavefront swept safe at 524288 x 16 (18s dispatch,
+      1.16 Mverts/s) — it gets full-film x 4;
+    - texture-heavy XLA waves (per-bounce EWA imagemap lookups) are the
+      one class that actually faulted (a 500k x 4 spheres-fidelity
+      dispatch runs minutes): they keep the conservative 256k x 2.
+    """
+    if tier.endswith("megakernel"):
+        return (1 << 19), 16
+    if tier.startswith("xla-wavefront") and not textured:
         return (1 << 19), 4
     if R >= PERSISTENT_BIG_WAVE:
         return PERSISTENT_MAX_RAYS, PERSISTENT_SPP_CHUNK_BIG
     return PERSISTENT_MAX_RAYS, PERSISTENT_SPP_CHUNK
+
+
+def _has_imagemaps(static) -> bool:
+    return bool(getattr(static, "tex_programs", ())) and any(
+        p.kind == "imagemap" for p in static.tex_programs)
 
 
 # tier label of the most recent make_persistent_fn build — the honest
@@ -568,7 +581,8 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
         first_call = True
         s = 0
         # re-chunk for the tier that will actually execute (swept shapes)
-        rays_cap, spp_chunk = persistent_dispatch_shape(LAST_PERSISTENT_TIER, R)
+        rays_cap, spp_chunk = persistent_dispatch_shape(
+            LAST_PERSISTENT_TIER, R, textured=_has_imagemaps(cs.static))
         n_chunks = max(1, int(math.ceil(R / rays_cap)))
         chunk = int(math.ceil(R / n_chunks))
         while s < spp:
