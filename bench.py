@@ -175,11 +175,15 @@ def _run_config(name: str):
     import pbrt_tpu.render as render
     from pbrt_tpu.scene.builder import compile_scene
 
+    import os
+
     if name == "spheres":
         cs = compile_scene(_spheres_scene())
     else:
-        cs = compile_scene(_mesh_scene())
-        assert cs.static.has_wide, "mesh bench must exercise the wide-BVH kernel"
+        n_side = int(os.environ.get("PBRT_TPU_BENCH_NSIDE", "248"))
+        cs = compile_scene(_mesh_scene(n_side=n_side))
+        if n_side == 248:
+            assert cs.static.has_wide, "mesh bench must exercise the wide-BVH kernel"
     vps, compile_s = _measure(cs, 1000, 500)
     print(json.dumps({"config": name, "vps": vps, "tris": int(cs.static.n_tris),
                       "compile_s": round(compile_s, 1),

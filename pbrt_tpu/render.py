@@ -367,7 +367,12 @@ def make_persistent_fn(cs: CompiledScene, cam=None):
             return mk
         # triangle-scene sibling: persistent megakernel with IN-KERNEL
         # wide-BVH traversal (device/megakernel_wide.py)
-        if os.environ.get("PBRT_TPU_WIDEMEGA", "1") != "0":
+        # OPT-IN since round 3: the crossover sweep (CROSSOVER_r03.json)
+        # measured the XLA wavefront + sequential packet kernel 3.2-9.5x
+        # faster at EVERY mesh size (1.2k..8.8k tris swept; 123k from r2
+        # notes) — the in-kernel traversal serializes the same packet
+        # unions without the wave's per-bounce ray re-sorting
+        if os.environ.get("PBRT_TPU_WIDEMEGA", "") == "1":
             try:
                 from .device.megakernel_wide import make_wide_megakernel_fn
 
