@@ -261,15 +261,18 @@ def _disk_load():
     if _disk is None:
         import os
 
-        path = _cache_path()
-        if os.path.exists(path):
-            try:
-                arr = np.load(path)
-                _disk = {i: arr[i] for i in range(arr.shape[0]) if arr[i].any()}
-            except Exception:
-                _disk = {}
-        else:
-            _disk = {}
+        _disk = {}
+        # packaged pre-generated table first (the search is deterministic,
+        # so shipping its output trades ~90 s of first-render latency on a
+        # cold cache for a 16 KB data file), then the user cache on top
+        pkg = os.path.join(os.path.dirname(__file__), "_sobol32_data.npy")
+        for path in (pkg, _cache_path()):
+            if os.path.exists(path):
+                try:
+                    arr = np.load(path)
+                    _disk.update({i: arr[i] for i in range(arr.shape[0]) if arr[i].any()})
+                except Exception:
+                    pass
     return _disk
 
 
@@ -293,8 +296,18 @@ def _disk_cache_put(dim: int, cols: np.ndarray):
         with open(tmp, "wb") as fh:
             np.save(fh, arr)
         os.replace(tmp, path)
-    except OSError:
-        pass
+    except OSError as e:
+        global _warned_cache
+        if not _warned_cache:
+            _warned_cache = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "sobol32 cache write failed (%s); direction-number search "
+                "will recur each process", e)
+
+
+_warned_cache = False
 
 
 def matrices(n_dims: int) -> np.ndarray:

@@ -44,7 +44,6 @@ F32 = jnp.float32
 I32 = jnp.int32
 U32 = jnp.uint32
 INF = jnp.inf
-EPS = 1e-4  # matches intersect.SHADOW_EPS
 
 K1 = 16  # supernode candidate slots per ray (supers hold <= 16 clusters)
 K2 = 12  # cluster candidate slots per ray

@@ -527,7 +527,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
                     for j in range(ns):
                         acc = acc + _nee_at(si, lobes, alive_sh, medium, b,
                                             dim_base, light_index=li_idx,
-                                            dim_salt=1 + li_idx * 64 + j,
+                                            dim_salt=1 + li_idx * 1024 + j,
                                             array_j=j, array_n=ns)
                     L = L + beta * acc / ns
             else:
@@ -802,7 +802,7 @@ def trace_persistent(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dic
                     for j in range(ns):
                         acc = acc + _nee(si, lobes, alive_sh, dim_base, s_cur,
                                          light_index=li_idx,
-                                         dim_salt=1 + li_idx * 64 + j,
+                                         dim_salt=1 + li_idx * 1024 + j,
                                          array_j=j, array_n=ns)
                     L = L + beta * acc / ns
             else:

@@ -30,9 +30,17 @@ def sobol_dim(sample_idx, dim: int, scramble):
     """Sobol' sample of dimension `dim` at index `sample_idx`, XOR-scrambled.
 
     Generator matrices come from core/sobolmat.py (algorithmic equivalent of
-    sobolmatrices.rs); the 32 column XORs unroll into pure vector ops."""
+    sobolmatrices.rs); the 32 column XORs unroll into pure vector ops.
+
+    Dims >= 1024 (NUM_SOBOL_DIMENSIONS, sobolmatrices.rs) fall back to a
+    scramble-hashed uniform — beyond the table the reference has no
+    matrices either, and searching new direction numbers for
+    arbitrarily-salted NEE dims would blow up host compile time."""
     from ..core.sobolmat import matrix
 
+    if dim >= 1024:
+        idxu = jnp.asarray(sample_idx).astype(jnp.uint32)
+        return rng.u32_to_float(rng.pcg_hash(jnp.asarray(scramble, jnp.uint32) ^ idxu))
     cols = matrix(dim)
     idxu = jnp.asarray(sample_idx).astype(jnp.uint32)
     res = jnp.broadcast_to(jnp.asarray(scramble, jnp.uint32), idxu.shape)

@@ -580,14 +580,20 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
         if cached is not cs:
             _WAVE_CACHE["pscene"] = cs
             _WAVE_CACHE["pwave"] = make_persistent_fn(cs, cam0)
+            # tier pinned per cache entry: the module global is refreshed
+            # by ANY make_persistent_fn call (bench/shard probing), so a
+            # cache-hit render must not read it — a stale label would pick
+            # dispatch shapes documented to fault the watchdog
+            _WAVE_CACHE["ptier"] = LAST_PERSISTENT_TIER
         wave_p = _WAVE_CACHE["pwave"]
+        tier = _WAVE_CACHE["ptier"]
         t0 = time.time()
         t_compile = 0.0
         first_call = True
         s = 0
         # re-chunk for the tier that will actually execute (swept shapes)
         rays_cap, spp_chunk = persistent_dispatch_shape(
-            LAST_PERSISTENT_TIER, R, textured=_has_imagemaps(cs.static))
+            tier, R, textured=_has_imagemaps(cs.static))
         n_chunks = max(1, int(math.ceil(R / rays_cap)))
         chunk = int(math.ceil(R / n_chunks))
         while s < spp:
@@ -611,11 +617,11 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
         log.info(
             "rendered %dx%d @ %dspp (persistent, %s) in %.2fs "
             "(compile+first-chunk %.2fs; %.2f Mrays/s primary, %.2f Mverts/s)",
-            ww, wh, spp, LAST_PERSISTENT_TIER, dt, t_compile,
+            ww, wh, spp, tier, dt, t_compile,
             R * spp / max(dt, 1e-9) / 1e6, n_vertices / max(dt, 1e-9) / 1e6,
         )
         render_compiled.last_timing = {"wall_s": dt, "compile_s": t_compile,
-                                       "tier": LAST_PERSISTENT_TIER}
+                                       "tier": tier}
         from .scene.arrays import scene_byte_size
         from .utils.stats import STATS
 

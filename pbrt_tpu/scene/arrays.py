@@ -211,7 +211,6 @@ class SceneArrays:
     cl_rows: jax.Array | None = None  # (C, 32, 12) f32 cluster tri blocks
     su_lo: jax.Array | None = None  # (S, 3) f32 supernode AABB mins
     su_hi: jax.Array | None = None  # (S, 3) f32 supernode AABB maxs
-    su_members: jax.Array | None = None  # (S, SUPER_M) i32 cluster ids, -1 pad
     su_bounds: jax.Array | None = None  # (S, SUPER_M*8) f32 member-bounds rows
 
 

@@ -1132,7 +1132,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             if has_cluster else None),
         su_lo=jnp.asarray(cluster.su_lo) if has_cluster else None,
         su_hi=jnp.asarray(cluster.su_hi) if has_cluster else None,
-        su_members=jnp.asarray(cluster.su_members) if has_cluster else None,
+        # (su_members stays host-side in ClusterTables — the device tier
+        # reads member ids embedded in su_bounds rows; tests use the host copy)
         su_bounds=jnp.asarray(cluster.su_bounds) if has_cluster else None,
         **sss_arrays,
     )

@@ -85,25 +85,8 @@ def main():
             print(f"  binned/{nm}: hit={float(jnp.mean(hitm)):.3f} "
                   f"overflow={float(jnp.mean(ovf)):.4f}")
 
-    # --- cluster-list tier ---
-    if getattr(static, "has_cluster", False):
-        from pbrt_tpu.device.cluster_list import cluster_intersect, packet_lists
-
-        ci = jax.jit(lambda o, d: cluster_intersect(sa, static, o, d, 1e30))
-        bench("cluster/closest/camera(sorted,e2e)", lambda: ci(o_cam, d_cam))
-        bench("cluster/closest/incoherent(sorted,e2e)", lambda: ci(o_inc, d_inc))
-        ca = jax.jit(lambda o, d: cluster_intersect(sa, static, o, d, 1e30, any_hit=True))
-        bench("cluster/anyhit/incoherent(sorted,e2e)", lambda: ca(o_inc, d_inc))
-        # cull-only cost + list stats
-        pl_ = jax.jit(lambda o, d: packet_lists(
-            sa.cl_lo, sa.cl_hi, o, d, jnp.full(o.shape[0], 1e30, jnp.float32)))
-        for nm, o_, d_ in (("camera", o_cam, d_cam), ("incoherent", o_inc, d_inc)):
-            bench(f"cluster/cull-only/{nm}", lambda o_=o_, d_=d_: pl_(o_, d_))
-            _l, segcnt, ovf = jax.device_get(pl_(o_, d_))
-            counts = segcnt.sum(axis=1)
-            print(f"  {nm}: list len mean={counts.mean():.1f} "
-                  f"p99={np.percentile(counts, 99):.0f} max={counts.max()} "
-                  f"overflow={ovf.mean():.4f}")
+    # (cluster-list tier removed in round 3 — 21827e3 deleted the module
+    # after it lost its A/B; this bench section went with it)
 
     for joint in (True, False):
         tag = "joint" if joint else "seq"
