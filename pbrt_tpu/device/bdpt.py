@@ -301,6 +301,21 @@ def generate_light_subpath(sa, static, possible, prov, dim0, power_cdf, max_s):
         from .lights import area_light_pdf_dir
 
         pdf_dir = jnp.where(is_area, area_light_pdf_dir(sa, lid, n_l, em["d"]), pdf_dir)
+    from ..scene.arrays import LIGHT_PROJECTION, LIGHT_SPOT
+
+    if any(k in (LIGHT_SPOT, LIGHT_PROJECTION) for k in static.light_kinds):
+        # cone-sampled emitters (spot.rs / projection.rs pdf_le):
+        # pdf_dir = 1/(2pi(1-cosTotalWidth)), matching sample_le's sampler
+        from .lights import _projection_cos_total
+
+        parl = sa.light_param[lid]
+        pdf_dir = jnp.where(
+            kindl == LIGHT_SPOT,
+            1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - parl[:, 9]), 1e-9), pdf_dir)
+        pdf_dir = jnp.where(
+            kindl == LIGHT_PROJECTION,
+            1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - _projection_cos_total(parl)), 1e-9),
+            pdf_dir)
 
     v, _ = _random_walk(sa, static, possible, prov, dim0 + 5, v, 1, max_s - 1, em["o"], em["d"], beta, pdf_dir, alive, "importance")
     n_light = jnp.sum(v["type"] != VT_NONE, axis=1)

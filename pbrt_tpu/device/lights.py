@@ -519,6 +519,21 @@ def pdf_li_area_hit(sa: SceneArrays, p_ref, hit_p, hit_ng, hit_light, prim_area_
 # ---------------------------------------------------------------------------
 
 
+def _projection_cos_total(par):
+    """cos of the cone circumscribing a projection light's screen window
+    (projection.rs:75-79: normalize(inverse-project(screen corner)).z).
+
+    The screen corner direction in light space is
+    (xm*tanHalf, ym*tanHalf, 1) with (xm, ym) the screen half-extents
+    (aspect, 1) for wide maps / (1, 1/aspect) for tall ones — the same
+    convention _image_light_scale uses for the inside test."""
+    tan_half = par[:, 9]
+    aspect = jnp.maximum(par[:, 10], 1e-6)
+    xm = jnp.maximum(aspect, 1.0)
+    ym = jnp.maximum(1.0 / aspect, 1.0)
+    return 1.0 / jnp.sqrt(1.0 + tan_half * tan_half * (xm * xm + ym * ym))
+
+
 def compute_power(sa: SceneArrays, static: SceneStatic):
     """Approximate emitted power per light (Light::power), for the photon
     light-selection distribution (integrator.rs:239-246)."""
@@ -533,6 +548,21 @@ def compute_power(sa: SceneArrays, static: SceneStatic):
     power = jnp.where(kind == LIGHT_SPOT, 2.0 * jnp.pi * (1.0 - 0.5 * (par[:, 9] + par[:, 10])) * lum, power)
     power = jnp.where(kind == LIGHT_DISTANT, jnp.pi * wr * wr * lum, power)
     power = jnp.where(kind == LIGHT_INFINITE, jnp.pi * wr * wr * lum, power)
+    if any(k in (LIGHT_GONIO, LIGHT_PROJECTION) for k in static.light_kinds):
+        # gonio: 4pi * sum(I * imgavg) (goniometric.rs power — mipmap
+        # width-0.5 lookup ~ image average); projection: cone solid angle
+        # 2pi(1 - cosTotalWidth) * sum(I * imgavg) (projection.rs power)
+        avg = []
+        for i in range(static.n_lights):
+            key = static.light_image_keys[i] if i < len(static.light_image_keys) else None
+            avg.append(jnp.mean(sa.light_images[key], axis=(0, 1))
+                       if key is not None else jnp.ones(3, F32))
+        avg = jnp.stack(avg)  # (L, 3)
+        ilum = (par[:, 3:6] * avg).sum(axis=-1)
+        power = jnp.where(kind == LIGHT_GONIO, 4.0 * jnp.pi * ilum, power)
+        cos_total = _projection_cos_total(par)
+        power = jnp.where(kind == LIGHT_PROJECTION,
+                          2.0 * jnp.pi * (1.0 - cos_total) * ilum, power)
     if static.has_area_lights:
         area = sa.prim_area[jnp.maximum(sa.light_prim, 0)]
         two = 1.0 + (par[:, 3] > 0)
@@ -582,6 +612,52 @@ def sample_le(sa: SceneArrays, static: SceneStatic, light_ids, u1a, u1b, u2a, u2
     o = jnp.where(m[:, None], par[:, 0:3], o)
     d = jnp.where(m[:, None], d_sp, d)
     w = jnp.where(m[:, None], par[:, 3:6] * (fall / pdf_cone)[:, None], w)
+
+    # goniometric: uniform sphere like point, Le modulated by the spherical
+    # intensity map (goniometric.rs:105 sample_le: pdf_dir = 1/4pi,
+    # Le = I * scale(d)); projection: uniform cone circumscribing the
+    # screen window in LIGHT space, transformed to world
+    # (projection.rs:137: uniform_sample_cone(cosTotalWidth), Le = I *
+    # projection(d) which is zero outside the screen rectangle)
+    if any(k in (LIGHT_GONIO, LIGHT_PROJECTION) for k in static.light_kinds):
+        m_g = kind == LIGHT_GONIO
+        m_pj = kind == LIGHT_PROJECTION
+        d_g = uniform_sample_sphere(u2a, u2b)
+        # projection cone sample around +z in light space
+        cos_total = _projection_cos_total(par)
+        cos_t = (1.0 - u2a) + u2a * cos_total
+        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+        phi_p = 2.0 * jnp.pi * u2b
+        v_l = jnp.stack([sin_t * jnp.cos(phi_p), sin_t * jnp.sin(phi_p), cos_t], axis=-1)
+        # light->world rotation = inverse of the stored world->light 3x3
+        # (L is tiny; invert all rows once, gather per lane)
+        l2w_rot = jnp.linalg.inv(sa.light_w2l[:, :3, :3])[lid]
+        d_pj = _norm(jnp.einsum("rij,rj->ri", l2w_rot, v_l))
+        d_gp = jnp.where(m_pj[:, None], d_pj, d_g)
+        # image modulation (shared with sample_li); mapless projection
+        # still needs the screen inside-test that projection() applies
+        scale = jnp.ones((R, 3), F32)
+        if any(k is not None for k in static.light_image_keys):
+            scale = _image_light_scale(sa, static, lid, kind, d_gp, par, scale)
+        tan_half = par[:, 9]
+        aspect = jnp.maximum(par[:, 10], 1e-6)
+        sx = v_l[:, 0] / jnp.maximum(v_l[:, 2], 1e-6) / jnp.maximum(tan_half * jnp.maximum(aspect, 1.0), 1e-6)
+        sy = v_l[:, 1] / jnp.maximum(v_l[:, 2], 1e-6) / jnp.maximum(tan_half * jnp.maximum(1.0 / aspect, 1.0), 1e-6)
+        inside = (v_l[:, 2] >= 1e-3) & (jnp.abs(sx) <= 1.0) & (jnp.abs(sy) <= 1.0)
+        has_img = jnp.zeros(R, bool)
+        for i, key in enumerate(static.light_image_keys):
+            if key is not None:
+                has_img = has_img | (lid == i)
+        scale = jnp.where((m_pj & ~has_img)[:, None],
+                          jnp.where(inside[:, None], 1.0, 0.0), scale)
+        pdf_cone = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_total), 1e-9)
+        m_gp = m_g | m_pj
+        o = jnp.where(m_gp[:, None], par[:, 0:3], o)
+        d = jnp.where(m_gp[:, None], d_gp, d)
+        w_g = par[:, 3:6] * scale * (4.0 * jnp.pi)
+        w_pj = par[:, 3:6] * scale / pdf_cone[:, None]
+        w = jnp.where(m_g[:, None], w_g, w)
+        w = jnp.where(m_pj[:, None], w_pj, w)
 
     # distant: point on a world-radius disk, direction = -light dir
     m = kind == LIGHT_DISTANT
