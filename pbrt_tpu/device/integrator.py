@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..scene.arrays import SceneArrays, SceneStatic
+from . import rng as _rng
 from .bsdf import bsdf_f, bsdf_pdf, bsdf_sample, num_lobes, _is_specular, cosine_sample_hemisphere
 from .intersect import intersect, intersect_p
 from .lights import area_light_emission, env_le, env_pdf_li, pdf_li_area_hit, sample_li
@@ -246,8 +247,10 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         if handle_media:
             t_surf = jnp.where(valid, hit["t"], jnp.full(R, jnp.inf, F32))
             bkey = jnp.uint32(0) if b is None else b.astype(jnp.uint32)
-            mkey = (jnp.asarray(seed, jnp.uint32) * jnp.uint32(131)
-                    + jnp.asarray(sample_idx, jnp.uint32) * jnp.uint32(7) + bkey)
+            # per-lane key from the GLOBAL pixel id (shard-invariant: the
+            # lane index restarts per shard_map shard, pixel ids don't)
+            mkey = _rng.hash_combine(seed, pixel,
+                                     jnp.asarray(sample_idx, jnp.uint32) * jnp.uint32(7) + bkey)
             ms = medium_sample(sa, static, medium, o, d, t_surf, mkey)
             in_scatter = alive & ms["hit_medium"]
             beta = jnp.where((alive & (medium >= 0))[:, None], beta * ms["weight"], beta)
@@ -297,7 +300,9 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         o_sh = _offset_ray(p_v, ng_v, wi, p_err)
         t_sh = dist * (1.0 - 2.0 * RAY_EPS)
         if pass_null:
-            key = (jnp.asarray(seed, jnp.uint32) * jnp.uint32(31) + jnp.asarray(sample_idx, jnp.uint32)) ^ (b.astype(jnp.uint32) * jnp.uint32(0x68E31DA4))
+            # per-lane, pixel-global key (see medium_sample note)
+            key = _rng.hash_combine(seed, pixel, jnp.asarray(sample_idx, jnp.uint32)
+                                    ^ (b.astype(jnp.uint32) * jnp.uint32(0x68E31DA4)))
             return transmittance_shadow(sa, static, o_sh, wi, t_sh, medium_v, key, time=time)
         if needed is not None:
             t_sh = jnp.where(needed, t_sh, -1.0)

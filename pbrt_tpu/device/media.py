@@ -132,8 +132,14 @@ def medium_sample(sa: SceneArrays, static: SceneStatic, med, o, d, t_surf, key):
     interactions, or Tr/pdf for surface pass-through).
     """
     R = o.shape[0]
-    # per-ray decorrelated key stream
-    key = rng.pcg_hash(jnp.asarray(key, jnp.uint32) + jnp.arange(R, dtype=jnp.uint32) * jnp.uint32(0x9E3779B1))
+    # per-ray decorrelated key stream. Callers SHOULD pass a per-lane (R,)
+    # key derived from global pixel ids — a scalar key falls back to the
+    # lane index, which is NOT shard-invariant (each shard_map shard
+    # restarts the lane iota at 0: the round-4 volpath mesh-parity bug)
+    key = jnp.asarray(key, jnp.uint32)
+    if key.ndim == 0:
+        key = key + jnp.arange(R, dtype=jnp.uint32) * jnp.uint32(0x9E3779B1)
+    key = rng.pcg_hash(key)
     par = sa.med_param[jnp.maximum(med, 0)] if static.n_media else jnp.zeros((R, 8), F32)
     sig_a = par[:, 0:3]
     sig_s = par[:, 3:6]
@@ -264,7 +270,12 @@ def medium_tr(sa: SceneArrays, static: SceneStatic, med, o, d, t_max, key):
             _, _, done, _, steps = state
             return jnp.any(~done) & (steps < MAX_TRACKING_STEPS)
 
-        keys = rng.pcg_hash(key + jnp.arange(R, dtype=jnp.uint32) * jnp.uint32(0x85EBCA6B))
+        keyv = jnp.asarray(key, jnp.uint32)
+        if keyv.ndim == 0:
+            # scalar fallback (see medium_sample): lane-indexed, not
+            # shard-invariant — render paths pass per-lane keys
+            keyv = keyv + jnp.arange(R, dtype=jnp.uint32) * jnp.uint32(0x85EBCA6B)
+        keys = rng.pcg_hash(keyv)
         _t, trv, _d, _k, _s = jax.lax.while_loop(
             cond, body, (jnp.zeros(R, F32), jnp.ones(R, F32), ~active0, keys, jnp.int32(0))
         )

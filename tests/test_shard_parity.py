@@ -48,13 +48,37 @@ def test_sppm_shard_mesh_invariance(scenes):
 
     desc, cs = scenes["sppm"]
     # photon seeds ride the device index, so exact bit-parity across mesh
-    # shapes is not expected — but the ESTIMATOR must agree statistically
-    img1 = np.asarray(render_sppm_sharded_step(cs, desc, _mesh(1), n_iters=2, n_photons=2048))
-    img8 = np.asarray(render_sppm_sharded_step(cs, desc, _mesh(8), n_iters=2, n_photons=2048))
+    # shapes is not expected — but the ESTIMATOR must agree statistically.
+    # Band tightened round 4 (was 0.25 @ 2x2048 photons — loose enough to
+    # hide a per-device normalization slip): more photons shrink the MC
+    # noise so a lost or doubled 1/n_dev factor cannot sneak under it.
+    img1 = np.asarray(render_sppm_sharded_step(cs, desc, _mesh(1), n_iters=3, n_photons=8192))
+    img8 = np.asarray(render_sppm_sharded_step(cs, desc, _mesh(8), n_iters=3, n_photons=8192))
     lit = img1.mean(-1) > 1e-3
     assert lit.sum() > 50
     ratio = img8[lit].mean() / img1[lit].mean()
-    assert abs(ratio - 1.0) < 0.25, f"mesh-shape brightness drift {ratio}"
+    assert abs(ratio - 1.0) < 0.1, f"mesh-shape brightness drift {ratio}"
+
+
+def test_volpath_shard_mesh_invariance():
+    """volpath's medium sampling under shard_map: per-segment distance
+    sampling + transmittance-weighted NEE are deterministic functions of
+    (pixel_id, sample_idx), so mesh shape must not change the image
+    (volpath.rs:82-232 semantics; round-3 verdict gap — only path had an
+    allclose parity gate)."""
+    from pbrt_tpu.parallel.shard import render_sharded_step
+    from pbrt_tpu.scene.host import HostMedium
+
+    desc = _tiny_scene(res=(32, 16), spp=2, integrator="volpath", max_depth=3)
+    desc.media = {"fog": HostMedium(kind="homogeneous",
+                                    sigma_a=np.full(3, 0.02),
+                                    sigma_s=np.full(3, 0.08), g=0.2)}
+    desc.camera_medium = "fog"
+    cs = compile_scene(desc)
+    img1 = np.asarray(render_sharded_step(cs, desc, _mesh(1), spp=2))
+    img8 = np.asarray(render_sharded_step(cs, desc, _mesh(8), spp=2))
+    assert img1.mean() > 1e-4
+    np.testing.assert_allclose(img8, img1, rtol=2e-4, atol=2e-5)
 
 
 def test_bdpt_shard_mesh_invariance(scenes):
