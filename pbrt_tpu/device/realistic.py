@@ -202,7 +202,10 @@ def make_realistic(cfg, film):
         "rear_z": float(lens.rear_z()),
         "film_extent": (fx, fy),
     }
-    rcam["pupil_bounds"] = compute_exit_pupil(rcam, (fx, fy))
+    # 64 radial buckets like realistic.rs:91 (was 16 through round 3 —
+    # coarse buckets over-covered the pupil at wide apertures, wasting
+    # samples on vignetted rays and flattening the area-weight profile)
+    rcam["pupil_bounds"] = compute_exit_pupil(rcam, (fx, fy), n_buckets=64)
     return rcam
 
 
@@ -329,5 +332,11 @@ def realistic_generate_rays(cam, rcam, p_film_x, p_film_y, u1, u2):
     o_w = xf_vector(c2w[:3, :3], o_cam) + c2w[:3, 3]
     d_w = xf_vector(c2w[:3, :3], d_cam)
     d_w = d_w / jnp.maximum(jnp.linalg.norm(d_w, axis=-1, keepdims=True), 1e-30)
-    weight = jnp.where(ok, cos0 ** 4, 0.0)
+    # simple_weighting (realistic.rs:494): cos^4 scaled by the sampled
+    # pupil bucket's area relative to the on-axis bucket — wider film
+    # radii see a different (usually smaller) exit pupil, and the weight
+    # must track the per-bucket sampling density or vignetting is biased
+    area = (bb[:, 1] - bb[:, 0]) * (bb[:, 3] - bb[:, 2])
+    area0 = jnp.maximum((pupil[0, 1] - pupil[0, 0]) * (pupil[0, 3] - pupil[0, 2]), 1e-12)
+    weight = jnp.where(ok, cos0 ** 4 * area / area0, 0.0)
     return o_w, d_w, weight

@@ -212,3 +212,37 @@ def test_realistic_camera_renders():
     img = render(desc, spp=8)
     assert np.isfinite(img).all()
     assert img.max() > 0.05  # something came through the lens
+
+
+def test_realistic_exit_pupil_table():
+    """64 radial exit-pupil buckets (realistic.rs:91) + the simple_weighting
+    area factor: the on-axis bucket weighs cos^4 exactly (area ratio 1)."""
+    from pbrt_tpu.device.camera import make_camera
+    from pbrt_tpu.device.realistic import make_realistic, realistic_generate_rays
+
+    cfg = CameraConfig(
+        kind="realistic",
+        camera_to_world=Transform.look_at([0, 5, 0], [0, 0, 0], [0, 0, 1]),
+        focus_distance=5.0,
+        aperture_diameter=6.0,
+    )
+    film = _film(16, 12)
+    cam = make_camera(cfg, film)
+    rcam = make_realistic(cfg, film)
+    pupil = np.asarray(rcam["pupil_bounds"])
+    assert pupil.shape == (64, 4)
+    areas = (pupil[:, 1] - pupil[:, 0]) * (pupil[:, 3] - pupil[:, 2])
+    assert (areas > 0).all()
+    # pupil shrinks (or at worst holds) toward the film rim for this lens
+    assert areas[-1] <= areas[0] * 1.05
+    # center-of-film rays: bucket 0, so weight == cos^4 (area ratio 1)
+    import jax.numpy as jnp
+
+    n = 64
+    px = jnp.full((n,), film.x_resolution / 2.0, jnp.float32)
+    py = jnp.full((n,), film.y_resolution / 2.0, jnp.float32)
+    u = jnp.linspace(0.05, 0.95, n)
+    o, d, w = realistic_generate_rays(cam, rcam, px, py, u, u[::-1])
+    w = np.asarray(w)
+    assert (w[np.asarray(w) > 0] <= 1.0 + 1e-5).all()
+    assert (w > 0).sum() > n // 4  # on-axis pupil mostly unvignetted
