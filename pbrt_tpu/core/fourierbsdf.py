@@ -106,6 +106,102 @@ def read_fourier_table(path: str) -> dict | None:
     }
 
 
+def write_rough_conductor_table(path: str, alpha: float = 0.3, nmu: int = 24,
+                                n_phi: int = 256, rel_eps: float = 1e-4) -> None:
+    """Synthesize a MULTI-LOBE SCATFUN table: Beckmann rough conductor
+    (Fresnel = 1) projected onto the azimuthal cosine basis.
+
+    Unlike write_lambert_table (order-1 everywhere), the per-pair Fourier
+    order here genuinely varies with the geometry (grazing pairs need
+    10-60 cosine terms at alpha=0.3), exercising the ragged->dense
+    densification, the per-pair order bookkeeping, and the full series
+    evaluation on device against independently computable ground truth —
+    the role the reference's embedded measured table plays in
+    tests/fourierbsdf.rs:14.
+
+    Jakob convention (reflection.rs:193-333): pair (mu_o, mu_i) stores
+    f(wo, wi) * |mu_i| as a series in cos(k * phi_d) where
+    cos(phi_d) = CosDPhi(-wi, wo); reflection quadrants have
+    mu_i * mu_o < 0.
+    """
+    t = np.linspace(-1.0, 1.0, nmu)
+    mu = np.sign(t) * np.abs(t) ** 1.0
+    mu = mu.astype(np.float32)
+    phi_d = np.linspace(0.0, np.pi, n_phi)
+
+    def f_micro(mu_o_abs, mu_i_abs, phi_i):
+        # Beckmann D * Smith G / (4 cos_o cos_i), Fresnel = 1; wi at
+        # azimuth phi_i, wo at azimuth 0 (see test for the same formula)
+        so = np.sqrt(max(0.0, 1.0 - mu_o_abs**2))
+        si = np.sqrt(max(0.0, 1.0 - mu_i_abs**2))
+        wo = np.array([so, 0.0, mu_o_abs])
+        wi = np.stack([si * np.cos(phi_i), si * np.sin(phi_i),
+                       np.full_like(phi_i, mu_i_abs)], axis=-1)
+        wh = wi + wo
+        nrm = np.linalg.norm(wh, axis=-1)
+        wh = wh / np.maximum(nrm, 1e-12)[:, None]
+        ct2 = np.clip(wh[:, 2] ** 2, 1e-12, 1.0)
+        tan2 = (1.0 - ct2) / ct2
+        D = np.exp(-tan2 / alpha**2) / (np.pi * alpha**2 * ct2**2)
+
+        def lam(c):
+            s = np.sqrt(max(0.0, 1.0 - c * c))
+            if s < 1e-9:
+                return 0.0
+            a = c / (alpha * s)
+            return 0.0 if a >= 1.6 else (1 - 1.259 * a + 0.396 * a * a) / (3.535 * a + 2.181 * a * a)
+
+        G = 1.0 / (1.0 + lam(mu_o_abs) + lam(mu_i_abs))
+        out = D * G / max(4.0 * mu_o_abs * mu_i_abs, 1e-9)
+        return np.where(nrm > 1e-9, out, 0.0)
+
+    pair_coeffs: dict[int, np.ndarray] = {}
+    max_order = 1
+    for o in range(nmu):
+        for i in range(nmu):
+            if mu[o] * mu[i] >= 0 or abs(mu[i]) < 1e-3 or abs(mu[o]) < 1e-3:
+                continue
+            # phi_d -> physical wi azimuth: cos(phi_i) = -cos(phi_d)
+            vals = f_micro(abs(mu[o]), abs(mu[i]), np.pi - phi_d) * abs(mu[i])
+            # cosine projection (f even in phi_d); trapezoid over [0, pi]
+            ks = np.arange(n_phi)
+            basis = np.cos(np.outer(np.arange(64), phi_d))
+            w = np.full(n_phi, np.pi / (n_phi - 1))
+            w[0] *= 0.5
+            w[-1] *= 0.5
+            ak = (basis * (vals * w)[None, :]).sum(axis=1) / np.pi
+            ak[1:] *= 2.0
+            del ks
+            m = 64
+            while m > 1 and abs(ak[m - 1]) < rel_eps * max(ak[0], 1e-12):
+                m -= 1
+            pair_coeffs[o * nmu + i] = ak[:m].astype(np.float32)
+            max_order = max(max_order, m)
+    a0 = np.zeros((nmu, nmu), np.float32)
+    for flat, ak in pair_coeffs.items():
+        a0[flat // nmu, flat % nmu] = max(ak[0], 0.0)
+    cdf = integrate_catmull_rom(mu.astype(np.float64), a0.astype(np.float64)).astype(np.float32)
+    coeffs: list[float] = []
+    ol = np.zeros((nmu * nmu, 2), np.int32)
+    for flat in range(nmu * nmu):
+        ak = pair_coeffs.get(flat)
+        if ak is None or len(ak) == 0:
+            ol[flat] = (len(coeffs), 0)
+        else:
+            ol[flat] = (len(coeffs), len(ak))
+            coeffs.extend(ak.tolist())
+    a = np.asarray(coeffs, np.float32)
+    with open(path, "wb") as f:
+        f.write(_HEADER)
+        f.write(struct.pack("<9i", 1, nmu, len(a), max_order, 1, 1, 0, 0, 0))
+        f.write(struct.pack("<f", 1.0))
+        f.write(struct.pack("<4i", 0, 0, 0, 0))
+        f.write(mu.tobytes())
+        f.write(cdf.tobytes())
+        f.write(ol.tobytes())
+        f.write(a.tobytes())
+
+
 def write_lambert_table(path: str, rho: float = 0.8, nmu: int = 32) -> None:
     """Synthesize a SCATFUN file for a Lambertian BRDF with albedo rho.
 

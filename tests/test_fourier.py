@@ -130,3 +130,101 @@ def test_fourier_material_end_to_end(ft, tmp_path):
     lit = img_m[:, :, 0] > 0.05
     assert lit.sum() > 10
     np.testing.assert_allclose(img_f[lit], img_m[lit], rtol=0.08, atol=0.01)
+
+
+# ---------------------------------------------------------------------------
+# Multi-lobe table (round-4): a Beckmann rough conductor projected onto the
+# Fourier basis — per-pair order genuinely varies (the reference validates
+# this machinery against a 17k-line embedded measured table,
+# tests/fourierbsdf.rs:14; we synthesize the multi-order data instead and
+# check the device path against the closed-form microfacet ground truth)
+# ---------------------------------------------------------------------------
+
+ALPHA_MF = 0.3
+
+
+def _beckmann_f(wo, wi, alpha=ALPHA_MF):
+    """Ground truth: Beckmann D * Smith G / (4 cos cos), Fresnel = 1."""
+    wo = np.asarray(wo, np.float64)
+    wi = np.asarray(wi, np.float64)
+    wh = wo + wi
+    nrm = np.linalg.norm(wh, axis=-1)
+    wh = wh / np.maximum(nrm, 1e-12)[..., None]
+    ct2 = np.clip(wh[..., 2] ** 2, 1e-12, 1.0)
+    tan2 = (1.0 - ct2) / ct2
+    D = np.exp(-tan2 / alpha**2) / (np.pi * alpha**2 * ct2**2)
+
+    def lam(c):
+        c = np.abs(c)
+        s = np.sqrt(np.maximum(0.0, 1.0 - c * c))
+        a = c / np.maximum(alpha * s, 1e-12)
+        v = (1 - 1.259 * a + 0.396 * a * a) / (3.535 * a + 2.181 * a * a)
+        return np.where((a >= 1.6) | (s < 1e-9), 0.0, v)
+
+    G = 1.0 / (1.0 + lam(wo[..., 2]) + lam(wi[..., 2]))
+    f = D * G / np.maximum(4.0 * wo[..., 2] * wi[..., 2], 1e-9)
+    return np.where(nrm > 1e-9, f, 0.0)
+
+
+@pytest.fixture(scope="module")
+def ft_mf(tmp_path_factory):
+    from pbrt_tpu.core.fourierbsdf import write_rough_conductor_table
+
+    path = str(tmp_path_factory.mktemp("bsdf") / "beckmann.bsdf")
+    write_rough_conductor_table(path, alpha=ALPHA_MF, nmu=32)
+    tbl = read_fourier_table(path)
+    assert tbl is not None
+    # the point of this table: the azimuthal order varies per pair
+    assert tbl["m_cap"] >= 8, f"expected multi-lobe orders, m_cap={tbl['m_cap']}"
+    orders = (np.abs(tbl["a"][:, 0, :]) > 0).sum(-1)
+    assert orders.max() >= 8 and (orders[orders > 0].min() <= 4)
+    return _stack_fourier_tables([tbl])
+
+
+def test_fourier_multilobe_matches_microfacet(ft_mf):
+    n = 512
+    r = np.random.RandomState(11)
+    z = r.uniform(0.25, 0.9, n)
+    phi = r.uniform(0, 2 * np.pi, n)
+    s = np.sqrt(1 - z * z)
+    wo = np.stack([s * np.cos(phi), s * np.sin(phi), z], -1)
+    z2 = r.uniform(0.25, 0.9, n)
+    phi2 = r.uniform(0, 2 * np.pi, n)
+    s2 = np.sqrt(1 - z2 * z2)
+    wi = np.stack([s2 * np.cos(phi2), s2 * np.sin(phi2), z2], -1)
+    tid = jnp.zeros(n, jnp.int32)
+    f_dev = np.asarray(fourier_f(ft_mf, tid, jnp.asarray(wo, jnp.float32),
+                                 jnp.asarray(wi, jnp.float32)))[:, 1]
+    f_ref = _beckmann_f(wo, wi)
+    # compare where the BRDF is non-negligible (the Fourier series ringing
+    # dominates relative error in the near-zero tail)
+    sel = f_ref > 1e-2
+    assert sel.sum() > n // 4
+    err = np.abs(f_dev[sel] - f_ref[sel]) / f_ref[sel]
+    assert np.median(err) < 0.05, f"median rel err {np.median(err)}"
+    assert np.mean(err) < 0.15, f"mean rel err {np.mean(err)}"
+
+
+def test_fourier_multilobe_sample_consistency(ft_mf):
+    """sample_f's returned (f, pdf) agree with direct f()/pdf() at the
+    sampled directions, and the pdf integrates to ~1."""
+    n = 8192
+    r = np.random.RandomState(13)
+    wo = jnp.broadcast_to(jnp.asarray([0.35, 0.0, 0.9367], jnp.float32), (n, 3))
+    tid = jnp.zeros(n, jnp.int32)
+    fs = fourier_sample(ft_mf, tid, wo, jnp.asarray(r.rand(n), jnp.float32),
+                        jnp.asarray(r.rand(n), jnp.float32))
+    ok = np.asarray(fs["pdf"]) > 1e-5
+    assert ok.sum() > n // 2
+    f_direct = np.asarray(fourier_f(ft_mf, tid, wo, fs["wi"]))[ok]
+    pdf_direct = np.asarray(fourier_pdf(ft_mf, tid, wo, fs["wi"]))[ok]
+    np.testing.assert_allclose(np.asarray(fs["f"])[ok], f_direct, rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fs["pdf"])[ok], pdf_direct, rtol=2e-3, atol=1e-4)
+    # pdf normalization over the sphere
+    z = r.uniform(-1, 1, 20000)
+    ph = r.uniform(0, 2 * np.pi, 20000)
+    sq = np.sqrt(1 - z * z)
+    wi_u = jnp.asarray(np.stack([sq * np.cos(ph), sq * np.sin(ph), z], -1), jnp.float32)
+    wo_u = jnp.broadcast_to(jnp.asarray([0.35, 0.0, 0.9367], jnp.float32), (20000, 3))
+    pdf_u = np.asarray(fourier_pdf(ft_mf, jnp.zeros(20000, jnp.int32), wo_u, wi_u))
+    np.testing.assert_allclose(pdf_u.mean() * 4 * np.pi, 1.0, rtol=0.08)
