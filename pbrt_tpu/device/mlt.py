@@ -16,6 +16,15 @@ Deviations from the reference (documented):
   chain step); this raises per-mutation cost but lowers variance
 - small-step mutations are single wrapped-Gaussian perturbations
   (symmetric proposal), not the reference's exp-decay accumulated form
+  (mlt.rs:111-119: effsigma = sigma * sqrt(n_small) applied lazily per
+  dimension at first touch). The two proposals are near-equivalent
+  distributions; what the lazy accumulation actually buys the reference
+  is CPU time — untouched dimensions pay nothing until read. Our chains
+  mutate every dimension of the (chains x dims) array in bulk each step,
+  which on a TPU is a single fused elementwise op — lazy per-dimension
+  modification-time tracking would ADD divergent bookkeeping to save
+  vector flops that are effectively free, so the accumulated form is
+  deliberately not ported.
 """
 from __future__ import annotations
 
