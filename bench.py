@@ -51,12 +51,17 @@ def _measure(cs, W, H, icfg_depth=5, n_spp=16, reps=2):
     pids = jnp.asarray((ys * W + xs).ravel().astype(np.uint32))
 
     wave_p = R_.make_persistent_fn(cs)
+    tier = R_.LAST_PERSISTENT_TIER
     cap0, sppc0 = R_.persistent_dispatch_shape(
-        R_.LAST_PERSISTENT_TIER, R, textured=R_._has_imagemaps(cs.static))
+        tier, R, textured=R_._has_imagemaps(cs.static))
     rays_cap = int(os.environ.get("PBRT_TPU_BENCH_LANES", cap0))
     spp_chunk = int(os.environ.get("PBRT_TPU_BENCH_SPPCHUNK", sppc0))
     n_chunks = max(1, int(math.ceil(R / rays_cap)))
     chunk = int(math.ceil(R / n_chunks))
+    # k-way spp interleaving (XLA wavefront tiers only; megakernel fns
+    # don't take the arg)
+    spp_k = R_.persistent_spp_k(tier, chunk, spp_chunk)
+    extra = (spp_k,) if tier.startswith("xla-wavefront") else ()
 
     def full_pass(seed_base):
         verts = 0.0
@@ -66,7 +71,8 @@ def _measure(cs, W, H, icfg_depth=5, n_spp=16, reps=2):
             for c in range(n_chunks):
                 sl = slice(c * chunk, min((c + 1) * chunk, R))
                 Lw, w, nv = wave_p(sa, px[sl], py[sl], pids[sl],
-                                   jnp.uint32(seed_base + s), n_s, jnp.uint32(0))
+                                   jnp.uint32(seed_base + s), n_s, jnp.uint32(0),
+                                   *extra)
                 verts += float(jnp.sum(nv))
             s += n_s
         jax.block_until_ready(Lw)

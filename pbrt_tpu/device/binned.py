@@ -167,9 +167,40 @@ def _cull_supers_words(su_lo, su_hi, o, inv, t_arr, block: int = 4096):
     return words.reshape(Rp, W)[:R], S
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 8))
+def _onehot_rows(idx, table, n_rows: int):
+    """Fetch su_bounds rows by index with one-hot MXU matmuls instead of a
+    row gather (ROOFLINE.md §3 "MXU one-hot gathers ... viable for the
+    supernode level"). Two bf16 matmuls per fetch reconstruct the f32 row
+    as hi + lo, which carries ~17 effective mantissa bits:
+
+    - member AABB columns (col%8 in 0..5) are pre-INFLATED by 2^-16
+      relative before the split, so the <= 2^-17 split error keeps the
+      reconstructed bounds conservative (spurious candidates are harmless;
+      missed ones are not);
+    - the cluster-id column (col%8 == 6) reconstructs EXACTLY: cid is an
+      integer < 2^16 (binned gate caps n_clusters at 8192), bf16(cid) is
+      an integer with error <= 2^7, so the residual is an integer of
+      magnitude <= 2^7 — exact in bf16; the MXU accumulates in f32 and
+      one-hot entries are exact, so hi[sid] + lo[sid] == cid.
+
+    Cost ~0.5 ms per 262k-ray slot at 512 supers vs the 62 M rows/s row-
+    gather floor. Gated by PBRT_TPU_BINNED_ONEHOT (A/B: tools/binned_phases)."""
+    col = jnp.arange(table.shape[1], dtype=I32) % 8
+    is_lo = col < 3
+    is_hi = (col >= 3) & (col < 6)
+    pad = jnp.abs(table) * F32(2 ** -16)
+    t_adj = jnp.where(is_lo[None, :], table - pad,
+                      jnp.where(is_hi[None, :], table + pad, table))
+    hi = t_adj.astype(jnp.bfloat16)
+    lo = (t_adj - hi.astype(F32)).astype(jnp.bfloat16)
+    oh = (idx[:, None] == jnp.arange(n_rows, dtype=I32)[None, :]).astype(jnp.bfloat16)
+    return (jax.lax.dot(oh, hi, preferred_element_type=F32)
+            + jax.lax.dot(oh, lo, preferred_element_type=F32))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 8, 9))
 def _binned_core(n_clusters, any_hit, su_lo, su_hi, su_bounds,
-                 cl_rows, o, d, R, t_arr):
+                 cl_rows, o, d, R, onehot, t_arr):
     from .intersect import ray_triangle
 
     inv = _safe_inv(d)
@@ -183,7 +214,9 @@ def _binned_core(n_clusters, any_hit, su_lo, su_hi, su_bounds,
     # per super slot: ONE row gather (fast DMA) + static-slice slab tests
     # per member. No per-element gathers anywhere (they run on the scalar
     # core: the gather-based formulation measured 2.2s per 262k wave).
+    # onehot=True replaces the gather with the exact one-hot MXU fetch.
     M = su_bounds.shape[1] // 8
+    n_su = su_bounds.shape[0]
     oinv_t = tuple(oinv[:, c:c + 1] for c in range(3))
     inv_t = tuple(inv[:, c:c + 1] for c in range(3))
     tn_cols = []
@@ -191,7 +224,10 @@ def _binned_core(n_clusters, any_hit, su_lo, su_hi, su_bounds,
     for k in range(K1):
         sid = sup_idx[:, k]
         sid_b = jax.lax.optimization_barrier(jnp.maximum(sid, 0))
-        row = jax.lax.optimization_barrier(su_bounds[sid_b])  # (R, M*8)
+        if onehot:
+            row = _onehot_rows(sid_b, su_bounds, n_su)  # (R, M*8)
+        else:
+            row = jax.lax.optimization_barrier(su_bounds[sid_b])  # (R, M*8)
         ok_slot = sid >= 0
         for m in range(M):
             base = m * 8
@@ -368,11 +404,14 @@ def binned_intersect(sa, static, o, d, t_max, any_hit: bool = False,
     `interpret` are accepted for signature compatibility; this tier has
     no kernels to interpret and never needs ray sorting.
     """
+    import os
+
     R = o.shape[0]
     t_arr = jnp.broadcast_to(jnp.asarray(t_max, F32), (R,))
+    onehot = os.environ.get("PBRT_TPU_BINNED_ONEHOT", "") == "1"
     t, prim, hitm, b1, b2, ovf = _binned_core(
         int(static.n_clusters), bool(any_hit), sa.su_lo, sa.su_hi,
-        sa.su_bounds, sa.cl_rows, o, d, R, t_arr)
+        sa.su_bounds, sa.cl_rows, o, d, R, onehot, t_arr)
 
     # overflow fallback: re-run only the overflowed rays through the
     # wide-BVH packet kernel (dead lanes are near-free there); the whole

@@ -680,7 +680,8 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
 
 def trace_persistent(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict,
                      seed, pixel, s0: int, n_samples: int, regen,
-                     max_sample_luminance=float("inf")):
+                     max_sample_luminance=float("inf"),
+                     s_offsets=None, s_stride: int = 1):
     """Persistent wavefront path tracer with in-place ray regeneration.
 
     One lane per pixel. Each lane traces its pixel's samples
@@ -703,6 +704,16 @@ def trace_persistent(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dic
     regen(sample_idx (R,) u32) -> (o, d, w_filter, dd_x, dd_y): fresh
     camera samples for every lane (the caller builds it from the camera +
     film-dimension sampler; see render.make_regen).
+
+    s_offsets/s_stride: k-way spp interleaving. With lanes tiled k x pixels
+    (offsets j in [0, k), stride k), lane (pixel, j) traces samples
+    s0+j, s0+j+k, ... — k rays per pixel IN FLIGHT concurrently instead of
+    one. The per-bounce coherence sort (intersect sort_rays) then sees k x
+    the rays per (origin-cell, direction-octant) bin, so each 256-lane
+    packet spans fewer bins and its traversal union shrinks (ROOFLINE.md §3
+    "massive spp batching" — the lever measured e2e in round 4). The
+    (pixel, sample, dimension) streams are unchanged, so the estimator is
+    IDENTICAL to the sequential order; only fp summation order differs.
 
     Returns (accLw (R, 3), accW (R,), n_vertices (R,)).
     """
@@ -866,7 +877,7 @@ def trace_persistent(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dic
         accL = accL + jnp.where(die[:, None], Lf * w_cur[:, None], 0.0)
         accW = accW + jnp.where(die, w_cur, 0.0)
 
-        s_next = s_cur + jnp.uint32(1)
+        s_next = s_cur + jnp.uint32(s_stride)
         more = die & (s_next < jnp.asarray(s0, jnp.uint32) + jnp.uint32(n_samples))
         done = done | (die & ~more)
         o_r, d_r, w_r, ddx_r, ddy_r = regen(jnp.where(more, s_next, s_cur))
@@ -891,19 +902,24 @@ def trace_persistent(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dic
                 eta_scale, new_bounces, dd_x, dd_y, s_cur, w_cur, accL, accW, nverts,
                 done, it + 1)
 
+    samples_per_lane = -(-n_samples // max(int(s_stride), 1))
+
     def cond(st):
         done, it = st[17], st[18]
         # each live-lane iteration either deepens a path (<= max_depth) or
         # consumes a sample, so the cap is a safety valve only
-        return jnp.any(~done) & (it < n_samples * (max_depth + 2) + 8)
+        return jnp.any(~done) & (it < samples_per_lane * (max_depth + 2) + 8)
 
     s_init = jnp.broadcast_to(jnp.asarray(s0, jnp.uint32), (R,))
+    if s_offsets is not None:
+        s_init = s_init + jnp.asarray(s_offsets, jnp.uint32)
+    in_range = s_init < jnp.asarray(s0, jnp.uint32) + jnp.uint32(n_samples)
     o0, d0, w0, ddx0, ddy0 = regen(s_init)
     st = (o0, d0, jnp.zeros((R, 3), F32), jnp.ones((R, 3), F32),
-          jnp.full(R, n_samples > 0), jnp.ones(R, bool), jnp.ones(R, F32), o0,
+          in_range, jnp.ones(R, bool), jnp.ones(R, F32), o0,
           jnp.ones(R, F32), jnp.zeros(R, jnp.int32), ddx0, ddy0, s_init, w0,
           jnp.zeros((R, 3), F32), jnp.zeros(R, F32), jnp.zeros(R, F32),
-          jnp.full(R, n_samples == 0), jnp.int32(0))
+          ~in_range, jnp.int32(0))
     st = jax.lax.while_loop(cond, body, st)
     return st[14], st[15], st[16]
 

@@ -284,6 +284,29 @@ def persistent_dispatch_shape(tier: str, R: int, textured: bool = False):
     return PERSISTENT_MAX_RAYS, PERSISTENT_SPP_CHUNK
 
 
+def persistent_spp_k(tier: str, R: int, n_samples: int) -> int:
+    """Concurrent samples-per-pixel for the XLA wavefront persistent wave
+    (k-way spp interleaving; 1 = classic sequential regeneration).
+
+    Only the sorting traversal tiers benefit: k x more rays in flight
+    densifies the coherence sort's (origin-cell, octant) bins, shrinking
+    the packet kernel's per-packet traversal unions (ROOFLINE.md §3).
+    Brute tiers have no traversal to amortize. Lane state scales with k,
+    so k is capped to keep lanes <= ~2M. PBRT_TPU_SPP_K overrides."""
+    if not tier.startswith("xla-wavefront") or tier.endswith("brute"):
+        return 1
+    env = os.environ.get("PBRT_TPU_SPP_K", "")
+    if env:
+        k = max(1, int(env))
+    elif jax.default_backend() == "cpu":
+        return 1  # a perf lever for the chip; don't 4x CPU test lanes
+    else:
+        k = 4  # swept on the 123k-tri mesh bench (SWEEP_r04: 1/2/4/8)
+    # lane-state cap: ~35 f32s per lane double-buffered => 4M lanes ~ 1.1GB
+    k = min(k, max(1, n_samples), max(1, (1 << 22) // max(R, 1)))
+    return k
+
+
 def _has_imagemaps(static) -> bool:
     return bool(getattr(static, "tex_programs", ())) and any(
         p.kind == "imagemap" for p in static.tex_programs)
@@ -387,8 +410,30 @@ def make_persistent_fn(cs: CompiledScene, cam=None):
 
     LAST_PERSISTENT_TIER = _xla_traversal_tier(static)
 
-    @partial(jax.jit, static_argnums=(5,))
-    def wave_p(sa, px, py, pixel_ids, s0, n_samples, seed):
+    @partial(jax.jit, static_argnums=(5, 7))
+    def wave_p(sa, px, py, pixel_ids, s0, n_samples, seed, spp_k=1):
+        # spp_k > 1: k-way spp interleaving — lanes are tiled k x pixels so
+        # k samples per pixel are IN FLIGHT concurrently; the per-bounce
+        # coherence sort then packs k x denser (origin-cell, octant) bins
+        # and the packet kernel's traversal unions shrink (ROOFLINE.md §3's
+        # spp-batching lever). Outputs are folded back to (R_pix,) so
+        # callers see the sequential shape.
+        k = max(int(spp_k), 1)
+        if k > 1:
+            R_pix = px.shape[0]
+            px_t = jnp.tile(px, k)
+            py_t = jnp.tile(py, k)
+            pids_t = jnp.tile(pixel_ids, k)
+            offs = jnp.repeat(jnp.arange(k, dtype=jnp.uint32), R_pix)
+            regen = make_regen(cam, static, scfg, fcfg, px_t, py_t, pids_t, seed)
+            accL, accW, nv = trace_persistent(
+                sa, static, icfg, scfg, seed, pids_t, s0, n_samples, regen,
+                max_sample_luminance=float(fcfg["max_sample_luminance"]),
+                s_offsets=offs, s_stride=k,
+            )
+            return (accL.reshape(k, R_pix, 3).sum(0),
+                    accW.reshape(k, R_pix).sum(0),
+                    nv.reshape(k, R_pix).sum(0))
         regen = make_regen(cam, static, scfg, fcfg, px, py, pixel_ids, seed)
         return trace_persistent(
             sa, static, icfg, scfg, seed, pixel_ids, s0, n_samples, regen,
@@ -596,11 +641,13 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
             tier, R, textured=_has_imagemaps(cs.static))
         n_chunks = max(1, int(math.ceil(R / rays_cap)))
         chunk = int(math.ceil(R / n_chunks))
+        spp_k = persistent_spp_k(tier, chunk, spp_chunk)
+        extra = (spp_k,) if tier.startswith("xla-wavefront") else ()
         while s < spp:
             n_s = min(spp_chunk, spp - s)
             for c in range(n_chunks):
                 sl = slice(c * chunk, min((c + 1) * chunk, R))
-                Lw, w, nv = wave_p(sa, px[sl], py[sl], pixel_ids[sl], jnp.uint32(s), n_s, jnp.uint32(seed))
+                Lw, w, nv = wave_p(sa, px[sl], py[sl], pixel_ids[sl], jnp.uint32(s), n_s, jnp.uint32(seed), *extra)
                 if first_call:
                     # block here so the compile cost is split out of the
                     # render-rate log line (FIDELITY.json wall-clock split)

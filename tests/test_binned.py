@@ -100,6 +100,34 @@ def test_binned_closest_parity(scene):
                                np.asarray(ref["b2"])[ref_hit][same_prim], atol=2e-4)
 
 
+def test_binned_onehot_phase2_parity(scene):
+    """The one-hot MXU supernode fetch (PBRT_TPU_BINNED_ONEHOT=1) must
+    reproduce the row-gather tier's results: cluster ids reconstruct
+    exactly and the bf16-split bounds are conservative, so hits match the
+    XLA packet reference the same way the gather path does."""
+    import os
+
+    from pbrt_tpu.device.binned import binned_intersect
+    from pbrt_tpu.device.intersect import _traverse
+
+    sa, static = scene.arrays, scene.static
+    R = 700
+    o, d = _rays(R, seed=7)
+    t_max = jnp.full(R, jnp.inf, jnp.float32)
+    ref, _ = _traverse(sa, static, o, d, t_max, any_hit=False)
+    os.environ["PBRT_TPU_BINNED_ONEHOT"] = "1"
+    try:
+        t, prim, hit, b1, b2 = binned_intersect(sa, static, o, d, t_max)
+    finally:
+        os.environ.pop("PBRT_TPU_BINNED_ONEHOT", None)
+    ref_hit = np.asarray(ref["prim"]) >= 0
+    np.testing.assert_array_equal(np.asarray(hit), ref_hit)
+    np.testing.assert_allclose(np.asarray(t)[ref_hit], np.asarray(ref["t"])[ref_hit],
+                               rtol=1e-5, atol=1e-5)
+    same_prim = np.asarray(prim)[ref_hit] == np.asarray(ref["prim"])[ref_hit]
+    assert same_prim.mean() > 0.995  # exact-t ties only
+
+
 def test_binned_anyhit_parity(scene):
     from pbrt_tpu.device.binned import binned_intersect
     from pbrt_tpu.device.intersect import _traverse

@@ -51,6 +51,40 @@ def test_persistent_matches_per_sample_wave():
     np.testing.assert_allclose(Lp, acc, rtol=2e-4, atol=2e-4)
 
 
+def test_persistent_spp_k_interleave_parity():
+    """k-way spp interleaving (spp_k > 1: k samples per pixel in flight,
+    stride-k regeneration) must reproduce the sequential persistent result —
+    the (pixel, sample, dimension) streams are identical, only lane
+    scheduling and fp summation order differ (ROOFLINE §3 coherence lever)."""
+    import os
+
+    from pbrt_tpu import render as R_
+    from pbrt_tpu.scene.builder import compile_scene
+
+    desc = _scene()
+    cs = compile_scene(desc)
+    W, H = desc.film.x_resolution, desc.film.y_resolution
+    ys, xs = np.mgrid[0:H, 0:W]
+    px = jnp.asarray(xs.ravel().astype(np.int32))
+    py = jnp.asarray(ys.ravel().astype(np.int32))
+    pids = jnp.asarray((ys * W + xs).ravel().astype(np.uint32))
+
+    # spp_k is an XLA-wavefront-only argument (the megakernel fns don't
+    # take it — same guard as render_compiled/bench)
+    os.environ["PBRT_TPU_NO_MEGAKERNEL"] = "1"
+    try:
+        wave_p = R_.make_persistent_fn(cs)
+        assert R_.LAST_PERSISTENT_TIER.startswith("xla-wavefront")
+    finally:
+        os.environ.pop("PBRT_TPU_NO_MEGAKERNEL", None)
+    Ls, ws, nvs = wave_p(cs.arrays, px, py, pids, jnp.uint32(0), 4, jnp.uint32(0))
+    for k in (2, 3, 4, 8):  # incl. k > spp and k not dividing spp
+        Lk, wk, nvk = wave_p(cs.arrays, px, py, pids, jnp.uint32(0), 4, jnp.uint32(0), k)
+        np.testing.assert_allclose(np.asarray(wk), np.asarray(ws), atol=1e-5)
+        assert abs(float(np.asarray(jnp.sum(nvk))) - float(np.asarray(jnp.sum(nvs)))) < 1e-3, k
+        np.testing.assert_allclose(np.asarray(Lk), np.asarray(Ls), rtol=2e-4, atol=2e-4)
+
+
 def test_persistent_chunked_resume_is_consistent():
     """Two persistent calls over [0,2) and [2,4) must equal one [0,4) call."""
     from pbrt_tpu.render import make_persistent_fn

@@ -80,7 +80,12 @@ def main():
     # ---------- A. phases ----------
     @jax.jit
     def ph_full(o, d, t):
-        t_, prim, hitm, b1, b2, ovf = _binned_core(C, False, sa.su_lo, sa.su_hi, sa.su_bounds, sa.cl_rows, o, d, R, t)
+        t_, prim, hitm, b1, b2, ovf = _binned_core(C, False, sa.su_lo, sa.su_hi, sa.su_bounds, sa.cl_rows, o, d, R, False, t)
+        return t_
+
+    @jax.jit
+    def ph_full_onehot(o, d, t):
+        t_, prim, hitm, b1, b2, ovf = _binned_core(C, False, sa.su_lo, sa.su_hi, sa.su_bounds, sa.cl_rows, o, d, R, True, t)
         return t_
 
     @jax.jit
@@ -119,6 +124,7 @@ def main():
         return acc
 
     t_full = timed("e2e binned_core/incoherent", ph_full, o_inc, d_inc, t_arr)
+    timed("e2e binned_core/incoherent ONEHOT ph2", ph_full_onehot, o_inc, d_inc, t_arr)
     t_p1 = timed("phase1 supernode cull", ph1, o_inc, d_inc, t_arr)
     t_p12 = timed("phase1+2 (+bit extract)", ph12, o_inc, d_inc, t_arr)
     t_p123 = timed("phase1+2+3 (+row gather+slab)", ph123, o_inc, d_inc, t_arr)

@@ -356,6 +356,7 @@ def _run_glass_alt(results, fast, kind):
         desc.integrator.n_chains = 4096
         img = render(desc)
         budget = {"mutations_per_pixel": desc.integrator.mutations_per_pixel}
+    os.makedirs("/tmp/pbrt_tpu_fidelity", exist_ok=True)
     np.save(f"/tmp/pbrt_tpu_fidelity/glass_{kind}_render.npy", np.asarray(img))
     gold = (srgb(read_image(f"{REF}/rendered_scenes/glass.png")) * 255).astype(np.uint8)
     m = compare(img, gold, allow_scale=False)
