@@ -323,7 +323,14 @@ def _test_prims(sa: SceneArrays, o, d, t_max, prim_ids, valid, time=None):
     if sa.tri_p.shape[0] > 0:
         tri_idx = jnp.where(kind == GEOM_TRI, geom, 0)
         tv = sa.tri_p[tri_idx]  # (R, K, 3, 3)
-        if time is not None and sa.tri_p_end is not None:
+        if time is not None and sa.anim is not None:
+            # exact per-ray TRS interpolation (device/motion.py;
+            # transform.rs:1493 interpolate applied per candidate)
+            from .motion import motion_matrices, xform_point
+
+            G = motion_matrices(sa, prim_ids, time[:, None])  # (R, K, 3, 4)
+            tv = xform_point(G[:, :, None], tv)
+        elif time is not None and sa.tri_p_end is not None:
             tv = _motion_quad(tv, sa.tri_p_end[tri_idx],
                               sa.tri_p_mid[tri_idx] if sa.tri_p_mid is not None else None,
                               time[:, None, None, None])
@@ -337,7 +344,11 @@ def _test_prims(sa: SceneArrays, o, d, t_max, prim_ids, valid, time=None):
     if sa.sph_param.shape[0] > 0:
         sph_idx = jnp.where(kind == GEOM_SPHERE, geom, 0)
         w2o = sa.sph_w2o[sph_idx]
-        if time is not None and sa.sph_w2o_end is not None:
+        if time is not None and sa.anim is not None:
+            from .motion import motion_matrices
+
+            w2o = motion_matrices(sa, prim_ids, time[:, None], quadric=True)
+        elif time is not None and sa.sph_w2o_end is not None:
             w2o = _motion_quad(w2o, sa.sph_w2o_end[sph_idx],
                                sa.sph_w2o_mid[sph_idx] if sa.sph_w2o_mid is not None else None,
                                time[:, None, None, None])
@@ -394,7 +405,12 @@ def _brute_all(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None):
 
     if sa.tri_p.shape[0] > 0:
         tv = sa.tri_p[None, :, :, :]  # (1, T, 3, 3) broadcast
-        if time is not None and sa.tri_p_end is not None:
+        if time is not None and sa.anim is not None:
+            from .motion import motion_matrices, xform_point
+
+            G = motion_matrices(sa, sa.tri_prim_ids[None, :], time[:, None])
+            tv = xform_point(G[:, :, None], tv)  # (R, T, 3, 3)
+        elif time is not None and sa.tri_p_end is not None:
             tv = _motion_quad(tv, sa.tri_p_end[None],
                               sa.tri_p_mid[None] if sa.tri_p_mid is not None else None,
                               time[:, None, None, None])
@@ -406,7 +422,12 @@ def _brute_all(sa: SceneArrays, static: SceneStatic, o, d, t_max, time=None):
         parts_pid.append(sa.tri_prim_ids)
     if sa.sph_param.shape[0] > 0:
         w2o = sa.sph_w2o[None, :, :, :]
-        if time is not None and sa.sph_w2o_end is not None:
+        if time is not None and sa.anim is not None:
+            from .motion import motion_matrices
+
+            w2o = motion_matrices(sa, sa.sph_prim_ids[None, :], time[:, None],
+                                  quadric=True)
+        elif time is not None and sa.sph_w2o_end is not None:
             w2o = _motion_quad(w2o, sa.sph_w2o_end[None],
                                sa.sph_w2o_mid[None] if sa.sph_w2o_mid is not None else None,
                                time[:, None, None, None])
@@ -550,7 +571,21 @@ def _traverse(sa: SceneArrays, static: SceneStatic, o, d, t_max, any_hit: bool, 
             w2i_k = sa.inst_w2i[sa.prim_inst[k_ids]]  # (B, K, 3, 4)
             ob = _xform_point(w2i_k[:, None], ob)
             db = _xform_vector(w2i_k[:, None], db)
-        if time_p is not None and sa.prim_test_data_end is not None:
+        w2o_exact = None
+        if time_p is not None and sa.anim is not None:
+            # exact per-(lane, candidate) TRS interpolation: tables gathered
+            # at (B, 1, K), evaluated at (B, PACKET, K) via broadcast
+            from .motion import motion_matrices, xform_point
+
+            rows16L = None
+            G = motion_matrices(sa, k_ids[:, None, :], time_p[:, :, None])
+            v0 = xform_point(G, rows16[:, None, :, 0:3])
+            v1 = xform_point(G, rows16[:, None, :, 3:6])
+            v2 = xform_point(G, rows16[:, None, :, 6:9])
+            if sa.sph_param.shape[0] > 0:
+                w2o_exact = motion_matrices(sa, k_ids[:, None, :],
+                                            time_p[:, :, None], quadric=True)
+        elif time_p is not None and sa.prim_test_data_end is not None:
             # per-lane keyframe lerp: (B, 1, K, 16) -> (B, PACKET, K, 16)
             rows16e = sa.prim_test_data_end[k_ids]
             rows16m = (sa.prim_test_data_mid[k_ids][:, None]
@@ -568,7 +603,13 @@ def _traverse(sa: SceneArrays, static: SceneStatic, o, d, t_max, any_hit: bool, 
         h_t, t_t, _b0, b1_t, b2_t = ray_triangle(ob, db, v0, v1, v2, tb)
 
         if sa.sph_param.shape[0] > 0:
-            if rows16L is not None:
+            if w2o_exact is not None:
+                w2o = w2o_exact
+                spar = rows16[:, None, :, 12:18]
+                if rows16.shape[-1] >= 25:
+                    spar = jnp.concatenate([spar, rows16[:, None, :, 19:25]], axis=-1)
+                qk = rows16[:, None, :, 18].astype(jnp.int32)
+            elif rows16L is not None:
                 w2o = rows16L[..., 0:12].reshape(rows16L.shape[0], rows16L.shape[1], rows16L.shape[2], 3, 4)
                 spar = rows16L[..., 12:18]
                 if rows16L.shape[-1] >= 25:

@@ -78,13 +78,29 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
     if sa.tri_p.shape[0] > 0:
         ti = jnp.where(is_tri, geom, 0)
         tv = gather_rows(sa.tri_p, ti)  # (R, 3, 3)
-        if time is not None and sa.tri_p_end is not None:
-            from .intersect import _motion_quad
+        if time is not None and sa.anim is not None:
+            # exact per-ray TRS interpolation (device/motion.py) — must
+            # match the intersect path so p/ng agree with the hit
+            from .motion import motion_matrices, xform_point
 
-            tv = _motion_quad(tv, gather_rows(sa.tri_p_end, ti),
-                              gather_rows(sa.tri_p_mid, ti) if sa.tri_p_mid is not None else None,
-                              time[:, None, None])
+            G = motion_matrices(sa, prim, time)  # (R, 3, 4)
+            tv = xform_point(G[:, None], tv)
+        else:
+            G = None
+            if time is not None and sa.tri_p_end is not None:
+                from .intersect import _motion_quad
+
+                tv = _motion_quad(tv, gather_rows(sa.tri_p_end, ti),
+                                  gather_rows(sa.tri_p_mid, ti) if sa.tri_p_mid is not None else None,
+                                  time[:, None, None])
         tn = gather_rows(sa.tri_n, ti)
+        if time is not None and sa.anim is not None and G is not None:
+            # normals move by the inverse-transpose of G's linear part
+            # (transform.rs xnormal semantics)
+            from .motion import _affine_inverse
+
+            Ginv = _affine_inverse(G)  # (R, 3, 4)
+            tn = jnp.einsum("rji,rkj->rki", Ginv[:, :3, :3], tn)
         tuv = gather_rows(sa.tri_uv, ti)
         if has_inst:
             # instanced prims store instance-space vertices/normals: bring
@@ -147,7 +163,12 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
         si = jnp.where(~is_tri, geom, 0)
         o2w = gather_rows(sa.sph_o2w, si)
         w2o = gather_rows(sa.sph_w2o, si)
-        if time is not None and sa.sph_w2o_end is not None:
+        if time is not None and sa.anim is not None:
+            from .motion import _affine_inverse, motion_matrices
+
+            w2o = motion_matrices(sa, prim, time, quadric=True)
+            o2w = _affine_inverse(w2o)
+        elif time is not None and sa.sph_w2o_end is not None:
             from .intersect import _motion_quad
 
             has_mid = sa.sph_w2o_mid is not None

@@ -692,26 +692,33 @@ class API:
         if not shapes:
             return
         # motion blur (transform.rs AnimatedTransform, decompose :1442 +
-        # slerp, applied per-ray by TransformedPrimitive::intersect): baked
-        # as per-vertex QUADRATIC motion through the decomposed-slerp
-        # midpoint — exact for translation, and the parabola through three
-        # slerp samples tracks a rotation arc to ~(theta/2)^4/24 relative
-        # error (<0.3% at a 90-degree shutter rotation, vs 29% for the
-        # round-1 linear chord)
+        # slerp, applied per-ray by TransformedPrimitive::intersect).
+        # Rotating CTMs evaluate the EXACT per-ray decompose+slerp on
+        # device (device/motion.py; builder group tables from `anim`
+        # below); the baked keyframes remain as (a) the exact linear path
+        # for translation-only motion and (b) the bounds source.
         if not np.allclose(self.ctm[0].m, self.ctm[1].m):
             from ..core.transform import AnimatedTransform, Transform as _T
 
             rel = self.ctm[1] @ self.ctm[0].inverse()
             anim = AnimatedTransform(_T(), rel, 0.0, 1.0)
             mid = anim.interpolate(0.5)
+            # absolute keyframe pair for the EXACT per-ray TRS path
+            # (device/motion.py; transform.rs decomposes M0 AND M1 — the
+            # identity->rel parametrization above is only the fallback /
+            # bounds source)
+            key_pair = (np.asarray(self.ctm[0].m, np.float64).copy(),
+                        np.asarray(self.ctm[1].m, np.float64).copy())
             for sh in shapes:
                 if sh.mesh is not None:
                     p0 = np.asarray(sh.mesh.p, dtype=np.float64).reshape(-1, 3)
                     sh.mesh.p_end = rel.xpoint(p0)
                     sh.mesh.p_mid = mid.xpoint(p0)
+                    sh.mesh.anim = key_pair
                 elif sh.sphere is not None:
                     sh.sphere.object_to_world_end = rel @ sh.sphere.object_to_world
                     sh.sphere.object_to_world_mid = mid @ sh.sphere.object_to_world
+                    sh.sphere.anim = key_pair
         area_light_template = None
         if self.graphics_state.area_light:
             alp = self.graphics_state.area_light_params

@@ -203,6 +203,16 @@ class SceneArrays:
     sph_w2o_mid: jax.Array | None = None  # (S, 3, 4)
     sph_o2w_mid: jax.Array | None = None  # (S, 3, 4)
     prim_test_data_mid: jax.Array | None = None  # ptd-shaped
+    # --- exact animated-transform tables (device/motion.py); built only
+    # when a shutter transform ROTATES (static.has_rot_motion). Group-
+    # decomposed TRS keyframes (transform.rs:1442 decompose, :1493
+    # interpolate) + a per-prim affine compose constant:
+    # tri -> M0^-1 (p(t) = M(dt) . C . p_world0); quadric -> w2o0 . M0
+    # (w2o(t) = C . M(dt)^-1). Group 0 is the identity (static prims). ---
+    anim: dict | None = None  # {"q0","q1" (G,4), "t0","t1" (G,3),
+    #  "s0","s1" (G,3,3), "theta" (G,)}
+    anim_gid: jax.Array | None = None  # (P,) i32 animation group per prim
+    anim_c: jax.Array | None = None  # (P, 3, 4) per-prim compose constant
     # --- cluster-list traversal tables (scene/clusters.py); None unless
     # static.has_cluster ---
     cl_lo: jax.Array | None = None  # (C, 3) f32 cluster AABB mins
@@ -266,6 +276,9 @@ class SceneStatic:
     light_kinds: tuple = ()  # static LIGHT_* per light row
     has_fourier: bool = False  # scene has readable tabulated (fourier) BSDFs
     has_motion: bool = False  # any primitive carries shutter-close keyframes
+    has_rot_motion: bool = False  # a shutter transform rotates: device uses
+    # the exact per-ray TRS interpolation (device/motion.py) instead of
+    # keyframe vertex lerp
     has_beckmann: bool = False  # any material selects the Beckmann distribution
     has_alpha: bool = False  # any prim carries an alpha/shadow-alpha cutout mask
     accel_kind: str = "bvh"  # "bvh" | "kdtree" (Accelerator directive)

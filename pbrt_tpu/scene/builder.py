@@ -241,6 +241,25 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     prim_medium = []
     prim_alpha, prim_shadow_alpha = [], []  # float texture ids or -1 (cutouts)
 
+    # --- exact animated-transform groups (device/motion.py): one group per
+    # distinct (M0, M1) shutter CTM pair; group 0 is the identity ---
+    _anim_keys: dict = {}
+    anim_group_mats: list = [(np.eye(4), np.eye(4))]
+    prim_anim_gid: list = []
+    prim_anim_c: list = []
+    _IDENT34 = np.eye(4)[:3, :]
+    _rot_prims: list = []  # (prim_row, gid, lo0 (3,), hi0 (3,)) for re-bounding
+
+    def _anim_gid(pair) -> int:
+        key = (pair[0].tobytes(), pair[1].tobytes())
+        g = _anim_keys.get(key)
+        if g is None:
+            g = len(anim_group_mats)
+            _anim_keys[key] = g
+            anim_group_mats.append((np.asarray(pair[0], np.float64),
+                                    np.asarray(pair[1], np.float64)))
+        return g
+
     # --- media table -----------------------------------------------------------
     med_names = list(desc.media.keys())
     med_ids = {n: i for i, n in enumerate(med_names)}
@@ -592,6 +611,22 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             sa_id = tex_reg.register(mesh.shadow_alpha_texture) if mesh.shadow_alpha_texture is not None else a_id
             prim_alpha.extend([a_id] * t)
             prim_shadow_alpha.extend([sa_id] * t)
+            if getattr(mesh, "anim", None) is not None:
+                # instanced prototypes compose fine: the ray is brought to
+                # instance space first, the exact motion acts in prototype
+                # space (same frame the baked keyframes used)
+                g = _anim_gid(mesh.anim)
+                m0inv = np.linalg.inv(mesh.anim[0])[:3, :]
+                prim_anim_gid.extend([g] * t)
+                prim_anim_c.extend([m0inv] * t)
+                if inst_t is None:
+                    lo0 = pv.min(axis=1)
+                    hi0 = pv.max(axis=1)
+                    _rot_prims.extend((base_prim + ti, g, lo0[ti], hi0[ti])
+                                      for ti in range(t))
+            else:
+                prim_anim_gid.extend([0] * t)
+                prim_anim_c.extend([_IDENT34] * t)
         elif sh.sphere is not None:
             sph = sh.sphere
             o2w = sph.object_to_world
@@ -712,6 +747,16 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
                 obj_lo = [-sph.radius, -sph.radius, sph.height - 1e-4]
                 obj_hi = [sph.radius, sph.radius, sph.height + 1e-4]
             lo, hi = o2w.xbounds(obj_lo, obj_hi)
+            if getattr(sph, "anim", None) is not None:
+                g = _anim_gid(sph.anim)
+                prim_anim_gid.append(g)
+                prim_anim_c.append((w2o.m @ np.asarray(sph.anim[0], np.float64))[:3, :])
+                _rot_prims.append((pid, g, np.asarray(lo, float), np.asarray(hi, float)))
+            else:
+                prim_anim_gid.append(0)
+                # static quadric under group 0 (M(t) = I): C . M^-1 must
+                # still be the quadric's own world-to-object
+                prim_anim_c.append(w2o.m[:3, :])
             if sph.object_to_world_end is not None:
                 lo2, hi2 = sph.object_to_world_end.xbounds(obj_lo, obj_hi)
                 lo, hi = np.minimum(lo, lo2), np.maximum(hi, hi2)
@@ -741,7 +786,47 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         prim_medium.append([-1, -1])
         prim_alpha.append(-1)
         prim_shadow_alpha.append(-1)
+        prim_anim_gid.append(0)
+        prim_anim_c.append(_IDENT34)
         n_prims = 1
+
+    # --- exact-motion groups: does any group actually rotate? If so, the
+    # device uses the per-ray TRS interpolation (device/motion.py) and the
+    # baked quadratic hull no longer bounds the trajectory — re-bound the
+    # affected prims by dense-sampling the EXACT transform path (host
+    # AnimatedTransform on the absolute (M0, M1) pair, matching the device
+    # math) plus an inter-sample arc pad.
+    _anim_parts = []
+    has_rot_motion = False
+    from ..core.transform import AnimatedTransform as _AT, Transform as _Tr
+
+    for (m0, m1) in anim_group_mats:
+        at = _AT(_Tr.from_matrix(m0), _Tr.from_matrix(m1), 0.0, 1.0)
+        (t0_, q0_, s0_), (t1_, q1_, s1_) = at._parts()
+        theta = float(np.arccos(np.clip(np.dot(q0_, q1_), -1.0, 1.0)))
+        _anim_parts.append((t0_, q0_, s0_, t1_, q1_, s1_, theta))
+        if theta > 1e-6:
+            has_rot_motion = True
+    if has_rot_motion and _rot_prims:
+        N_T = 16
+        m0inv_by_g = [np.linalg.inv(m0) for (m0, _m1) in anim_group_mats]
+        at_by_g = [_AT(_Tr.from_matrix(m0), _Tr.from_matrix(m1), 0.0, 1.0)
+                   for (m0, m1) in anim_group_mats]
+        H_by_g = [[(at_by_g[g].interpolate(i / N_T).m @ m0inv_by_g[g])[:3, :]
+                   for i in range(N_T + 1)] for g in range(len(anim_group_mats))]
+        for (row, g, lo0, hi0) in _rot_prims:
+            theta = _anim_parts[g][6]
+            corners = np.array([[lo0[0], lo0[1], lo0[2]], [hi0[0], lo0[1], lo0[2]],
+                                [lo0[0], hi0[1], lo0[2]], [hi0[0], hi0[1], lo0[2]],
+                                [lo0[0], lo0[1], hi0[2]], [hi0[0], lo0[1], hi0[2]],
+                                [lo0[0], hi0[1], hi0[2]], [hi0[0], hi0[1], hi0[2]]])
+            pts = np.concatenate([(H[:, :3] @ corners.T).T + H[:, 3] for H in H_by_g[g]])
+            # inter-sample chord deviation of a rotation arc: r * phi^2 / 8
+            r = float(np.linalg.norm(hi0 - lo0)) * 0.5 + float(
+                np.max(np.linalg.norm(pts - pts.mean(axis=0), axis=1)))
+            pad = r * (theta / N_T) ** 2 / 8.0 + 1e-6
+            prim_lo[row] = np.minimum(prim_lo[row], pts.min(axis=0) - pad)
+            prim_hi[row] = np.maximum(prim_hi[row], pts.max(axis=0) + pad)
 
     # --- world bounds (exclude the never-hit padding row) ----------------------
     real_lo = [lo for lo in prim_lo if lo[0] < 1e29]
@@ -788,6 +873,8 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         # BVH build below pairs them with per-prim verts via prim_geom)
         prim_lo = _perm(prim_lo)
         prim_hi = _perm(prim_hi)
+        prim_anim_gid = _perm(prim_anim_gid)
+        prim_anim_c = _perm(prim_anim_c)
         # remap prim references held by lights
         lights = [(k, p_, (int(inv[pr]) if pr >= 0 else -1), ns_) for (k, p_, pr, ns_) in lights]
         bvh.prim_ids = np.arange(n_prims, dtype=np.int32)
@@ -1135,6 +1222,19 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         # (su_members stays host-side in ClusterTables — the device tier
         # reads member ids embedded in su_bounds rows; tests use the host copy)
         su_bounds=jnp.asarray(cluster.su_bounds) if has_cluster else None,
+        anim=(dict(
+            q0=jnp.asarray(np.stack([p[1] for p in _anim_parts]).astype(np.float32)),
+            q1=jnp.asarray(np.stack([p[4] for p in _anim_parts]).astype(np.float32)),
+            t0=jnp.asarray(np.stack([p[0] for p in _anim_parts]).astype(np.float32)),
+            t1=jnp.asarray(np.stack([p[3] for p in _anim_parts]).astype(np.float32)),
+            s0=jnp.asarray(np.stack([p[2] for p in _anim_parts]).astype(np.float32)),
+            s1=jnp.asarray(np.stack([p[5] for p in _anim_parts]).astype(np.float32)),
+            theta=jnp.asarray(np.asarray([p[6] for p in _anim_parts], np.float32)),
+        ) if has_rot_motion else None),
+        anim_gid=(jnp.asarray(np.asarray(prim_anim_gid, np.int32))
+                  if has_rot_motion else None),
+        anim_c=(jnp.asarray(np.stack(prim_anim_c).astype(np.float32))
+                if has_rot_motion else None),
         **sss_arrays,
     )
     static = SceneStatic(
@@ -1176,6 +1276,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         light_kinds=tuple(int(l[0]) for l in lights),
         has_fourier=bool(fourier_dev),
         has_motion=any_motion,
+        has_rot_motion=has_rot_motion,
         has_beckmann=bool(np.any((mat_remap & 2) != 0)),
         has_alpha=any(a >= 0 for a in prim_alpha) or any(a >= 0 for a in prim_shadow_alpha),
         accel_kind=accel_kind if kd is not None else "bvh",

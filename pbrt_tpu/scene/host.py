@@ -41,6 +41,8 @@ class TriangleMesh:
     p_end: np.ndarray | None = None  # (V, 3) shutter-close positions (motion blur)
     p_mid: np.ndarray | None = None  # (V, 3) mid-shutter positions (slerp sample:
     # quadratic through (p, p_mid, p_end) follows the rotation arc; None = linear)
+    anim: tuple | None = None  # (M0, M1) 4x4 shutter keyframe CTMs — the exact
+    # per-ray TRS interpolation source (device/motion.py); p is world at M0
 
 
 @dataclass
@@ -59,6 +61,7 @@ class Sphere:
     reverse_orientation: bool = False
     object_to_world_end: Transform | None = None  # motion blur keyframe
     object_to_world_mid: Transform | None = None  # mid-shutter slerp sample
+    anim: tuple | None = None  # (M0, M1) 4x4 shutter keyframe CTMs (exact path)
     kind: str = "sphere"
     height: float = 0.0
     inner_radius: float = 0.0

@@ -2,9 +2,10 @@
 
 Mirrors src/core/transform.rs:687-… (AnimatedTransform decompose/slerp/
 motion_bounds) and the api.rs ActiveTransform/TransformTimes machinery.
-Device motion = baked linear vertex keyframes lerped by per-ray shutter
-time (documented chord approximation of the reference's per-ray transform
-interpolation).
+Device motion: rotating shutter transforms evaluate the reference's EXACT
+per-ray decompose+slerp interpolation (device/motion.py, round 4);
+translation-only motion uses baked linear vertex keyframes (exact for
+translation).
 """
 import numpy as np
 import pytest
@@ -186,3 +187,156 @@ WorldEnd
     hits = np.asarray(hit["prim"]) >= 0
     assert hits[0], "mid-shutter arc position must be hit"
     assert not hits[1], "linear chord midpoint must NOT be hit (quadratic arc)"
+
+
+def test_exact_slerp_motion_matches_host_interpolate(tmp_path):
+    """Round-4 exact path (device/motion.py): for a rotating shutter CTM
+    the device must evaluate the reference's decompose+slerp interpolation
+    EXACTLY (transform.rs:1442/1493), not the quadratic-arc approximation.
+    A 120-degree rotation has quad-arc error ~(theta/2)^4/24 ~ 5e-2 of the
+    radius; the exact path must place the surface within ~1e-3."""
+    import jax.numpy as jnp
+
+    from pbrt_tpu.parser.api import pbrt_parse
+    from pbrt_tpu.device.intersect import intersect
+    from pbrt_tpu.scene.builder import compile_scene
+
+    scene = """
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+Integrator "path" "integer maxdepth" [1]
+Camera "perspective" "float fov" [45] "float shutteropen" [0] "float shutterclose" [1]
+WorldBegin
+AttributeBegin
+ActiveTransform EndTime
+Rotate 120 0 1 0
+ActiveTransform All
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point3 P" [0.98 -1 -0.1  1.02 -1 0.1  1.02 1 0.1  0.98 1 -0.1]
+AttributeEnd
+AttributeBegin
+ActiveTransform EndTime
+Rotate 120 0 0 1
+ActiveTransform All
+Translate 0 3 0
+Shape "sphere" "float radius" [0.25]
+AttributeEnd
+WorldEnd
+"""
+    p = tmp_path / "rot_exact.pbrt"
+    p.write_text(scene)
+    desc = pbrt_parse(str(p))
+    cs = compile_scene(desc)
+    sa, static = cs.arrays, cs.static
+    assert static.has_rot_motion and sa.anim is not None
+    assert int(sa.anim_gid.max()) >= 1
+
+    # --- mesh: probe the quad center along its EXACT arc at many times ---
+    rot = Transform.rotate(120.0, [0.0, 1.0, 0.0])
+    anim = AnimatedTransform(Transform.identity(), rot)
+    times = [0.2, 0.5, 0.8]
+    c0 = np.array([1.0, 0.0, 0.0])
+    for tm in times:
+        c_t = anim.interpolate(tm).xpoint(c0[None])[0]
+        n_t = c_t / np.linalg.norm(c_t)  # quad normal ~ radial
+        o = jnp.asarray((c_t + 3.0 * n_t)[None], jnp.float32)
+        d = jnp.asarray((-n_t)[None], jnp.float32)
+        hit = intersect(sa, static, o, d, jnp.full(1, jnp.inf, jnp.float32),
+                        time=jnp.asarray([tm], jnp.float32))
+        assert int(hit["prim"][0]) >= 0, f"exact arc position missed at t={tm}"
+        t_hit = float(hit["t"][0])
+        assert abs(t_hit - 3.0) < 2e-3, (tm, t_hit)
+
+    # --- sphere: the scene's CTM pair is (T, R.T); the reference
+    # decomposes BOTH matrices and interpolates components
+    # (transform.rs:1493), so the center follows the LERPED translation of
+    # the pair, not a circular arc — the exact device path must agree ---
+    T0 = Transform.translate([0.0, 3.0, 0.0])
+    T1 = Transform.rotate(120.0, [0.0, 0.0, 1.0]) @ T0
+    anim2 = AnimatedTransform(T0, T1)
+    s0 = np.array([0.0, 0.0, 0.0])
+    for tm in times:
+        c_t = anim2.interpolate(tm).xpoint(s0[None])[0]
+        o = jnp.asarray((c_t + np.array([0.0, 0.0, 4.0]))[None], jnp.float32)
+        d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+        hit = intersect(sa, static, o, d, jnp.full(1, jnp.inf, jnp.float32),
+                        time=jnp.asarray([tm], jnp.float32))
+        assert int(hit["prim"][0]) >= 0, f"sphere exact center missed at t={tm}"
+        assert abs(float(hit["t"][0]) - 3.75) < 2e-3, (tm, float(hit["t"][0]))
+
+    # --- surface_interaction agrees with the intersect-path geometry ---
+    from pbrt_tpu.device.shading import surface_interaction
+
+    tm = 0.5
+    c_t = anim.interpolate(tm).xpoint(c0[None])[0]
+    n_t = c_t / np.linalg.norm(c_t)
+    o = jnp.asarray((c_t + 3.0 * n_t)[None], jnp.float32)
+    d = jnp.asarray((-n_t)[None], jnp.float32)
+    hit = intersect(sa, static, o, d, jnp.full(1, jnp.inf, jnp.float32),
+                    time=jnp.asarray([tm], jnp.float32))
+    si = surface_interaction(sa, hit, o, d, time=jnp.asarray([tm], jnp.float32))
+    p_dev = np.asarray(si["p"][0])
+    np.testing.assert_allclose(p_dev, c_t, atol=3e-3)
+    # geometric normal: the REST quad is tilted (not radial); expected =
+    # rest normal rotated by the interpolated transform's linear part
+    v = np.array([[0.98, -1, -0.1], [1.02, -1, 0.1], [1.02, 1, 0.1]])
+    n_rest = np.cross(v[1] - v[0], v[2] - v[0])
+    n_rest /= np.linalg.norm(n_rest)
+    n_exp = anim.interpolate(tm).m[:3, :3] @ n_rest
+    ng = np.asarray(si["ng"][0])
+    assert abs(abs(float(np.dot(ng, n_exp))) - 1.0) < 1e-3, (ng, n_exp)
+
+
+def test_exact_slerp_motion_packet_traversal_path(tmp_path):
+    """Same exactness through the PACKET traversal leaf (>16 prims routes
+    off the brute path), covering the _traverse rows16 exact branch."""
+    import jax.numpy as jnp
+
+    from pbrt_tpu.parser.api import pbrt_parse
+    from pbrt_tpu.device.intersect import intersect
+    from pbrt_tpu.scene.builder import compile_scene
+
+    # a 6x12 grid quad = 144 triangles at radius 1 (> BRUTE_FORCE_MAX_PRIMS
+    # so the packet traversal routes), rotating 120 deg about y
+    xs = np.linspace(0.98, 1.02, 7)
+    ys = np.linspace(-1.0, 1.0, 13)
+    pts = []
+    for yv in ys:
+        for xv in xs:
+            # slight z tilt, same plane family as the brute-path test
+            pts += [xv, yv, (xv - 1.0) * 5.0]
+    idx = []
+    for j in range(12):
+        for i in range(6):
+            a = j * 7 + i
+            idx += [a, a + 1, a + 8, a, a + 8, a + 7]
+    scene = f"""
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+Integrator "path" "integer maxdepth" [1]
+Camera "perspective" "float fov" [45] "float shutteropen" [0] "float shutterclose" [1]
+WorldBegin
+AttributeBegin
+ActiveTransform EndTime
+Rotate 120 0 1 0
+ActiveTransform All
+Shape "trianglemesh" "integer indices" [{' '.join(map(str, idx))}]
+  "point3 P" [{' '.join(f'{v:.5f}' for v in pts)}]
+AttributeEnd
+WorldEnd
+"""
+    p = tmp_path / "rot_packet.pbrt"
+    p.write_text(scene)
+    cs = compile_scene(pbrt_parse(str(p)))
+    sa, static = cs.arrays, cs.static
+    assert not static.use_brute_force and static.has_rot_motion
+    rot = Transform.rotate(120.0, [0.0, 1.0, 0.0])
+    anim = AnimatedTransform(Transform.identity(), rot)
+    c0 = np.array([1.0, 0.0, 0.0])
+    for tm in (0.25, 0.6):
+        c_t = anim.interpolate(tm).xpoint(c0[None])[0]
+        n_t = c_t / np.linalg.norm(c_t)
+        o = jnp.asarray((c_t + 3.0 * n_t)[None], jnp.float32)
+        d = jnp.asarray((-n_t)[None], jnp.float32)
+        hit = intersect(sa, static, o, d, jnp.full(1, jnp.inf, jnp.float32),
+                        time=jnp.asarray([tm], jnp.float32))
+        assert int(hit["prim"][0]) >= 0, f"packet-path exact arc missed at t={tm}"
+        assert abs(float(hit["t"][0]) - 3.0) < 2e-3, (tm, float(hit["t"][0]))
