@@ -68,11 +68,12 @@ def _measure(cs, W, H, icfg_depth=5, n_spp=16, reps=2):
         s = 0
         while s < n_spp:
             n_s = min(spp_chunk, n_spp - s)
+            ex = (min(spp_k, n_s),) if extra else ()
             for c in range(n_chunks):
                 sl = slice(c * chunk, min((c + 1) * chunk, R))
                 Lw, w, nv = wave_p(sa, px[sl], py[sl], pids[sl],
                                    jnp.uint32(seed_base + s), n_s, jnp.uint32(0),
-                                   *extra)
+                                   *ex)
                 verts += float(jnp.sum(nv))
             s += n_s
         jax.block_until_ready(Lw)

@@ -278,7 +278,10 @@ def persistent_dispatch_shape(tier: str, R: int, textured: bool = False):
     if tier.endswith("megakernel"):
         return (1 << 19), 16
     if tier.startswith("xla-wavefront") and not textured:
-        return (1 << 19), 4
+        # spp chunk 8 so the k=8 spp interleave gets all 8 samples in
+        # flight per dispatch (SWEEP_r04: 1.433 Mverts/s at k=8/chunk 8 vs
+        # 1.347 at k=4/chunk 4; dispatch wall ~5-20s, watchdog-safe)
+        return (1 << 19), 8
     if R >= PERSISTENT_BIG_WAVE:
         return PERSISTENT_MAX_RAYS, PERSISTENT_SPP_CHUNK_BIG
     return PERSISTENT_MAX_RAYS, PERSISTENT_SPP_CHUNK
@@ -291,9 +294,13 @@ def persistent_spp_k(tier: str, R: int, n_samples: int) -> int:
     Only the sorting traversal tiers benefit: k x more rays in flight
     densifies the coherence sort's (origin-cell, octant) bins, shrinking
     the packet kernel's per-packet traversal unions (ROOFLINE.md §3).
-    Brute tiers have no traversal to amortize. Lane state scales with k,
-    so k is capped to keep lanes <= ~2M. PBRT_TPU_SPP_K overrides."""
-    if not tier.startswith("xla-wavefront") or tier.endswith("brute"):
+    Brute tiers have no traversal to amortize, and the binned tier is
+    coherence-FREE by design (k only multiplies its dense-phase temps —
+    4M-lane binned dispatches OOM'd the chip in BENCH_r04). Lane state
+    scales with k, so k is capped to keep lanes <= ~4M.
+    PBRT_TPU_SPP_K overrides."""
+    if (not tier.startswith("xla-wavefront") or tier.endswith("brute")
+            or tier.endswith("binned")):
         return 1
     env = os.environ.get("PBRT_TPU_SPP_K", "")
     if env:
@@ -301,7 +308,7 @@ def persistent_spp_k(tier: str, R: int, n_samples: int) -> int:
     elif jax.default_backend() == "cpu":
         return 1  # a perf lever for the chip; don't 4x CPU test lanes
     else:
-        k = 4  # swept on the 123k-tri mesh bench (SWEEP_r04: 1/2/4/8)
+        k = 8  # swept on the 123k-tri mesh bench (SWEEP_r04: 1/2/4/8/16)
     # lane-state cap: ~35 f32s per lane double-buffered => 4M lanes ~ 1.1GB
     k = min(k, max(1, n_samples), max(1, (1 << 22) // max(R, 1)))
     return k
@@ -645,9 +652,11 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
         extra = (spp_k,) if tier.startswith("xla-wavefront") else ()
         while s < spp:
             n_s = min(spp_chunk, spp - s)
+            # a short tail chunk shrinks k too (k > n_s lanes start done)
+            ex = (min(spp_k, n_s),) if extra else ()
             for c in range(n_chunks):
                 sl = slice(c * chunk, min((c + 1) * chunk, R))
-                Lw, w, nv = wave_p(sa, px[sl], py[sl], pixel_ids[sl], jnp.uint32(s), n_s, jnp.uint32(seed), *extra)
+                Lw, w, nv = wave_p(sa, px[sl], py[sl], pixel_ids[sl], jnp.uint32(s), n_s, jnp.uint32(seed), *ex)
                 if first_call:
                     # block here so the compile cost is split out of the
                     # render-rate log line (FIDELITY.json wall-clock split)
