@@ -300,8 +300,8 @@ def persistent_spp_k(tier: str, R: int, n_samples: int) -> int:
     scales with k, so k is capped to keep lanes <= ~4M.
     PBRT_TPU_SPP_K overrides."""
     if (not tier.startswith("xla-wavefront") or tier.endswith("brute")
-            or tier.endswith("binned")):
-        return 1
+            or tier.endswith("binned") or tier.endswith("kdtree")):
+        return 1  # non-sorting tiers: k only multiplies lane state
     env = os.environ.get("PBRT_TPU_SPP_K", "")
     if env:
         k = max(1, int(env))
@@ -331,6 +331,8 @@ def _xla_traversal_tier(static) -> str:
 
     if static.use_brute_force:
         return "xla-wavefront/brute"
+    if static.accel_kind == "kdtree":
+        return "xla-wavefront/kdtree"
     if _binned_route(static):
         return "xla-wavefront/binned"
     if _pallas_route(static):
