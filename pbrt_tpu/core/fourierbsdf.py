@@ -157,21 +157,20 @@ def write_rough_conductor_table(path: str, alpha: float = 0.3, nmu: int = 24,
 
     pair_coeffs: dict[int, np.ndarray] = {}
     max_order = 1
+    # cosine projection basis + trapezoid weights (f even in phi_d over
+    # [0, pi]) — pair-independent, hoisted out of the nmu x nmu loop
+    basis = np.cos(np.outer(np.arange(64), phi_d))
+    w = np.full(n_phi, np.pi / (n_phi - 1))
+    w[0] *= 0.5
+    w[-1] *= 0.5
     for o in range(nmu):
         for i in range(nmu):
             if mu[o] * mu[i] >= 0 or abs(mu[i]) < 1e-3 or abs(mu[o]) < 1e-3:
                 continue
             # phi_d -> physical wi azimuth: cos(phi_i) = -cos(phi_d)
             vals = f_micro(abs(mu[o]), abs(mu[i]), np.pi - phi_d) * abs(mu[i])
-            # cosine projection (f even in phi_d); trapezoid over [0, pi]
-            ks = np.arange(n_phi)
-            basis = np.cos(np.outer(np.arange(64), phi_d))
-            w = np.full(n_phi, np.pi / (n_phi - 1))
-            w[0] *= 0.5
-            w[-1] *= 0.5
             ak = (basis * (vals * w)[None, :]).sum(axis=1) / np.pi
             ak[1:] *= 2.0
-            del ks
             m = 64
             while m > 1 and abs(ak[m - 1]) < rel_eps * max(ak[0], 1e-12):
                 m -= 1

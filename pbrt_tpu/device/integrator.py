@@ -248,9 +248,15 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
             t_surf = jnp.where(valid, hit["t"], jnp.full(R, jnp.inf, F32))
             bkey = jnp.uint32(0) if b is None else b.astype(jnp.uint32)
             # per-lane key from the GLOBAL pixel id (shard-invariant: the
-            # lane index restarts per shard_map shard, pixel ids don't)
+            # lane index restarts per shard_map shard, pixel ids don't).
+            # sample and bounce are SEPARATE hash words — a packed
+            # sample*7+bounce collided across (s, b) pairs with equal sums
+            # (s=0,b=7 vs s=1,b=0), replaying delta-tracking streams
+            # between adjacent samples at maxdepth > 7. The *2 keeps this
+            # stream disjoint from the shadow-transmittance one (*2+1).
             mkey = _rng.hash_combine(seed, pixel,
-                                     jnp.asarray(sample_idx, jnp.uint32) * jnp.uint32(7) + bkey)
+                                     jnp.asarray(sample_idx, jnp.uint32),
+                                     bkey * jnp.uint32(2))
             ms = medium_sample(sa, static, medium, o, d, t_surf, mkey)
             in_scatter = alive & ms["hit_medium"]
             beta = jnp.where((alive & (medium >= 0))[:, None], beta * ms["weight"], beta)
@@ -300,9 +306,11 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         o_sh = _offset_ray(p_v, ng_v, wi, p_err)
         t_sh = dist * (1.0 - 2.0 * RAY_EPS)
         if pass_null:
-            # per-lane, pixel-global key (see medium_sample note)
-            key = _rng.hash_combine(seed, pixel, jnp.asarray(sample_idx, jnp.uint32)
-                                    ^ (b.astype(jnp.uint32) * jnp.uint32(0x68E31DA4)))
+            # per-lane, pixel-global key (see medium_sample note); sample
+            # and bounce are separate hash words, *2+1 disjoint from the
+            # medium-sampling stream's *2
+            key = _rng.hash_combine(seed, pixel, jnp.asarray(sample_idx, jnp.uint32),
+                                    b.astype(jnp.uint32) * jnp.uint32(2) + jnp.uint32(1))
             return transmittance_shadow(sa, static, o_sh, wi, t_sh, medium_v, key, time=time)
         if needed is not None:
             t_sh = jnp.where(needed, t_sh, -1.0)

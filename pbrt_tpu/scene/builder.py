@@ -567,6 +567,29 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
                 pv_w = inst_t.xpoint(pv.reshape(-1, 3)).reshape(-1, 3, 3)
                 lo_rows = pv_w.min(axis=1)
                 hi_rows = pv_w.max(axis=1)
+                if getattr(mesh, "anim", None) is not None:
+                    # animated prototype: sweep the exact per-ray motion
+                    # path (same interpolation the device evaluates) so
+                    # bounds cover the whole shutter, not just t=0
+                    from ..core.transform import AnimatedTransform as _ATl, Transform as _Trl
+
+                    m0a = np.asarray(mesh.anim[0], np.float64)
+                    at = _ATl(_Trl.from_matrix(m0a), _Trl.from_matrix(np.asarray(mesh.anim[1], np.float64)), 0.0, 1.0)
+                    m0inv_l = np.linalg.inv(m0a)
+                    NT = 16
+                    for i_t in range(NT + 1):
+                        Hm = (at.interpolate(i_t / NT).m @ m0inv_l)
+                        pw = inst_t.xpoint((pv.reshape(-1, 3) @ Hm[:3, :3].T)
+                                           + Hm[:3, 3]).reshape(-1, 3, 3)
+                        lo_rows = np.minimum(lo_rows, pw.min(axis=1))
+                        hi_rows = np.maximum(hi_rows, pw.max(axis=1))
+                    # inter-sample arc pad (see the _rot_prims re-bounding)
+                    ext = float(np.linalg.norm(hi_rows.max(axis=0) - lo_rows.min(axis=0)))
+                    (_, q0a, _), (_, q1a, _) = at._parts()
+                    th_a = float(np.arccos(np.clip(np.dot(q0a, q1a), -1.0, 1.0)))
+                    pad_a = ext * (th_a / NT) ** 2 / 8.0 + 1e-6
+                    lo_rows = lo_rows - pad_a
+                    hi_rows = hi_rows + pad_a
             else:
                 iid = 0
                 flags_p = flags

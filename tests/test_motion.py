@@ -340,3 +340,52 @@ WorldEnd
                         time=jnp.asarray([tm], jnp.float32))
         assert int(hit["prim"][0]) >= 0, f"packet-path exact arc missed at t={tm}"
         assert abs(float(hit["t"][0]) - 3.0) < 2e-3, (tm, float(hit["t"][0]))
+
+
+def test_exact_motion_animated_instanced_prototype(tmp_path):
+    """An instanced prototype defined under a rotating shutter CTM must
+    (a) move exactly per the decompose+slerp path in instance space and
+    (b) keep BVH bounds that cover the whole shutter sweep (the round-4
+    review found bounds were built from t=0 verts only)."""
+    import jax.numpy as jnp
+
+    from pbrt_tpu.parser.api import pbrt_parse
+    from pbrt_tpu.device.intersect import intersect
+    from pbrt_tpu.scene.builder import compile_scene
+
+    scene = """
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+Integrator "path" "integer maxdepth" [1]
+Camera "perspective" "float fov" [45] "float shutteropen" [0] "float shutterclose" [1]
+WorldBegin
+ObjectBegin "rotor"
+ActiveTransform EndTime
+Rotate 120 0 1 0
+ActiveTransform All
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point3 P" [0.98 -1 -0.1  1.02 -1 0.1  1.02 1 0.1  0.98 1 -0.1]
+ObjectEnd
+AttributeBegin
+Translate 0 0 -2
+ObjectInstance "rotor"
+AttributeEnd
+WorldEnd
+"""
+    p = tmp_path / "rot_inst.pbrt"
+    p.write_text(scene)
+    cs = compile_scene(pbrt_parse(str(p)))
+    sa, static = cs.arrays, cs.static
+    assert static.has_rot_motion and static.has_instances
+    rot = Transform.rotate(120.0, [0.0, 1.0, 0.0])
+    anim = AnimatedTransform(Transform.identity(), rot)
+    off = np.array([0.0, 0.0, -2.0])
+    c0 = np.array([1.0, 0.0, 0.0])
+    for tm in (0.3, 0.7):
+        c_t = anim.interpolate(tm).xpoint(c0[None])[0] + off
+        n_t = (c_t - off) / np.linalg.norm(c_t - off)
+        o = jnp.asarray((c_t + 3.0 * n_t)[None], jnp.float32)
+        d = jnp.asarray((-n_t)[None], jnp.float32)
+        hit = intersect(sa, static, o, d, jnp.full(1, jnp.inf, jnp.float32),
+                        time=jnp.asarray([tm], jnp.float32))
+        assert int(hit["prim"][0]) >= 0, f"instanced exact arc missed at t={tm}"
+        assert abs(float(hit["t"][0]) - 3.0) < 2e-3, (tm, float(hit["t"][0]))

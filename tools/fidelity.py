@@ -181,7 +181,11 @@ def main():
     results["scenes"].pop("sss-dragon", None)
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "FIDELITY.json")
-    if only is not None and os.path.exists(out):
+    if os.path.exists(out):
+        # ALWAYS merge into the existing file: scenes not re-rendered this
+        # run (e.g. the --only-run caustic-glass-bdpt/mlt gates during a
+        # default run) keep their committed entries instead of being
+        # silently deleted — test_fidelity only checks entries present
         with open(out) as fh:
             prev = json.load(fh)
         prev.setdefault("scenes", {}).update(results["scenes"])
