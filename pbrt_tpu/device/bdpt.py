@@ -26,7 +26,15 @@ import jax.numpy as jnp
 
 from ..scene.arrays import LIGHT_AREA, SceneArrays, SceneStatic
 from . import rng
-from .bsdf import N_SLOTS, _is_specular, bsdf_f, bsdf_pdf, bsdf_sample, num_lobes
+from .bsdf import (
+    N_SLOTS,
+    _is_specular,
+    bsdf_f,
+    bsdf_pdf,
+    bsdf_sample,
+    correct_shading_normal,
+    num_lobes,
+)
 from .camera import camera_sample_wi, generate_rays
 from .integrator import _dot, _offset_ray, _to_local, _to_world
 from .intersect import intersect, intersect_p
@@ -40,7 +48,7 @@ from .lights import (
 )
 from .materials import make_bsdf
 from .sampler import sample_1d, sample_2d
-from .shading import surface_interaction
+from .shading import apply_bump, surface_interaction
 
 F32 = jnp.float32
 
@@ -120,14 +128,20 @@ def _si_frames(si):
     return {"ss": si["ss"], "ts": si["ts"], "ns": si["ns"]}
 
 
-def _vertex_f(vtx, possible, w_to):
-    """BSDF value at a stored vertex toward direction w_to (vertex.rs f())."""
+def _vertex_f(vtx, possible, w_to, mode: str = "radiance"):
+    """BSDF value at a stored vertex toward direction w_to (vertex.rs f()):
+    `bsdf.f(wo, wi, mode) * correct_shading_normal(...)` — light-subpath
+    vertices evaluate in importance mode with the shading-normal
+    correction (bdpt.rs:356-366)."""
     lob = {"kind": vtx["kind"], "data": vtx["data"], "possible": possible}
     fr = {"ss": vtx["ss"], "ts": vtx["ts"], "ns": vtx["ns"]}
     wo_l = _to_local(fr, vtx["wo"])
     wi_l = _to_local(fr, w_to)
     refl = _dot(w_to, vtx["ng"]) * _dot(vtx["wo"], vtx["ng"]) > 0
-    return bsdf_f(lob, wo_l, wi_l, refl) * jnp.abs(_dot(w_to, vtx["ns"]))[:, None]
+    f = bsdf_f(lob, wo_l, wi_l, refl, mode) * jnp.abs(_dot(w_to, vtx["ns"]))[:, None]
+    if mode == "importance":
+        f = f * correct_shading_normal(vtx["ns"], vtx["ng"], vtx["wo"], w_to)[:, None]
+    return f
 
 
 def _vertex_pdf_dir(vtx, possible, w_prev, w_next):
@@ -157,6 +171,7 @@ def _random_walk(sa, static, possible, prov, dim0, v, start, n_steps, o, d, beta
         dim = dim0 + i * 3
         hit = intersect(sa, static, o, d, jnp.full(R, jnp.inf, F32))
         si = surface_interaction(sa, hit, o, d)
+        si = apply_bump(sa, static, si)
         ok = alive & si["valid"]
 
         lobes = make_bsdf(sa, static, si["mat"], si["uv"], si["p"])
@@ -185,9 +200,13 @@ def _random_walk(sa, static, possible, prov, dim0, v, start, n_steps, o, d, beta
         u_lo = prov_1d(prov, dim)
         u1, u2 = prov_2d(prov, dim + 1)
         wo_l = _to_local(si, si["wo"])
-        bs = bsdf_sample(lobes, wo_l, u_lo, u1, u2)
+        bs = bsdf_sample(lobes, wo_l, u_lo, u1, u2, mode)
         wi_w = _to_world(si, bs["wi"])
         thru = bs["f"] * (jnp.abs(_dot(wi_w, si["ns"])) / jnp.maximum(bs["pdf"], 1e-30))[:, None]
+        if mode == "importance":
+            # adjoint shading-normal correction on every light-walk scatter
+            # (bdpt.rs:1048 "*beta *= correct_shading_normal(...)")
+            thru = thru * correct_shading_normal(si["ns"], si["ng"], si["wo"], wi_w)[:, None]
         cont = ok & bs["valid"] & (num_lobes(lobes) > 0) & jnp.any(thru > 0, axis=-1)
 
         # reverse pdf at THIS vertex's predecessor (vertex.rs pdf fwd/rev)
@@ -237,6 +256,39 @@ def generate_camera_subpath(sa, static, possible, prov, cam, pxf, pyf, max_t):
     )
     n_cam = jnp.sum(v["type"] != VT_NONE, axis=1)
     return v, n_cam
+
+
+def _light_emission_pdf_dir(sa, static, lid, n_l, d):
+    """Per-kind emission-direction pdf for light `lid` emitting along d
+    (the directional half of pdf_le). MUST be used identically by the
+    light-walk forward pdf (generate_light_subpath) and every MIS override
+    that re-derives a light's emission pdf (connect s==1) — the remapped
+    pdf-ratio walk is a partition of unity only when the SAME pdf function
+    appears on both sides. Matches sample_le's samplers: area cosine-
+    hemisphere, spot/projection uniform cone, point/gonio uniform sphere."""
+    kindl = sa.light_kind[lid]
+    pdf_dir = jnp.full(lid.shape, 1.0 / (4.0 * jnp.pi), F32)
+    if static.has_area_lights:
+        from .lights import area_light_pdf_dir
+
+        is_area = kindl == LIGHT_AREA
+        pdf_dir = jnp.where(is_area, area_light_pdf_dir(sa, lid, n_l, d), pdf_dir)
+    from ..scene.arrays import LIGHT_PROJECTION, LIGHT_SPOT
+
+    if any(k in (LIGHT_SPOT, LIGHT_PROJECTION) for k in static.light_kinds):
+        # cone-sampled emitters (spot.rs / projection.rs pdf_le):
+        # pdf_dir = 1/(2pi(1-cosTotalWidth)), matching sample_le's sampler
+        from .lights import _projection_cos_total
+
+        parl = sa.light_param[lid]
+        pdf_dir = jnp.where(
+            kindl == LIGHT_SPOT,
+            1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - parl[:, 9]), 1e-9), pdf_dir)
+        pdf_dir = jnp.where(
+            kindl == LIGHT_PROJECTION,
+            1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - _projection_cos_total(parl)), 1e-9),
+            pdf_dir)
+    return pdf_dir
 
 
 def generate_light_subpath(sa, static, possible, prov, dim0, power_cdf, max_s):
@@ -295,28 +347,7 @@ def generate_light_subpath(sa, static, possible, prov, dim0, power_cdf, max_s):
     for dk in _DELTA_LIGHTS:
         is_delta_l = is_delta_l | (kindl == dk)
     v["is_delta_light"] = is_delta_l
-    # directional pdf approximations per kind (consistent across strategies)
-    pdf_dir = jnp.full(R, 1.0 / (4.0 * jnp.pi), F32)
-    if static.has_area_lights:
-        from .lights import area_light_pdf_dir
-
-        pdf_dir = jnp.where(is_area, area_light_pdf_dir(sa, lid, n_l, em["d"]), pdf_dir)
-    from ..scene.arrays import LIGHT_PROJECTION, LIGHT_SPOT
-
-    if any(k in (LIGHT_SPOT, LIGHT_PROJECTION) for k in static.light_kinds):
-        # cone-sampled emitters (spot.rs / projection.rs pdf_le):
-        # pdf_dir = 1/(2pi(1-cosTotalWidth)), matching sample_le's sampler
-        from .lights import _projection_cos_total
-
-        parl = sa.light_param[lid]
-        pdf_dir = jnp.where(
-            kindl == LIGHT_SPOT,
-            1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - parl[:, 9]), 1e-9), pdf_dir)
-        pdf_dir = jnp.where(
-            kindl == LIGHT_PROJECTION,
-            1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - _projection_cos_total(parl)), 1e-9),
-            pdf_dir)
-
+    pdf_dir = _light_emission_pdf_dir(sa, static, lid, n_l, em["d"])
     v, _ = _random_walk(sa, static, possible, prov, dim0 + 5, v, 1, max_s - 1, em["o"], em["d"], beta, pdf_dir, alive, "importance")
     n_light = jnp.sum(v["type"] != VT_NONE, axis=1)
     return v, n_light
@@ -423,14 +454,11 @@ def connect_bdpt(sa, static, possible, cam, prov, cam_v, n_cam, light_v, n_light
         # overrides for MIS (bdpt.rs s==1: sampled vertex replaces light_v[0])
         p_light = pt["p"] + ls["wi"] * ls["dist"][:, None]
         n_light = ls["n"]
-        # pt.rev <- light's emission-direction pdf converted to area at pt
-        from .lights import area_light_pdf_dir
-
-        pdf_dir_l = jnp.where(
-            jnp.any(n_light != 0, axis=-1),
-            area_light_pdf_dir(sa, lid, n_light, -ls["wi"]),
-            1.0 / (4.0 * jnp.pi),
-        )
+        # pt.rev <- light's emission-direction pdf converted to area at pt;
+        # MUST be the same per-kind pdf the light walk used as pdf_fwd
+        # (spot/projection cone, not a 1/4pi fallback) or the ratio walk
+        # loses its partition of unity and every strategy over-counts
+        pdf_dir_l = _light_emission_pdf_dir(sa, static, lid, n_light, -ls["wi"])
         pdf_rev_pt = _convert_pdf(pdf_dir_l, p_light, pt["p"], pt["ng"])
         prev = _gather(cam_v, t - 2)
         # pt-1.rev <- pt's bsdf pdf toward prev (given light direction)
@@ -457,7 +485,7 @@ def connect_bdpt(sa, static, possible, cam, prov, cam_v, n_cam, light_v, n_light
     d2 = jnp.maximum(_dot(w_c, w_c), 1e-12)
     wdir = w_c / jnp.sqrt(d2)[:, None]
     f_pt = _vertex_f(pt, possible, wdir)
-    f_qs = _vertex_f(qs, possible, -wdir)
+    f_qs = _vertex_f(qs, possible, -wdir, "importance")
     g = 1.0 / d2  # cosines folded into _vertex_f (|cos ns|)
     L = pt["beta"] * f_pt * f_qs * qs["beta"] * g[:, None]
     ok = both & jnp.any(L > 0, axis=-1)
@@ -496,7 +524,7 @@ def connect_t1(sa, static, possible, cam, cam_v, light_v, n_light, s: int, W, H)
     qs = _gather(light_v, s - 1)
     ok = (n_light >= s) & (qs["type"] == VT_SURFACE) & ~qs["delta"]
     cw = camera_sample_wi(cam, qs["p"])
-    f_qs = _vertex_f(qs, possible, cw["wi"])
+    f_qs = _vertex_f(qs, possible, cw["wi"], "importance")
     L = qs["beta"] * f_qs * (cw["we"] / jnp.maximum(cw["pdf"], 1e-20))[:, None]
     ok = ok & cw["valid"] & jnp.any(L > 0, axis=-1)
     o_sh = _offset_ray(qs["p"], qs["ng"], cw["wi"])
@@ -583,7 +611,14 @@ def render_bdpt(cs, seed: int = 0, spp: int | None = None, progress=None):
     spp = int(spp if spp is not None else desc.sampler.pixel_samples)
     max_depth = max(int(desc.integrator.max_depth), 1)
 
-    ys, xs = np.mgrid[0:H, 0:W]
+    # camera pixel bounds: crop window x integrator "pixelbounds"
+    # (bdpt.rs:1371). Camera subpaths cover only the bounds; t=1 light
+    # splats still land anywhere on the film, like the reference's
+    # full-film light image.
+    from ..render import film_pixel_bounds
+
+    x0, x1, y0, y1 = film_pixel_bounds(desc)
+    ys, xs = np.mgrid[y0:y1, x0:x1]
     px = jnp.asarray(xs.ravel().astype(np.int32))
     py = jnp.asarray(ys.ravel().astype(np.int32))
     pids = jnp.asarray((ys * W + xs).ravel().astype(np.uint32))
@@ -606,11 +641,13 @@ def render_bdpt(cs, seed: int = 0, spp: int | None = None, progress=None):
         )
         return L, film_splat
 
-    acc = np.zeros((R, 3), np.float64)
+    acc = np.zeros((R, 3), np.float64)  # full film: splats land anywhere
+    pid_np = np.asarray(pids, np.int64)
     t0 = time.time()
     for s in range(spp):
         L, fs = wave(jnp.uint32(s), jnp.uint32(seed))
-        acc += np.asarray(L, np.float64) + np.asarray(fs, np.float64)
+        acc += np.asarray(fs, np.float64)
+        acc[pid_np] += np.asarray(L, np.float64)
         if progress:
             progress(s + 1, spp)
     img = (acc / spp).reshape(H, W, 3).astype(np.float32)

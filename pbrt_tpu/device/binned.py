@@ -45,6 +45,15 @@ I32 = jnp.int32
 U32 = jnp.uint32
 INF = jnp.inf
 
+# one-hot supernode fetch A/B flag, read ONCE at import: binned_intersect is
+# traced into jitted integrators, so a runtime env read would be captured at
+# first trace anyway (and the jit cache is not keyed on it). Importing the
+# module after setting the env var is the supported toggle (tools/
+# binned_phases re-invokes python per variant).
+import os as _os
+
+_ONEHOT = _os.environ.get("PBRT_TPU_BINNED_ONEHOT", "") == "1"
+
 K1 = 16  # supernode candidate slots per ray (supers hold <= 16 clusters)
 K2 = 12  # cluster candidate slots per ray
 
@@ -404,11 +413,9 @@ def binned_intersect(sa, static, o, d, t_max, any_hit: bool = False,
     `interpret` are accepted for signature compatibility; this tier has
     no kernels to interpret and never needs ray sorting.
     """
-    import os
-
     R = o.shape[0]
     t_arr = jnp.broadcast_to(jnp.asarray(t_max, F32), (R,))
-    onehot = os.environ.get("PBRT_TPU_BINNED_ONEHOT", "") == "1"
+    onehot = _ONEHOT
     t, prim, hitm, b1, b2, ovf = _binned_core(
         int(static.n_clusters), bool(any_hit), sa.su_lo, sa.su_hi,
         sa.su_bounds, sa.cl_rows, o, d, R, onehot, t_arr)

@@ -51,6 +51,16 @@ TRANS_KINDS = frozenset({LOBE_LAMBERT_T, LOBE_MICRO_T, LOBE_SPEC_T})
 INV_PI = 1.0 / jnp.pi
 
 
+def correct_shading_normal(ns, ng, wo, wi):
+    """Adjoint-BSDF shading-normal correction for importance transport:
+    |wo.ns||wi.ng| / (|wo.ng||wi.ns|), applied to beta on every
+    importance-mode scatter (bdpt.rs:45-57; used at :366 and :1048).
+    All vectors world-space. Returns 0 where the denominator vanishes."""
+    num = jnp.abs(jnp.sum(wo * ns, axis=-1)) * jnp.abs(jnp.sum(wi * ng, axis=-1))
+    denom = jnp.abs(jnp.sum(wo * ng, axis=-1)) * jnp.abs(jnp.sum(wi * ns, axis=-1))
+    return jnp.where(denom > 1e-12, num / jnp.maximum(denom, 1e-12), 0.0)
+
+
 def cos_theta(w):
     return w[..., 2]
 
@@ -341,8 +351,14 @@ def cosine_sample_hemisphere(u1, u2):
 _DIFFUSE_LIKE = frozenset({LOBE_LAMBERT_R, LOBE_LAMBERT_T, LOBE_OREN_NAYAR})
 
 
-def _lobe_f(kind, data, wo, wi, possible: frozenset, fourier_ft=None, beck=False):
-    """f for one lobe slot, vectorized. Non-specular kinds only."""
+def _lobe_f(kind, data, wo, wi, possible: frozenset, fourier_ft=None, beck=False,
+            mode: str = "radiance"):
+    """f for one lobe slot, vectorized. Non-specular kinds only.
+
+    `mode` is a STATIC transport-mode flag ("radiance" | "importance"):
+    radiance transport carries the non-symmetric eta factors on
+    transmission (reflection.rs:1087 MicrofacetTransmission factor,
+    :1308 Fourier); importance (adjoint) transport omits them."""
     R = wo.shape[0]
     color = data[..., 0:3]
     out = jnp.zeros((R, 3), F32)
@@ -356,12 +372,14 @@ def _lobe_f(kind, data, wo, wi, possible: frozenset, fourier_ft=None, beck=False
         out = jnp.where(m[:, None], f_lam, out)
 
     if LOBE_SSS_ADAPTER in possible:
-        # directional BSSRDF term at the exit point, times eta^2 for the
-        # radiance transport mode (bssrdf.rs:593-600)
+        # directional BSSRDF term at the exit point; the eta^2 boost exists
+        # only in radiance transport (bssrdf.rs:593-600 mode branch)
         from .bssrdf import sw_factor
 
         eta_a = jnp.maximum(data[..., 3], 1.0 + 1e-6)
-        f_sw = sw_factor(eta_a, cos_theta(wi)) * eta_a * eta_a
+        f_sw = sw_factor(eta_a, cos_theta(wi))
+        if mode == "radiance":
+            f_sw = f_sw * eta_a * eta_a
         out = jnp.where(((kind == LOBE_SSS_ADAPTER) & refl_hemi)[:, None],
                         f_sw[..., None] * jnp.ones((1, 3), F32), out)
 
@@ -406,8 +424,13 @@ def _lobe_f(kind, data, wo, wi, possible: frozenset, fourier_ft=None, beck=False
         fr_t = fresnel_dielectric(jnp.sum(wo * wh_t, axis=-1), 1.0, eta)
         d_t = micro_d(kind, data, wh_t, ax, ay, beck)
         g_t = micro_g(kind, data, wo, wi, ax, ay, beck)
+        # radiance mode carries factor^2 = (1/eta)^2 against the eta^2
+        # Jacobian term (reflection.rs:1086-1089); importance mode keeps
+        # the bare eta^2 (adjoint BSDF is eta^2 larger on transmission)
+        factor2 = 1.0 / (eta_t * eta_t) if mode == "radiance" else jnp.ones_like(eta_t)
         f_mt_val = (1.0 - fr_t) * jnp.abs(
-            d_t * g_t * eta_t * eta_t * jnp.abs(jnp.sum(wi * wh_t, axis=-1)) * jnp.abs(jnp.sum(wo * wh_t, axis=-1))
+            d_t * g_t * eta_t * eta_t * factor2
+            * jnp.abs(jnp.sum(wi * wh_t, axis=-1)) * jnp.abs(jnp.sum(wo * wh_t, axis=-1))
             / jnp.maximum(abs_ci * abs_co * sqrt_denom * sqrt_denom, 1e-12)
         )
         same_side = jnp.sum(wo * wh_t, axis=-1) * jnp.sum(wi * wh_t, axis=-1) > 0
@@ -449,7 +472,7 @@ def _lobe_f(kind, data, wo, wi, possible: frozenset, fourier_ft=None, beck=False
     if LOBE_FOURIER in possible and fourier_ft is not None:
         from .fourier import fourier_f
 
-        f_fo = fourier_f(fourier_ft, data[..., 12].astype(jnp.int32), wo, wi)
+        f_fo = fourier_f(fourier_ft, data[..., 12].astype(jnp.int32), wo, wi, mode)
         out = jnp.where((kind == LOBE_FOURIER)[:, None], f_fo, out)
 
     if LOBE_HAIR in possible:
@@ -552,7 +575,7 @@ def _slot_possible(lobes, s):
     return poss[s]
 
 
-def bsdf_f(lobes, wo, wi, refl):
+def bsdf_f(lobes, wo, wi, refl, mode: str = "radiance"):
     """Sum of lobe f values matching the reflect/transmit geometry bit."""
     kinds = lobes["kind"]
     beck = bool(lobes.get("has_beckmann", False))
@@ -563,7 +586,7 @@ def bsdf_f(lobes, wo, wi, refl):
             continue
         k = kinds[:, s]
         match = _lobe_matches(k, refl) & ~_is_specular(k)
-        f_s = _lobe_f(k, lobes["data"][:, s], wo, wi, poss, lobes.get("fourier"), beck)
+        f_s = _lobe_f(k, lobes["data"][:, s], wo, wi, poss, lobes.get("fourier"), beck, mode)
         total = total + jnp.where(match[:, None], f_s, 0.0)
     return total
 
@@ -603,12 +626,18 @@ def all_possible(lobes) -> frozenset:
     return out
 
 
-def bsdf_sample(lobes, wo, u_lobe, u1, u2):
+def bsdf_sample(lobes, wo, u_lobe, u1, u2, mode: str = "radiance"):
     """Sample the BSDF: choose a lobe uniformly, sample it, combine.
 
     Returns dict {wi, f, pdf, specular, valid, eta_scale, abs_cos}.
     Mirrors BSDF::sample_f (reflection.rs:1583-1669): for non-specular chosen
     lobes, f and pdf are recomputed over all lobes.
+
+    `mode` ("radiance" | "importance") is static: radiance transport applies
+    the (etaI/etaT)^2 compression on specular transmission
+    (reflection.rs:703,777); importance (adjoint) transport — light subpaths,
+    photons — omits it. Callers of importance mode must separately apply
+    `correct_shading_normal` to their throughput (bdpt.rs:1048).
     """
     kinds = lobes["kind"]
     data = lobes["data"]
@@ -699,7 +728,7 @@ def bsdf_sample(lobes, wo, u_lobe, u1, u2):
     if LOBE_FOURIER in union:
         from .fourier import fourier_sample
 
-        fs = fourier_sample(lobes["fourier"], dat[:, 12].astype(jnp.int32), wo, u1, u2)
+        fs = fourier_sample(lobes["fourier"], dat[:, 12].astype(jnp.int32), wo, u1, u2, mode)
         m = k == LOBE_FOURIER
         wi = jnp.where(m[:, None], fs["wi"], wi)
         valid = valid & jnp.where(m, fs["valid"], True)
@@ -733,7 +762,9 @@ def bsdf_sample(lobes, wo, u_lobe, u1, u2):
             f_sr = color * fr_cos / jnp.maximum(abs_ci, 1e-9)[:, None]
             f_spec = jnp.where((k == LOBE_SPEC_R)[:, None], f_sr, f_spec)
             pdf_spec = jnp.where(k == LOBE_SPEC_R, 1.0, pdf_spec)
-        st_scale = eta_ratio * eta_ratio  # (etaI/etaT)^2 radiance compression
+        # (etaI/etaT)^2 radiance compression — radiance transport only
+        # (reflection.rs:703,777 "if self.mode == TransportMode::Radiance")
+        st_scale = eta_ratio * eta_ratio if mode == "radiance" else jnp.ones_like(eta_ratio)
         if LOBE_SPEC_T in union:
             fr_d = fresnel_dielectric(cos_theta(wo), 1.0, eta)
             f_st_c = color * ((1.0 - fr_d) * st_scale / jnp.maximum(abs_ci, 1e-9))[:, None]
@@ -749,7 +780,7 @@ def bsdf_sample(lobes, wo, u_lobe, u1, u2):
     # --- non-specular: recompute over all lobes ---
     if union - SPECULAR_KINDS:
         refl = same_hemisphere(wo, wi)
-        f_all = bsdf_f(lobes, wo, wi, refl)
+        f_all = bsdf_f(lobes, wo, wi, refl, mode)
         pdf_all = bsdf_pdf(lobes, wo, wi)
     else:
         f_all = jnp.zeros((R, 3), F32)

@@ -142,23 +142,26 @@ def _rgb_from_series(y, r, b, scale):
     return jnp.clip(rgb, 0.0, jnp.inf)
 
 
-def _radiance_scale(ft, tid, mui, muo):
-    """1/|mui| plus the radiance-transport eta^2 factor
-    (reflection.rs:1301-1316)."""
+def _radiance_scale(ft, tid, mui, muo, mode: str = "radiance"):
+    """1/|mui|, plus — in radiance transport only — the eta^2
+    transmission factor (reflection.rs:1301-1316 mode branch); importance
+    (adjoint) transport keeps the bare 1/|mui|."""
+    scale = jnp.where(jnp.abs(mui) > 1e-9, 1.0 / jnp.maximum(jnp.abs(mui), 1e-9), 0.0)
+    if mode != "radiance":
+        return scale
     eta = _table_rows(ft, "eta", tid)
     eta = jnp.broadcast_to(eta, mui.shape)
-    scale = jnp.where(jnp.abs(mui) > 1e-9, 1.0 / jnp.maximum(jnp.abs(mui), 1e-9), 0.0)
     ef = jnp.where(mui > 0, 1.0 / jnp.maximum(eta, 1e-6), eta)
     return jnp.where(mui * muo > 0, scale * ef * ef, scale)
 
 
-def fourier_f(ft, tid, wo, wi):
+def fourier_f(ft, tid, wo, wi, mode: str = "radiance"):
     """BSDF value (R, 3) of the tabulated model (reflection.rs f())."""
     mui, muo, offi, wi4, offo, wo4, valid = _weights_io(ft, tid, wo, wi)
     ak = _accumulate_ak(ft, tid, offi, wi4, offo, wo4)
     y, r, b = _series_all(ak, _cos_d_phi(-wi, wo))
     y = jnp.maximum(y, 0.0)
-    scale = _radiance_scale(ft, tid, mui, muo)
+    scale = _radiance_scale(ft, tid, mui, muo, mode)
     rgb = _rgb_from_series(y, r, b, scale)
     return jnp.where(valid[:, None], rgb, 0.0)
 
@@ -279,7 +282,7 @@ def _sample_phi(ak_y, u):
     return phi, jnp.maximum(pdf, 0.0), f
 
 
-def fourier_sample(ft, tid, wo, u1, u2):
+def fourier_sample(ft, tid, wo, u1, u2, mode: str = "radiance"):
     """Importance-sample the tabulated BSDF (reflection.rs sample_f()).
 
     Returns dict {wi, f (R,3), pdf, valid}."""
@@ -305,7 +308,7 @@ def fourier_sample(ft, tid, wo, u1, u2):
     )
     wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-12)
     y, r, b = _series_all(ak, cos_phi)
-    scale = _radiance_scale(ft, tid, mui, muo)
+    scale = _radiance_scale(ft, tid, mui, muo, mode)
     f = _rgb_from_series(jnp.maximum(y, 0.0), r, b, scale)
     pdf = jnp.maximum(pdf_phi * pdf_mu, 0.0)
     valid = vo & vi & (pdf > 0)

@@ -24,7 +24,7 @@ from .lights import area_light_emission, env_le, env_pdf_li, pdf_li_area_hit, sa
 from .materials import make_bsdf
 from .sampler import sample_1d, sample_2d
 from .gather import gather_rows
-from .shading import surface_interaction
+from .shading import apply_bump, surface_interaction
 
 F32 = jnp.float32
 RAY_EPS = 1e-3
@@ -241,6 +241,7 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         t_query = jnp.where(alive, jnp.inf, -1.0)
         hit = intersect(sa, static, o, d, t_query, time=time, sort_rays=True)
         si = surface_interaction(sa, hit, o, d, time=time)
+        si = apply_bump(sa, static, si)
         valid = si["valid"]
         n_vertices = n_vertices + (alive & valid)
 
@@ -253,10 +254,14 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
             # sample*7+bounce collided across (s, b) pairs with equal sums
             # (s=0,b=7 vs s=1,b=0), replaying delta-tracking streams
             # between adjacent samples at maxdepth > 7. The *2 keeps this
-            # stream disjoint from the shadow-transmittance one (*2+1).
+            # stream disjoint from the shadow-transmittance one (*2+1),
+            # and the large salt keeps BOTH disjoint from every sampler
+            # dimension word (sampler.py uniform_1d uses small dims 2d/2d+1
+            # in the same 4-word keyspace — when b == d the raw u32s were
+            # bit-identical, decorrelated only by downstream pcg rounds).
             mkey = _rng.hash_combine(seed, pixel,
                                      jnp.asarray(sample_idx, jnp.uint32),
-                                     bkey * jnp.uint32(2))
+                                     jnp.uint32(0xC0FFEE00) + bkey * jnp.uint32(2))
             ms = medium_sample(sa, static, medium, o, d, t_surf, mkey)
             in_scatter = alive & ms["hit_medium"]
             beta = jnp.where((alive & (medium >= 0))[:, None], beta * ms["weight"], beta)
@@ -308,9 +313,10 @@ def trace_wave(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dict, see
         if pass_null:
             # per-lane, pixel-global key (see medium_sample note); sample
             # and bounce are separate hash words, *2+1 disjoint from the
-            # medium-sampling stream's *2
+            # medium-sampling stream's *2, same 0xC0FFEE00 salt keeping
+            # both clear of the sampler dimension words
             key = _rng.hash_combine(seed, pixel, jnp.asarray(sample_idx, jnp.uint32),
-                                    b.astype(jnp.uint32) * jnp.uint32(2) + jnp.uint32(1))
+                                    jnp.uint32(0xC0FFEE00) + b.astype(jnp.uint32) * jnp.uint32(2) + jnp.uint32(1))
             return transmittance_shadow(sa, static, o_sh, wi, t_sh, medium_v, key, time=time)
         if needed is not None:
             t_sh = jnp.where(needed, t_sh, -1.0)
@@ -786,6 +792,7 @@ def trace_persistent(sa: SceneArrays, static: SceneStatic, icfg: dict, scfg: dic
         t_query = jnp.where(alive, jnp.inf, -1.0)
         hit = intersect(sa, static, o, d, t_query, sort_rays=True)
         si = surface_interaction(sa, hit, o, d)
+        si = apply_bump(sa, static, si)
         valid = si["valid"]
         nverts = nverts + (alive & valid)
 

@@ -74,6 +74,31 @@ def sobol_dim_dyn(sample_idx, dim, scramble, max_dim: int = 64):
 _SOBOL_COLS = None
 
 
+# user-declared stratified strata shape (stratified.rs:121-131 spp =
+# xsamples * ysamples): render drivers register (xs, ys) before tracing a
+# wave so non-square declarations like "8x2" keep their shape instead of the
+# floor(sqrt(spp)) fallback. TRACE-TIME capture: the shape is read when a
+# wave jits (each render call builds fresh jitted closures, so per-render
+# registration is safe); it is consulted only when xs*ys == spp.
+_STRATIFIED_SHAPE: tuple[int, int] | None = None
+_STRATIFIED_JITTER: bool = True
+
+
+def set_stratified_shape(xs: int, ys: int, jitter: bool = True) -> None:
+    global _STRATIFIED_SHAPE, _STRATIFIED_JITTER
+    _STRATIFIED_SHAPE = (max(int(xs), 1), max(int(ys), 1))
+    _STRATIFIED_JITTER = bool(jitter)
+
+
+def stratified_shape(spp: int) -> tuple[int, int]:
+    if _STRATIFIED_SHAPE is not None and _STRATIFIED_SHAPE[0] * _STRATIFIED_SHAPE[1] == spp:
+        return _STRATIFIED_SHAPE
+    import math
+
+    xs = max(int(math.floor(math.sqrt(spp))), 1)
+    return xs, max(spp // xs, 1)
+
+
 def sample_2d(kind: str, seed, pixel, sample_idx, dim, spp: int):
     """One 2D sample. dim may be a static int or a traced int32 (inside the
     rolled persistent bounce loop); traced dims use the SAME Halton/Sobol
@@ -104,17 +129,17 @@ def sample_2d(kind: str, seed, pixel, sample_idx, dim, spp: int):
             # wavefront sampler decorrelates dims by rotating the stratum
             # order per (pixel, dim) — a valid permutation, so each pixel
             # still covers all spp strata exactly once)
-            import math
-
-            xs = int(math.floor(math.sqrt(spp)))
-            xs = max(xs, 1)
-            ys = max(spp // xs, 1)
+            xs, ys = stratified_shape(spp)
             idx = sample_idx
             if dim != 0:
                 rot = rng.hash_combine(seed, pixel, jnp.uint32(7919 * dim))
                 idx = (jnp.asarray(sample_idx).astype(jnp.uint32) + rot) % jnp.uint32(max(xs * ys, 1))
             sx = (idx % xs).astype(F32)
             sy = ((idx // xs) % ys).astype(F32)
+            if not _STRATIFIED_JITTER:
+                # stratified.rs "jitter" false: stratum centers
+                u1 = jnp.full_like(u1, 0.5)
+                u2 = jnp.full_like(u2, 0.5)
             u1 = (sx + u1) / xs
             u2 = (sy + u2) / ys
         return u1, u2
@@ -157,6 +182,8 @@ def sample_1d(kind: str, seed, pixel, sample_idx, dim, spp: int):
         rot = rng.hash_combine(seed, pixel, jnp.uint32(104729 + 7919 * dim))
         idx = (jnp.asarray(sample_idx).astype(jnp.uint32) + rot) % jnp.uint32(max(spp, 1))
         u = rng.uniform_1d(seed, pixel, sample_idx, 1024 + dim)
+        if not _STRATIFIED_JITTER:
+            u = jnp.full_like(u, 0.5)
         return (idx.astype(F32) + u) / max(spp, 1)
     if kind in ("random", "stratified"):
         return rng.uniform_1d(seed, pixel, sample_idx, 1024 + dim)

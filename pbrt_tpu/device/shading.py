@@ -47,6 +47,75 @@ def coordinate_system(n):
     return t, bt
 
 
+def _shading_frame(ns, dpdu):
+    """(ss, ts) tangent frame: dpdu orthogonalized against ns, arbitrary
+    fallback for degenerate parameterizations."""
+    ss_fb, ts_fb = coordinate_system(ns)
+    ss_p = dpdu - ns * jnp.sum(ns * dpdu, axis=-1, keepdims=True)
+    ss_len = jnp.linalg.norm(ss_p, axis=-1)
+    ok_t = ss_len > 1e-9
+    ss = jnp.where(ok_t[:, None], ss_p / jnp.maximum(ss_len, 1e-20)[:, None], ss_fb)
+    ts = jnp.where(ok_t[:, None], jnp.cross(ns, ss), ts_fb)
+    return ss, ts
+
+
+def apply_bump(sa: SceneArrays, static, si):
+    """Bump-map the shading frame (material.rs:46-87 bump()).
+
+    Finite-difference displacement: evaluate the material's float bump
+    texture at uv, uv+(du,0), uv+(0,dv) (hit points shifted along
+    dpdu/dpdv so 3D-mapped textures also work), displace
+      dpdu' = dpdu + d(disp)/du * ns,   dpdv' = dpdv + d(disp)/dv * ns
+    and rebuild ns/ss/ts from the displaced tangents. The dndu/dndv terms
+    of the reference are omitted (flat triangles have zero dndu; quadric
+    curvature displacement is a second-order effect). No-op (returns si
+    unchanged, nothing traced) when the scene has no bump maps.
+
+    Rays without differentials use the reference's du fallback 0.0005
+    (material.rs: `if du == 0 { du = 0.0005 }`).
+    """
+    if not getattr(static, "has_bump", False):
+        return si
+    from .gather import gather_rows
+    from .texture import eval_textures
+
+    tid = gather_rows(sa.mat_bump, jnp.maximum(si["mat"], 0))
+    has = tid >= 0
+    du = 0.0005
+    dv = 0.0005
+
+    def disp_at(uv, p):
+        vals = eval_textures(sa, static.tex_programs, uv, p)
+        out = jnp.zeros(uv.shape[0], F32)
+        for x in range(vals.shape[0]):
+            out = jnp.where(tid == x, vals[x][:, 0], out)
+        return out
+
+    uv = si["uv"]
+    p = si["p"]
+    d0 = disp_at(uv, p)
+    d_u = disp_at(uv + jnp.array([du, 0.0], F32), p + du * si["dpdu"])
+    d_v = disp_at(uv + jnp.array([0.0, dv], F32), p + dv * si["dpdv"])
+    ns = si["ns"]
+    dpdu_b = si["dpdu"] + ((d_u - d0) / du)[:, None] * ns
+    dpdv_b = si["dpdv"] + ((d_v - d0) / dv)[:, None] * ns
+    ns_b = jnp.cross(dpdu_b, dpdv_b)
+    nlen = jnp.linalg.norm(ns_b, axis=-1, keepdims=True)
+    ns_b = ns_b / jnp.maximum(nlen, 1e-20)
+    # keep the displaced normal on the original shading side (the
+    # reference's set_shading_geometry orientation handling)
+    flip = jnp.sum(ns_b * ns, axis=-1) < 0
+    ns_b = jnp.where(flip[:, None], -ns_b, ns_b)
+    ok = has & (nlen[:, 0] > 1e-12)
+    ns_n = jnp.where(ok[:, None], ns_b, ns)
+    ss_b, ts_b = _shading_frame(ns_n, jnp.where(ok[:, None], dpdu_b, si["dpdu"]))
+    si = dict(si)
+    si["ns"] = ns_n
+    si["ss"] = jnp.where(ok[:, None], ss_b, si["ss"])
+    si["ts"] = jnp.where(ok[:, None], ts_b, si["ts"])
+    return si
+
+
 def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
     """Build the shading record for each ray.
 
@@ -308,12 +377,7 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
     # shading frame: tangent from dpdu (reflection.rs BSDF ctor ss =
     # normalize(dpdu)), orthogonalized against the shading normal; falls
     # back to an arbitrary frame for degenerate parameterizations
-    ss_fb, ts_fb = coordinate_system(ns)
-    ss_p = dpdu - ns * jnp.sum(ns * dpdu, axis=-1, keepdims=True)
-    ss_len = jnp.linalg.norm(ss_p, axis=-1)
-    ok_t = ss_len > 1e-9
-    ss = jnp.where(ok_t[:, None], ss_p / jnp.maximum(ss_len, 1e-20)[:, None], ss_fb)
-    ts = jnp.where(ok_t[:, None], jnp.cross(ns, ss), ts_fb)
+    ss, ts = _shading_frame(ns, dpdu)
     return {
         "valid": valid,
         "p": p,

@@ -37,7 +37,7 @@ from .intersect import intersect, intersect_p
 from .lights import area_light_emission, compute_power, env_le, env_pdf_li, pdf_li_area_hit, sample_le, sample_li
 from .materials import make_bsdf
 from .sampler import sample_1d, sample_2d
-from .shading import surface_interaction
+from .shading import apply_bump, surface_interaction
 
 log = logging.getLogger(__name__)
 F32 = jnp.float32
@@ -114,6 +114,7 @@ def _camera_pass(sa, static, icfg, scfg, cam, seed, px, py, pids, it):
         dim = 2 + b * 6
         hit = intersect(sa, static, o, d, jnp.full(R, jnp.inf, F32))
         si = surface_interaction(sa, hit, o, d)
+        si = apply_bump(sa, static, si)
         valid = si["valid"]
 
         if static.has_infinite:
@@ -276,6 +277,7 @@ def _photon_pass(sa, static, icfg, seed, it, n_photons, power_cdf, vp, radius,
         dim = 5 + b * 4
         hit = intersect(sa, static, o, d, jnp.full(P, jnp.inf, F32))
         si = surface_interaction(sa, hit, o, d)
+        si = apply_bump(sa, static, si)
         alive = alive & si["valid"]
 
         if b > 0:
@@ -351,7 +353,12 @@ def _photon_pass(sa, static, icfg, seed, it, n_photons, power_cdf, vp, radius,
         lobes = make_bsdf(sa, static, si["mat"], si["uv"], si["p"])
         alive = alive & (num_lobes(lobes) > 0)
         wo_l = _to_local(si, si["wo"])
-        bs = bsdf_sample(lobes, wo_l, ph_u1(dim), ph_u1(dim + 1), ph_u1(dim + 2))
+        # photon scattering runs in importance (adjoint) mode: no eta^2
+        # radiance compression on transmission (sppm.rs:431
+        # TransportMode::Importance). The reference applies NO shading-normal
+        # correction here (sppm.rs:455) — that factor is BDPT-only — so
+        # neither do we.
+        bs = bsdf_sample(lobes, wo_l, ph_u1(dim), ph_u1(dim + 1), ph_u1(dim + 2), "importance")
         wi_w = _to_world(si, bs["wi"])
         bnew = beta * bs["f"] * (jnp.abs(_dot(wi_w, si["ns"])) / jnp.maximum(bs["pdf"], 1e-30))[:, None]
         alive = alive & bs["valid"] & jnp.any(bnew > 0, axis=-1)

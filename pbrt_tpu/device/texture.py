@@ -206,7 +206,8 @@ def eval_textures(sa: SceneArrays, programs, uv, p, duvdx=None, duvdy=None):
                     )
                     val = lookup_trilinear(levels, s, t, width, prog.wrap) * par[10]
                 else:
-                    val = lookup_ewa(levels, s, t, dx, dy, prog.wrap) * par[10]
+                    val = lookup_ewa(levels, s, t, dx, dy, prog.wrap,
+                                     max_anisotropy=prog.max_aniso) * par[10]
         elif prog.kind == "uv":
             s, t = _mapping_uv(prog, par, uv, p)
             val = jnp.stack([s - jnp.floor(s), t - jnp.floor(t), jnp.zeros_like(s)], axis=-1)

@@ -1120,15 +1120,22 @@ class API:
         sampler_name = {"lowdiscrepancy": "zerotwosequence", "02sequence": "zerotwosequence"}.get(
             ro.sampler_name, ro.sampler_name
         )
-        pixel_samples = sp.find_one_int("pixelsamples", 16)
+        x_samples = sp.find_one_int("xsamples", 4)
+        y_samples = sp.find_one_int("ysamples", 4)
+        if sampler_name == "stratified":
+            # stratified.rs:121-131: spp = xsamples * ysamples (there is no
+            # "pixelsamples" parameter on the reference's stratified sampler)
+            pixel_samples = x_samples * y_samples
+        else:
+            pixel_samples = sp.find_one_int("pixelsamples", 16)
         if opts.quick_render:
             pixel_samples = max(1, pixel_samples // 4)
         sampler = SamplerConfig(
             kind=sampler_name,
             pixel_samples=pixel_samples,
             jitter=sp.find_one_bool("jitter", True),
-            x_samples=sp.find_one_int("xsamples", 4),
-            y_samples=sp.find_one_int("ysamples", 4),
+            x_samples=x_samples,
+            y_samples=y_samples,
             sampled_dimensions=sp.find_one_int("dimensions", 4),
         )
 

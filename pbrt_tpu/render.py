@@ -502,6 +502,43 @@ def render(desc: SceneDescription, seed: int = 0, spp: int | None = None, progre
     return render_compiled(cs, seed=seed, spp=spp, progress=progress, **kw)
 
 
+# integrator kinds whose reference create() accepts "pixelbounds"
+# (ao.rs:120, bdpt.rs:1371, directlighting.rs:129, path.rs:230, volpath,
+# whitted; NOT sppm/mlt)
+_PIXELBOUNDS_KINDS = frozenset(
+    {"ao", "bdpt", "directlighting", "path", "volpath", "whitted"})
+
+
+def film_pixel_bounds(desc) -> tuple[int, int, int, int]:
+    """(x0, x1, y0, y1) camera pixel bounds: the film's crop-window bounds
+    (film.rs create_film :385-393) intersected with the integrator's
+    "pixelbounds" [x0 x1 y0 y1] when the integrator kind supports it
+    (SamplerIntegrator create fns). Degenerate intersections fall back to
+    the crop bounds, matching the reference's error-and-ignore."""
+    import math as _math
+
+    W = desc.film.x_resolution
+    H = desc.film.y_resolution
+    cx0, cx1, cy0, cy1 = desc.film.crop_window
+    x0 = int(_math.ceil(W * cx0))
+    x1 = max(int(_math.ceil(W * cx1)), x0 + 1)
+    y0 = int(_math.ceil(H * cy0))
+    y1 = max(int(_math.ceil(H * cy1)), y0 + 1)
+    pb = getattr(desc.integrator, "pixel_bounds", None)
+    if pb is not None and len(pb) == 4 and desc.integrator.kind in _PIXELBOUNDS_KINDS:
+        nx0 = max(x0, int(pb[0]))
+        nx1 = min(x1, int(pb[1]))
+        ny0 = max(y0, int(pb[2]))
+        ny1 = min(y1, int(pb[3]))
+        if nx1 > nx0 and ny1 > ny0:
+            return nx0, nx1, ny0, ny1
+        import logging
+
+        logging.getLogger(__name__).error(
+            "degenerate \"pixelbounds\" %s ignored", tuple(pb))
+    return x0, x1, y0, y1
+
+
 _WAVE_CACHE: dict = {}
 
 
@@ -525,6 +562,13 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
     resumed automatically.
     """
     desc = cs.description
+    if desc.sampler.kind == "stratified":
+        # register the user-declared strata layout + jitter flag before any
+        # wave traces (stratified.rs:121-131)
+        from .device.sampler import set_stratified_shape
+
+        set_stratified_shape(desc.sampler.x_samples, desc.sampler.y_samples,
+                             jitter=bool(desc.sampler.jitter))
 
     # multi-chip: shard the pixel/ray axis over every visible device via
     # explicit shard_map (parallel/shard.py; SURVEY.md §2.12 — the rayon
@@ -597,12 +641,9 @@ def render_compiled(cs: CompiledScene, seed: int = 0, spp: int | None = None, pr
     H = desc.film.y_resolution
     spp = int(spp if spp is not None else desc.sampler.pixel_samples)
 
-    # crop window -> pixel bounds (film.rs create_film :385-393)
-    cx0, cx1, cy0, cy1 = desc.film.crop_window
-    x0 = int(math.ceil(W * cx0))
-    x1 = max(int(math.ceil(W * cx1)), x0 + 1)
-    y0 = int(math.ceil(H * cy0))
-    y1 = max(int(math.ceil(H * cy1)), y0 + 1)
+    # crop window -> pixel bounds (film.rs create_film :385-393),
+    # intersected with the integrator's "pixelbounds" (path.rs:230 etc.)
+    x0, x1, y0, y1 = film_pixel_bounds(desc)
     ww = x1 - x0
     wh = y1 - y0
 

@@ -196,6 +196,9 @@ class SceneArrays:
     # per-prim shading-normal rows (prim_tab layout, lanes 0:9 = n0/n1/n2
     # xyz); only built when a wide-eligible mesh has vertex normals
     wattr_tab: jax.Array | None = None
+    # per-material bump-map float texture id, -1 = none (material.rs:46-87
+    # bump()); only consulted when static.has_bump
+    mat_bump: jax.Array | None = None
     # --- quadratic-motion mid-shutter keyframes (parser/api.py slerp
     # sample); None unless a shutter transform ROTATES — linear motion
     # needs only the *_end tables ---
@@ -242,6 +245,7 @@ class TexProgram:
     v10: int = -1
     dimension: int = 2
     octaves: int = 8
+    max_aniso: float = 8.0  # imagemap "maxanisotropy" (EWA eccentricity clamp)
 
 
 @dataclass
@@ -280,6 +284,7 @@ class SceneStatic:
     # the exact per-ray TRS interpolation (device/motion.py) instead of
     # keyframe vertex lerp
     has_beckmann: bool = False  # any material selects the Beckmann distribution
+    has_bump: bool = False  # any material carries a bump-map texture
     has_alpha: bool = False  # any prim carries an alpha/shadow-alpha cutout mask
     accel_kind: str = "bvh"  # "bvh" | "kdtree" (Accelerator directive)
     kd_max_leaf: int = 1  # longest kd leaf list (device scan bound)

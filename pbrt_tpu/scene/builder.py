@@ -142,6 +142,7 @@ class _TextureRegistry:
             prog.image_key = key_name
             prog.n_levels = len(pyr)
             prog.trilinear = tex.trilinear
+            prog.max_aniso = float(getattr(tex, "max_aniso", 8.0))
             par[10] = tex.scale
         elif tex.kind == "uv":
             pass
@@ -930,6 +931,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
     mat_const = np.stack([r[1] for r in mat_rows]).astype(np.float32)
     mat_tex = np.stack([r[2] for r in mat_rows]).astype(np.int32)
     mat_remap = np.array([r[3] for r in mat_rows], dtype=np.int32)
+    mat_bump = np.array([r[4] for r in mat_rows], dtype=np.int32)
 
     # --- lights ----------------------------------------------------------------
     n_lights = len(lights)
@@ -1195,6 +1197,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         mat_const=jnp.asarray(mat_const),
         mat_tex=jnp.asarray(mat_tex),
         mat_remap=jnp.asarray(mat_remap),
+        mat_bump=jnp.asarray(mat_bump),
         light_kind=jnp.asarray(light_kind),
         light_param=jnp.asarray(light_param),
         light_prim=jnp.asarray(light_prim),
@@ -1301,6 +1304,7 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
         has_motion=any_motion,
         has_rot_motion=has_rot_motion,
         has_beckmann=bool(np.any((mat_remap & 2) != 0)),
+        has_bump=bool(np.any(mat_bump >= 0)),
         has_alpha=any(a >= 0 for a in prim_alpha) or any(a >= 0 for a in prim_shadow_alpha),
         accel_kind=accel_kind if kd is not None else "bvh",
         kd_max_leaf=int(kd.max_leaf) if kd is not None else 1,
@@ -1553,4 +1557,13 @@ def _compile_material(mat: HostMaterial, tex_reg: _TextureRegistry, register_mat
         if not np.any(const[P_KT]):
             const[P_KT] = 1.0
 
-    return kind, const, tex, remap | (2 if beckmann else 0)
+    # bump map: float displacement texture (material.rs:46-87 bump(), applied
+    # by every material's compute_scattering_functions). A constant source
+    # has zero gradient -> no displacement effect, so only real textures
+    # register; -1 = un-bumped.
+    bump_tid = -1
+    bsrc = getattr(mat, "bump_map", None)
+    if bsrc is not None and bsrc[0] == "texture":
+        bump_tid = tex_reg.register(bsrc[1])
+
+    return kind, const, tex, remap | (2 if beckmann else 0), bump_tid

@@ -80,7 +80,7 @@ def main():
                 int(static.n_clusters), False, sa.su_lo, sa.su_hi, sa.su_bounds,
                 sa.cl_rows,
                 (o_cam if nm == "camera" else o_inc),
-                (d_cam if nm == "camera" else d_inc), R,
+                (d_cam if nm == "camera" else d_inc), R, False,
                 jnp.full((R,), 1e30, jnp.float32))
             print(f"  binned/{nm}: hit={float(jnp.mean(hitm)):.3f} "
                   f"overflow={float(jnp.mean(ovf)):.4f}")
