@@ -411,7 +411,8 @@ def _mis_weight(cam_v, light_v, s: int, t: int, overrides):
 def connect_bdpt(sa, static, possible, cam, prov, cam_v, n_cam, light_v, n_light, s: int, t: int, power_cdf, nee_dim):
     """Contribution of strategy (s, t) for every ray lane.
 
-    Returns (L (R,3), splat dict or None). t >= 2 here; t == 1 handled by
+    Returns (L (R,3) MIS-weighted, w (R,) the MIS weight — the debug films
+    divide it back out, bdpt.rs:686-709). t >= 2 here; t == 1 handled by
     connect_t1."""
     R = cam_v["type"].shape[0]
     sel_pdf_uniform = 1.0 / max(static.n_lights, 1)
@@ -436,7 +437,7 @@ def connect_bdpt(sa, static, possible, cam, prov, cam_v, n_cam, light_v, n_light
         pdf_dir = area_light_pdf_dir(sa, lid, pt["ng"], w_dir)
         pdf_at_prev = _convert_pdf(pdf_dir, pt["p"], prev["p"], prev["ng"])
         w = _mis_weight(cam_v, light_v, s, t, {("cam", t - 1): pdf_origin, ("cam", t - 2): pdf_at_prev})
-        return jnp.where((emitting & jnp.any(L > 0, axis=-1))[:, None], L * w[:, None], 0.0), None
+        return jnp.where((emitting & jnp.any(L > 0, axis=-1))[:, None], L * w[:, None], 0.0), w
 
     if s == 1:
         # fresh light sample connected to pt (bdpt.rs :1320)
@@ -475,7 +476,7 @@ def connect_bdpt(sa, static, possible, cam, prov, cam_v, n_cam, light_v, n_light
         lv["is_delta_light"] = ls["delta"]
         lv["type"] = lv["type"].at[:, 0].set(VT_LIGHT)
         w = _mis_weight(cam_v, lv, s, t, {("cam", t - 1): pdf_rev_pt, ("cam", t - 2): pdf_rev_prev, ("light", 0): pdf_rev_light})
-        return jnp.where(ok[:, None], L * w[:, None], 0.0), None
+        return jnp.where(ok[:, None], L * w[:, None], 0.0), w
 
     # general s >= 2, t >= 2 (bdpt.rs :1380)
     qs = _gather(light_v, s - 1)
@@ -514,7 +515,7 @@ def connect_bdpt(sa, static, possible, cam, prov, cam_v, n_cam, light_v, n_light
         cam_v, light_v, s, t,
         {("cam", t - 1): ov_pt, ("cam", t - 2): ov_ptm, ("light", s - 1): ov_qs, ("light", s - 2): ov_qsm},
     )
-    return jnp.where(ok[:, None], L * w[:, None], 0.0), None
+    return jnp.where(ok[:, None], L * w[:, None], 0.0), w
 
 
 def connect_t1(sa, static, possible, cam, cam_v, light_v, n_light, s: int, W, H):
@@ -547,7 +548,7 @@ def connect_t1(sa, static, possible, cam, cam_v, light_v, n_light, s: int, W, H)
     px = jnp.clip(cw["px"].astype(jnp.int32), 0, W - 1)
     py = jnp.clip(cw["py"].astype(jnp.int32), 0, H - 1)
     pixel = jnp.where(ok, py * W + px, W * H)
-    return {"pixel": pixel, "value": val}
+    return {"pixel": pixel, "value": val, "w": w}
 
 
 # ---------------------------------------------------------------------------
@@ -555,9 +556,13 @@ def connect_t1(sa, static, possible, cam, cam_v, light_v, n_light, s: int, W, H)
 # ---------------------------------------------------------------------------
 
 
-def bdpt_wave(sa, static, possible, cam, power_cdf, seed, px, py, pids, sample_idx, max_depth, W, H):
+def bdpt_wave(sa, static, possible, cam, power_cdf, seed, px, py, pids, sample_idx, max_depth, W, H,
+              collect_debug: bool = False):
     """One BDPT sample per pixel: all strategies. Returns (L, splat_px,
-    splat_val)."""
+    splat_val[, dbg]) — dbg (collect_debug=True) maps (s, t) ->
+    (weighted c (R,3), weight (R,)) for t >= 2 strategies and
+    (pixel, value) for t == 1, feeding the reference's per-strategy
+    debug films (bdpt.rs:686-709 visualizestrategies/visualizeweights)."""
     prov_c = ("hash", seed, pids, sample_idx)
     prov_l = ("hash", jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0xABCD137), pids, sample_idx)
     max_t = max_depth + 2
@@ -570,6 +575,7 @@ def bdpt_wave(sa, static, possible, cam, power_cdf, seed, px, py, pids, sample_i
     L = jnp.zeros((R, 3), F32)
     splat_px = []
     splat_val = []
+    dbg = {}
     nee_dim = 100
     for t in range(1, max_t + 1):
         for s in range(0, max_s + 1):
@@ -582,15 +588,21 @@ def bdpt_wave(sa, static, possible, cam, power_cdf, seed, px, py, pids, sample_i
                 sp = connect_t1(sa, static, possible, cam, cam_v, light_v, n_light, s, W, H)
                 splat_px.append(sp["pixel"])
                 splat_val.append(sp["value"])
+                if collect_debug:
+                    dbg[(s, t)] = ("splat", sp["pixel"], sp["value"], sp["w"])
             else:
-                c, _ = connect_bdpt(sa, static, possible, cam, prov_c, cam_v, n_cam, light_v, n_light, s, t, power_cdf, nee_dim + 3 * (s + t))
+                c, w = connect_bdpt(sa, static, possible, cam, prov_c, cam_v, n_cam, light_v, n_light, s, t, power_cdf, nee_dim + 3 * (s + t))
                 L = L + c
+                if collect_debug:
+                    dbg[(s, t)] = ("film", c, w)
     if splat_px:
         spx = jnp.concatenate(splat_px)
         sval = jnp.concatenate(splat_val)
     else:
         spx = jnp.zeros(0, jnp.int32)
         sval = jnp.zeros((0, 3), F32)
+    if collect_debug:
+        return L, spx, sval, dbg
     return L, spx, sval
 
 
@@ -630,27 +642,81 @@ def render_bdpt(cs, seed: int = 0, spp: int | None = None, progress=None):
     _probe = make_bsdf(sa, static, jnp.zeros(1, jnp.int32), jnp.zeros((1, 2), F32), jnp.zeros((1, 3), F32))
     possible = _probe["possible"]
 
+    viz_s = bool(getattr(desc.integrator, "visualize_strategies", False))
+    viz_w = bool(getattr(desc.integrator, "visualize_weights", False))
+    collect_debug = viz_s or viz_w
+
     @jax.jit
     def wave(s_idx, seed_j):
-        L, spx, sval = bdpt_wave(sa, static, possible, cam, cdf, seed_j, px, py, pids, s_idx, max_depth, W, H)
+        out = bdpt_wave(sa, static, possible, cam, cdf, seed_j, px, py, pids, s_idx, max_depth, W, H,
+                        collect_debug=collect_debug)
+        L, spx, sval = out[:3]
         # per-channel 1D segment sums ((N, 3) scatters pad rows 42x in HLO
         # temps; see device/sppm.py deposit)
         film_splat = jnp.stack(
             [jax.ops.segment_sum(sval[:, ch], spx, num_segments=R + 1)[:R] for ch in range(3)],
             axis=-1,
         )
-        return L, film_splat
+        if not collect_debug:
+            return L, film_splat
+        dbg_out = {}
+        for st_key, rec in out[3].items():
+            if rec[0] == "splat":
+                _, dpx, dval, dw = rec
+                dun = jnp.where(dw[:, None] > 0, dval / jnp.maximum(dw[:, None], 1e-30), 0.0)
+                film_w = jnp.stack(
+                    [jax.ops.segment_sum(dval[:, ch], dpx, num_segments=R + 1)[:R] for ch in range(3)],
+                    axis=-1)
+                film_u = jnp.stack(
+                    [jax.ops.segment_sum(dun[:, ch], dpx, num_segments=R + 1)[:R] for ch in range(3)],
+                    axis=-1)
+                dbg_out[st_key] = (film_u, film_w)
+            else:
+                _, c, w = rec
+                dbg_out[st_key] = (c, w)
+        return L, film_splat, dbg_out
 
     acc = np.zeros((R, 3), np.float64)  # full film: splats land anywhere
+    dbg_acc = {}
     pid_np = np.asarray(pids, np.int64)
     t0 = time.time()
     for s in range(spp):
-        L, fs = wave(jnp.uint32(s), jnp.uint32(seed))
+        out = wave(jnp.uint32(s), jnp.uint32(seed))
+        L, fs = out[0], out[1]
         acc += np.asarray(fs, np.float64)
         acc[pid_np] += np.asarray(L, np.float64)
+        if collect_debug:
+            for st_key, rec in out[2].items():
+                ent = dbg_acc.setdefault(st_key, [np.zeros((R, 3), np.float64),
+                                                  np.zeros((R, 3), np.float64)])
+                if st_key[1] == 1:  # t=1: already full-film (unweighted, weighted)
+                    ent[0] += np.asarray(rec[0], np.float64)
+                    ent[1] += np.asarray(rec[1], np.float64)
+                else:
+                    c, w = rec
+                    cn = np.asarray(c, np.float64)
+                    wn = np.asarray(w, np.float64)[:, None]
+                    ent_w = np.zeros((R, 3), np.float64)
+                    ent_u = np.zeros((R, 3), np.float64)
+                    ent_w[pid_np] = cn
+                    ent_u[pid_np] = np.where(wn > 0, cn / np.maximum(wn, 1e-30), 0.0)
+                    ent[0] += ent_u
+                    ent[1] += ent_w
         if progress:
             progress(s + 1, spp)
     img = (acc / spp).reshape(H, W, 3).astype(np.float32)
+    if collect_debug:
+        # per-strategy debug films (bdpt.rs:686-709 naming)
+        from ..core.imageio import write_exr
+
+        for (s_, t_), (unweighted, weighted) in sorted(dbg_acc.items()):
+            d_ = s_ + t_ - 2
+            if viz_s:
+                write_exr(f"bdpt_d{d_:02d}_s{s_:02d}_t{t_:02d}.exr",
+                          (unweighted / spp).reshape(H, W, 3).astype(np.float32))
+            if viz_w:
+                write_exr(f"bdpt_w_d{d_:02d}_s{s_:02d}_t{t_:02d}.exr",
+                          (weighted / spp).reshape(H, W, 3).astype(np.float32))
     import logging
 
     logging.getLogger(__name__).info("bdpt: %dspp in %.1fs", spp, time.time() - t0)

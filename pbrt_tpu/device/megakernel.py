@@ -16,9 +16,15 @@ Eligibility (megakernel_eligible): the brute-force small-scene class —
 <= MAX_PRIMS triangle/full-sphere prims, baked-lobe materials
 {matte(lambert or Oren-Nayar sigma), mirror, glass(smooth), GGX metal
 (dielectric/conductor Fresnel), lambert+GGX plastic} with constant
-textures, delta lights {point, spot, distant}, pinhole perspective
-camera, box filter, (0,2)-family or uniform samplers, no
-media/motion/area/infinite lights.
+textures OR (round 5) uv-mapped GRAYSCALE imagemap Kd <= 128x128
+(VMEM-resident mip atlas, ray-cone trilinear lookup — eval_kd_tex;
+colored maps and textured spheres keep the XLA path), delta lights
+{point, spot, distant}, pinhole perspective camera, box filter,
+(0,2)-family or uniform samplers, no media/motion/area/infinite lights.
+Estimator kinds: path AND (round 5) directlighting — NEE at every
+vertex with specular-only continuation, no RR (integrator.rs:409-520).
+The reference spheres-differentials-texfilt fidelity scene runs this
+tier end to end: 188.5s (XLA wave) -> 2.7s warm, blurred_mse 0.0230.
 Everything else falls back to the XLA persistent / per-sample waves
 (render.make_persistent_fn chooses).
 
@@ -514,6 +520,52 @@ def _h(x):
     return np.asarray(jax.device_get(x))
 
 
+def _bake_imagemap_atlas(sa, xi: int, prog):
+    """Bake one imagemap texture program into a kernel mip atlas, or None
+    if it is outside the in-kernel class.
+
+    Class: uv mapping, repeat wrap, grayscale (the in-kernel fetch is
+    single-channel; colored maps keep the XLA path), base level <=128x128
+    (the per-lane column gather reaches 128 lanes). Returns {"atlas"
+    (rows, 128) f32, "offs" [(row_off, h, w)] per level, "uscale",
+    "vscale", "udelta", "vdelta", "scale"}.
+    """
+    if prog.mapping != "uv" or prog.wrap != "repeat":
+        return None
+    par = _h(sa.tex_param[xi]).astype(np.float64)
+    levels = []
+    for k in range(prog.n_levels):
+        img = _h(sa.tex_images[f"{prog.image_key}_l{k}"]).astype(np.float32)
+        if img.ndim != 3 or img.shape[2] != 3:
+            return None
+        if np.abs(img - img[:, :, :1]).max() > 1e-5:
+            return None  # not grayscale
+        levels.append(img[:, :, 0])
+    if not levels or levels[0].shape[0] > 128 or levels[0].shape[1] > 128:
+        return None
+    rows = []
+    offs = []
+    off = 0
+    for g in levels:
+        h, w = g.shape
+        padded = np.zeros((h, LANES), np.float32)
+        padded[:, :w] = g
+        rows.append(padded)
+        offs.append((off, h, w))
+        off += h
+    atlas = np.concatenate(rows, axis=0)
+    # pad rows to a sublane multiple
+    if atlas.shape[0] % 8:
+        atlas = np.concatenate(
+            [atlas, np.zeros((8 - atlas.shape[0] % 8, LANES), np.float32)])
+    return {
+        "kind": "imagemap", "atlas": atlas, "offs": offs,
+        "uscale": float(par[0]), "vscale": float(par[1]),
+        "udelta": float(par[2]), "vdelta": float(par[3]),
+        "scale": float(par[10]) if par[10] != 0 else 1.0,
+    }
+
+
 def extract_consts(cs, cam, icfg, scfg, fcfg):
     """Bake the scene into Python constants, or return None if the scene is
     outside the megakernel's class."""
@@ -532,10 +584,18 @@ def extract_consts(cs, cam, icfg, scfg, fcfg):
         return None
     if fcfg["filter"] not in ("box",):
         return None
-    # constant textures only (make_bsdf baking below relies on it)
-    for p in static.tex_programs:
-        if p.kind != "constant":
+    # textures: constants bake directly; uv-mapped GRAYSCALE imagemaps
+    # (<=128x128 base, repeat wrap) ride a VMEM mip atlas with an
+    # in-kernel trilinear ray-cone lookup (mipmap.rs:202-224 semantics).
+    # Anything else keeps the XLA path.
+    imagemaps = {}
+    for xi, p in enumerate(static.tex_programs):
+        if p.kind == "constant":
+            continue
+        atlas = _bake_imagemap_atlas(sa, xi, p) if p.kind == "imagemap" else None
+        if atlas is None:
             return None
+        imagemaps[xi] = atlas
     if static.n_lights > MAX_LIGHTS:
         return None
 
@@ -613,17 +673,33 @@ def extract_consts(cs, cam, icfg, scfg, fcfg):
                     jnp.zeros((n_mats, 2), F32), jnp.zeros((n_mats, 3), F32))
     lk = _h(lob["kind"])  # (n_mats, 8)
     ld = _h(lob["data"])  # (n_mats, 8, 14)
+    mat_tex = _h(sa.mat_tex)  # (n_mats, N_MAT_PARAMS)
+    from ..scene.arrays import P_KD
+
     mats = {}
     for m in used_mats:
         slots = np.nonzero(lk[m])[0]
         if len(slots) == 0:
             mats[m] = {"lobe": LOBE_NONE}
             continue
+        # imagemap references: only the Kd slot may carry one (baked as the
+        # in-kernel atlas lookup); any other textured-by-imagemap slot
+        # keeps the XLA path
+        kd_tex = None
+        for slot in range(mat_tex.shape[1]):
+            tid = int(mat_tex[m, slot])
+            if tid < 0 or tid not in imagemaps:
+                continue
+            if slot != P_KD:
+                return None
+            kd_tex = imagemaps[tid]  # shared: atlas base assigned below
         kinds = [int(lk[m, s]) for s in slots]
-        entry = bake_lobe_entry(kinds, [int(s) for s in slots], ld[m])
+        entry = bake_lobe_entry(kinds, [int(s) for s in slots], ld[m], kd_tex=kd_tex)
         if entry is None:
             return None
         mats[m] = entry
+    if any(mats[p["mat"]].get("kd_tex") is not None for p in prims if p["kind"] != "tri"):
+        return None  # textured sphere prims keep the XLA path (no uv baked)
 
     # triangle shading constants (verts fixed -> frame fixed)
     for p in prims:
@@ -661,9 +737,36 @@ def extract_consts(cs, cam, icfg, scfg, fcfg):
         p["ns_c"] = ns.astype(np.float32)
         p["ss_c"] = ss.astype(np.float32)
         p["ts_c"] = ts.astype(np.float32)
+        # uv footprint density: uv-length per world-length on this chart
+        # (sqrt of the uv-area / world-area ratio) — converts a ray-cone
+        # world footprint into a texture-space width for mip selection
+        uv_cross = abs(duv1[0] * duv2[1] - duv1[1] * duv2[0])
+        p["uvd_c"] = float(np.sqrt(uv_cross / max(nl, 1e-30)))
+
+    # merge every referenced imagemap atlas into one VMEM array; each
+    # kd_tex gets its base row. Also hoist the camera's pixel footprint
+    # angle for the ray-cone mip level (see _build_kernel eval_kd_tex).
+    used_tex = [t for t in imagemaps.values()
+                if any(mats[m].get("kd_tex") is t for m in mats)]
+    kd_atlas = None
+    if used_tex:
+        off = 0
+        blocks = []
+        for t in used_tex:
+            t["base"] = off
+            blocks.append(t["atlas"])
+            off += t["atlas"].shape[0]
+        kd_atlas = np.concatenate(blocks, axis=0)
 
     r2c = _h(cam["raster_to_camera"]).astype(np.float64)
     c2w = _h(cam["camera_to_world"]).astype(np.float64)
+    # angular size of one pixel (ray-cone spread): camera-space length of a
+    # one-pixel raster step at the image plane, normalized by the ray depth
+    p0 = r2c @ np.array([0.0, 0.0, 0.0, 1.0])
+    p1 = r2c @ np.array([1.0, 0.0, 0.0, 1.0])
+    p2 = r2c @ np.array([0.0, 1.0, 0.0, 1.0])
+    z0 = max(abs(float(p0[2])), 1e-6)
+    pixel_angle = float(max(np.linalg.norm((p1 - p0)[:3]), np.linalg.norm((p2 - p0)[:3])) / z0)
     consts = {
         "prims": prims,
         "mats": mats,
@@ -682,7 +785,17 @@ def extract_consts(cs, cam, icfg, scfg, fcfg):
         "sampler": scfg["kind"],
         "spp": int(scfg["spp"]),
         "max_lum": float(fcfg.get("max_sample_luminance", float("inf"))),
+        # directlighting: NEE at every vertex, specular-only continuation,
+        # no RR (integrator.rs specular_reflect/transmit recursion)
+        "ikind": str(icfg.get("kind", "path")),
+        "kd_atlas": kd_atlas,
+        "pixel_angle": pixel_angle,
     }
+    if consts["ikind"] not in ("path", "directlighting"):
+        return None
+    if (consts["ikind"] == "directlighting"
+            and str(icfg.get("strategy", "all")) == "all" and n_l > 1):
+        return None  # UniformSampleAll arrays not baked; XLA path handles it
     return consts
 
 
@@ -718,6 +831,24 @@ def _build_kernel(consts, n_samples: int):
     cap = n_samples * (max_depth + 2) + 8
 
     mat_rows = sorted(mats)
+    ikind = consts.get("ikind", "path")
+    kd_atlas_np = consts.get("kd_atlas")
+    any_kd_tex = kd_atlas_np is not None and any(
+        mats[m].get("kd_tex") is not None for m in mat_rows)
+    pixel_angle = float(consts.get("pixel_angle", 1e-3))
+    kd_textures = []
+    kd_atlas_rows = 0
+    # ray-cone width multiplier (filter sharpness vs the EWA golden;
+    # swept in tools — 1.0 is the shipped default)
+    import os as _os
+
+    cone_k = float(_os.environ.get("PBRT_TPU_CONE_K", "1.0"))
+    if any_kd_tex:
+        for m in mat_rows:
+            kt = mats[m].get("kd_tex")
+            if kt is not None and all(kt is not s for s in kd_textures):
+                kd_textures.append(kt)
+        kd_atlas_rows = int(kd_atlas_np.shape[0])
     any_on = any(mats[m]["lobe"] == LOBE_OREN_NAYAR for m in mat_rows)
     any_diffuse = any_on or any(
         mats[m]["lobe"] in (LOBE_LAMBERT_R, LOBE_PLASTIC) for m in mat_rows)
@@ -783,6 +914,10 @@ def _build_kernel(consts, n_samples: int):
                                     "nsx", "nsy", "nsz", "ssx", "ssy", "ssz",
                                     "tsx", "tsy", "tsz", "ex", "ey", "ez",
                                     "b1", "b2")}
+            if any_kd_tex:
+                attrs["u"] = z
+                attrs["v"] = z
+                attrs["uvd"] = z  # |duv|/|dp| footprint density (ray cones)
             attrs["mat"] = jnp.zeros(ox.shape, I32)
         hit_any = _falsev(ox)
 
@@ -819,6 +954,15 @@ def _build_kernel(consts, n_samples: int):
                         attrs[key] = jnp.where(better, jnp.float32(vec[c]), attrs[key])
                 attrs["b1"] = jnp.where(better, b1_p, attrs["b1"])
                 attrs["b2"] = jnp.where(better, b2_p, attrs["b2"])
+                if any_kd_tex:
+                    st = pr["uv"].astype(np.float64)
+                    su = (b0_p * jnp.float32(st[0][0]) + b1_p * jnp.float32(st[1][0])
+                          + b2_p * jnp.float32(st[2][0]))
+                    sv = (b0_p * jnp.float32(st[0][1]) + b1_p * jnp.float32(st[1][1])
+                          + b2_p * jnp.float32(st[2][1]))
+                    attrs["u"] = jnp.where(better, su, attrs["u"])
+                    attrs["v"] = jnp.where(better, sv, attrs["v"])
+                    attrs["uvd"] = jnp.where(better, jnp.float32(pr["uvd_c"]), attrs["uvd"])
             else:
                 at = _sph_attrs(pr, p_loc)
                 for key, val in at.items():
@@ -1128,9 +1272,12 @@ def _build_kernel(consts, n_samples: int):
         cb = jnp.where(contributes, fb_ * lib * vis * inv_pl, 0.0)
         return cr, cg, cb
 
-    def bsdf_sample(hbase, s_cur, dim_base, at, wox, woy, woz, mat):
+    def bsdf_sample(hbase, s_cur, dim_base, at, wox, woy, woz, mat, kd_over=None):
         """bsdf.bsdf_sample for the baked lobe classes (matte incl.
-        Oren-Nayar, mirror, glass, GGX micro, lambert+GGX plastic)."""
+        Oren-Nayar, mirror, glass, GGX micro, lambert+GGX plastic).
+
+        kd_over: optional (mask, value) — per-lane grayscale Kd override
+        from the in-kernel imagemap atlas (textured matte/plastic Kd)."""
         # local frame
         wo_x = _dot3(wox, woy, woz, at["ssx"], at["ssy"], at["ssz"])
         wo_y = _dot3(wox, woy, woz, at["tsx"], at["tsy"], at["tsz"])
@@ -1224,6 +1371,11 @@ def _build_kernel(consts, n_samples: int):
         kdr = mat_color(mat, "color", 0)
         kdg = mat_color(mat, "color", 1)
         kdb = mat_color(mat, "color", 2)
+        if kd_over is not None:
+            kd_m, kd_v = kd_over
+            kdr = jnp.where(kd_m, kd_v, kdr)
+            kdg = jnp.where(kd_m, kd_v, kdg)
+            kdb = jnp.where(kd_m, kd_v, kdb)
 
         # specular f & pdf
         fr_spec = jnp.zeros(shape, F32)
@@ -1305,8 +1457,124 @@ def _build_kernel(consts, n_samples: int):
 
     # -- the kernel -----------------------------------------------------
 
-    def kernel(scal_ref, px_ref, py_ref, pid_ref,
-               out_lr, out_lg, out_lb, out_w, out_nv):
+    def kernel(*refs):
+        if any_kd_tex:
+            (scal_ref, px_ref, py_ref, pid_ref, atlas_ref,
+             out_lr, out_lg, out_lb, out_w, out_nv) = refs
+        else:
+            (scal_ref, px_ref, py_ref, pid_ref,
+             out_lr, out_lg, out_lb, out_w, out_nv) = refs
+
+        def eval_kd_tex(at, t_tot, cosg):
+            """Per-lane grayscale Kd from the VMEM mip atlas: ray-cone mip
+            level + trilinear fetch (mipmap.rs:202-224 lookup semantics,
+            cone width standing in for the reference's ray differentials).
+
+            The per-lane 2D texel gather has no native primitive on TPU:
+            rows are resolved by a fori_loop over atlas rows (each
+            iteration broadcasts one row and lane-gathers the needed
+            columns — take_along_axis on the lane axis IS supported), so
+            cost is O(atlas_rows) vector ops, ~255 for a 128^2 pyramid."""
+            shape = at["b1"].shape
+            mask_any = _falsev(at["b1"])
+            # per-tap absolute rows/cols/weights, merged across textures
+            zi = jnp.zeros(shape, I32)
+            zf = jnp.zeros(shape, F32)
+            r00 = zi; r01 = zi; r10 = zi; r11 = zi
+            c0a = zi; c0b = zi; c1a = zi; c1b = zi
+            w00a = zf; w00b = zf; w01a = zf; w01b = zf
+            w10a = zf; w10b = zf; w11a = zf; w11b = zf
+            scale_v = jnp.ones(shape, F32)
+            # world-space cone footprint at the hit
+            world_fp = (jnp.float32(cone_k) * jnp.float32(pixel_angle) * t_tot
+                        / jnp.maximum(cosg, 0.25))
+            for tex in kd_textures:
+                m_mask = _falsev(at["b1"])
+                for m in mat_rows:
+                    if mats[m].get("kd_tex") is tex:
+                        m_mask = m_mask | (at["mat"] == m)
+                offs = tex["offs"]
+                nlev = len(offs)
+                base = int(tex["base"])
+                su = at["u"] * jnp.float32(tex["uscale"]) + jnp.float32(tex["udelta"])
+                sv = at["v"] * jnp.float32(tex["vscale"]) + jnp.float32(tex["vdelta"])
+                width = world_fp * at["uvd"] * jnp.float32(
+                    max(abs(tex["uscale"]), abs(tex["vscale"]), 1e-9))
+                lvl = jnp.float32(nlev - 1) + jnp.log2(jnp.maximum(width, 1e-8))
+                lvl = jnp.clip(lvl, 0.0, jnp.float32(nlev - 1) - 1e-4)
+                l0 = lvl.astype(I32)
+                ft = lvl - l0.astype(F32)
+
+                def lev_addr(lsel):
+                    off_l = jnp.zeros(shape, I32)
+                    h_l = jnp.ones(shape, I32)
+                    w_l = jnp.ones(shape, I32)
+                    for li, (o_, h_, w_) in enumerate(offs):
+                        s_ = lsel == li
+                        off_l = jnp.where(s_, o_, off_l)
+                        h_l = jnp.where(s_, h_, h_l)
+                        w_l = jnp.where(s_, w_, w_l)
+                    return off_l, h_l, w_l
+
+                def bil(lsel):
+                    off_l, h_l, w_l = lev_addr(lsel)
+                    # v flipped: pbrt images are top-down (imagemap.rs
+                    # st.y -> 1-t; matches texture.image_bilinear)
+                    x = (su - jnp.floor(su)) * w_l.astype(F32) - 0.5
+                    svf = 1.0 - (sv - jnp.floor(sv))
+                    y = svf * h_l.astype(F32) - 0.5
+                    ix = jnp.floor(x).astype(I32)
+                    iy = jnp.floor(y).astype(I32)
+                    fx = x - ix.astype(F32)
+                    fy = y - iy.astype(F32)
+                    ixm = ((ix % w_l) + w_l) % w_l
+                    ixp = (ixm + 1) % w_l
+                    iym = ((iy % h_l) + h_l) % h_l
+                    iyp = (iym + 1) % h_l
+                    ra = base + off_l + iym
+                    rb = base + off_l + iyp
+                    return ra, rb, ixm, ixp, fx, fy
+
+                ra0, rb0, ix0, ixp0, fx0, fy0 = bil(l0)
+                l1 = jnp.minimum(l0 + 1, nlev - 1)
+                ra1, rb1, ix1, ixp1, fx1, fy1 = bil(l1)
+                r00 = jnp.where(m_mask, ra0, r00)
+                r01 = jnp.where(m_mask, rb0, r01)
+                r10 = jnp.where(m_mask, ra1, r10)
+                r11 = jnp.where(m_mask, rb1, r11)
+                c0a = jnp.where(m_mask, ix0, c0a)
+                c0b = jnp.where(m_mask, ixp0, c0b)
+                c1a = jnp.where(m_mask, ix1, c1a)
+                c1b = jnp.where(m_mask, ixp1, c1b)
+                w00a = jnp.where(m_mask, (1 - ft) * (1 - fy0) * (1 - fx0), w00a)
+                w00b = jnp.where(m_mask, (1 - ft) * (1 - fy0) * fx0, w00b)
+                w01a = jnp.where(m_mask, (1 - ft) * fy0 * (1 - fx0), w01a)
+                w01b = jnp.where(m_mask, (1 - ft) * fy0 * fx0, w01b)
+                w10a = jnp.where(m_mask, ft * (1 - fy1) * (1 - fx1), w10a)
+                w10b = jnp.where(m_mask, ft * (1 - fy1) * fx1, w10b)
+                w11a = jnp.where(m_mask, ft * fy1 * (1 - fx1), w11a)
+                w11b = jnp.where(m_mask, ft * fy1 * fx1, w11b)
+                scale_v = jnp.where(m_mask, jnp.float32(tex["scale"]), scale_v)
+                mask_any = mask_any | m_mask
+
+            n_rows = kd_atlas_rows
+
+            def row_step(r, acc):
+                row = atlas_ref[pl.ds(r, 1), :]  # (1, 128)
+                b = jnp.broadcast_to(row, shape)
+                g0a = jnp.take_along_axis(b, c0a, axis=1)
+                g0b = jnp.take_along_axis(b, c0b, axis=1)
+                g1a = jnp.take_along_axis(b, c1a, axis=1)
+                g1b = jnp.take_along_axis(b, c1b, axis=1)
+                acc = acc + jnp.where(r00 == r, w00a * g0a + w00b * g0b, 0.0)
+                acc = acc + jnp.where(r01 == r, w01a * g0a + w01b * g0b, 0.0)
+                acc = acc + jnp.where(r10 == r, w10a * g1a + w10b * g1b, 0.0)
+                acc = acc + jnp.where(r11 == r, w11a * g1a + w11b * g1b, 0.0)
+                return acc
+
+            val = jax.lax.fori_loop(0, n_rows, row_step, jnp.zeros(shape, F32))
+            return mask_any, val * scale_v
+
         seed = scal_ref[0, 0]
         s0 = scal_ref[0, 1]
         px_i = px_ref[...]
@@ -1334,7 +1602,8 @@ def _build_kernel(consts, n_samples: int):
 
         def body(st):
             (done, it, ox, oy, oz, dx, dy, dz, Lr, Lg, Lb, br, bg, bb,
-             alive, eta_sc_acc, bounces, s_cur, aLr, aLg, aLb, aW, nv) = st
+             alive, eta_sc_acc, bounces, s_cur, aLr, aLg, aLb, aW, nv,
+             t_spread) = st
             alive_b = alive > 0
 
             # --- extend: closest hit over all prims ---
@@ -1351,7 +1620,16 @@ def _build_kernel(consts, n_samples: int):
             none_m = mat_mask(mat, LOBE_NONE)
             alive_sh = can_scatter & ~none_m
 
-            bs = bsdf_sample(hbase, s_cur, dim_base, at, wox, woy, woz, mat)
+            if any_kd_tex:
+                cosg = jnp.abs(_dot3(dx, dy, dz, at["ngx"], at["ngy"], at["ngz"]))
+                t_tot = t_spread + jnp.where(alive_b, t_best, 0.0)
+                kd_over = eval_kd_tex(at, t_tot, cosg)
+            else:
+                t_tot = t_spread
+                kd_over = None
+
+            bs = bsdf_sample(hbase, s_cur, dim_base, at, wox, woy, woz, mat,
+                             kd_over=kd_over)
 
             if n_lights > 0:
                 cr, cg, cb = nee(hbase, s_cur, dim_base, alive_sh, at,
@@ -1368,6 +1646,10 @@ def _build_kernel(consts, n_samples: int):
             thg = bs["fg"] * inv_pdf
             thb = bs["fb"] * inv_pdf
             surf_cont = alive_sh & bs["valid"] & ((thr > 0) | (thg > 0) | (thb > 0))
+            if ikind == "directlighting":
+                # specular-only continuation (integrator.rs:409-520
+                # specular_reflect/transmit); diffuse vertices retire
+                surf_cont = surf_cont & bs["specular"]
 
             new_br = jnp.where(surf_cont, br * thr, br)
             new_bg = jnp.where(surf_cont, bg * thg, bg)
@@ -1386,21 +1668,23 @@ def _build_kernel(consts, n_samples: int):
             new_bounces = bounces + surf_cont.astype(I32)
             new_alive_b = surf_cont
 
-            # russian roulette (path.rs:206-214)
-            rr_r = new_br * eta_acc
-            rr_g = new_bg * eta_acc
-            rr_b = new_bb * eta_acc
-            max_c = jnp.maximum(rr_r, jnp.maximum(rr_g, rr_b))
-            q = jnp.maximum(0.05, 1.0 - max_c)
-            do_rr = (new_bounces > 3) & (max_c < jnp.float32(rr_threshold))
-            u_rr = sample_1d_traced(hbase, s_cur, dim_base + 4)
-            killed = do_rr & (u_rr < q)
-            new_alive_b = new_alive_b & ~killed
-            boost = 1.0 / jnp.maximum(1.0 - q, 1e-6)
-            keepm = do_rr & ~killed
-            new_br = jnp.where(keepm, new_br * boost, new_br)
-            new_bg = jnp.where(keepm, new_bg * boost, new_bg)
-            new_bb = jnp.where(keepm, new_bb * boost, new_bb)
+            # russian roulette (path.rs:206-214) — path only; the
+            # directlighting recursion is depth-capped, never roulette-killed
+            if ikind == "path":
+                rr_r = new_br * eta_acc
+                rr_g = new_bg * eta_acc
+                rr_b = new_bb * eta_acc
+                max_c = jnp.maximum(rr_r, jnp.maximum(rr_g, rr_b))
+                q = jnp.maximum(0.05, 1.0 - max_c)
+                do_rr = (new_bounces > 3) & (max_c < jnp.float32(rr_threshold))
+                u_rr = sample_1d_traced(hbase, s_cur, dim_base + 4)
+                killed = do_rr & (u_rr < q)
+                new_alive_b = new_alive_b & ~killed
+                boost = 1.0 / jnp.maximum(1.0 - q, 1e-6)
+                keepm = do_rr & ~killed
+                new_br = jnp.where(keepm, new_br * boost, new_br)
+                new_bg = jnp.where(keepm, new_bg * boost, new_bg)
+                new_bb = jnp.where(keepm, new_bb * boost, new_bb)
 
             # --- flush finished samples, regenerate or retire ---
             die = (done == 0) & ~new_alive_b
@@ -1439,16 +1723,20 @@ def _build_kernel(consts, n_samples: int):
             eta_acc = jnp.where(more, 1.0, eta_acc)
             new_bounces = jnp.where(more, 0, new_bounces)
             s_cur = jnp.where(more, s_next, s_cur)
+            # ray-cone spread distance: accumulate along continuations,
+            # reset on regenerated camera samples
+            new_t_spread = jnp.where(surf_cont, t_tot, t_spread)
+            new_t_spread = jnp.where(more, 0.0, new_t_spread)
 
             return (done, it + 1, new_ox, new_oy, new_oz, new_dx, new_dy, new_dz,
                     Lr, Lg, Lb, new_br, new_bg, new_bb,
                     new_alive_b.astype(I32), eta_acc, new_bounces, s_cur,
-                    aLr, aLg, aLb, aW, nv)
+                    aLr, aLg, aLb, aW, nv, new_t_spread)
 
         st0 = (done0, jnp.int32(0), ox0, oy0, oz0, dx0, dy0, dz0,
                zero, zero, zero, zero + 1.0, zero + 1.0, zero + 1.0,
                alive0, zero + 1.0, jnp.zeros(shape, I32), s_init,
-               zero, zero, zero, zero, zero)
+               zero, zero, zero, zero, zero, zero)
         st = jax.lax.while_loop(cond, body, st0)
         out_lr[...] = st[18]
         out_lg[...] = st[19]
@@ -1506,21 +1794,31 @@ def make_megakernel_fn(cs, cam, icfg, scfg, fcfg, consts=None, interpret=None):
         pid2 = padded(pixel_ids.astype(U32), 0).astype(I32)
         scal = jnp.stack([jnp.asarray(seed, U32), jnp.asarray(s0, U32)]).reshape(1, 2)
 
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((SUB, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ]
+        inputs = [scal, px2, py2, pid2]
+        kd_atlas = consts.get("kd_atlas")
+        if kd_atlas is not None:
+            # whole mip atlas VMEM-resident in every grid step
+            a_rows = kd_atlas.shape[0]
+            in_specs.append(pl.BlockSpec((a_rows, LANES), lambda b: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            inputs.append(jnp.asarray(kd_atlas))
+
         outs = pl.pallas_call(
             kernel,
             out_shape=tuple(jax.ShapeDtypeStruct((n_blocks * SUB, LANES), F32) for _ in range(5)),
             grid=(n_blocks,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((SUB, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((SUB, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((SUB, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=tuple(
                 pl.BlockSpec((SUB, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM)
                 for _ in range(5)),
             interpret=interpret,
-        )(scal, px2, py2, pid2)
+        )(*inputs)
 
         lr, lg, lb, w, nv = [o.reshape(Rp)[:R] for o in outs]
         return jnp.stack([lr, lg, lb], axis=-1), w, nv

@@ -33,7 +33,11 @@ UV charts), matte/mirror/glass/metal/plastic-class materials — single
 lambert/specular/fresnel-specular lobes, single GGX microfacet lobes
 (dielectric or conductor fresnel), and the 2-lobe lambert+GGX combo
 (plastic, glossy uber rows) with per-sample lobe picks — constant
-textures or a matte-Kd 2D-uv checkerboard over constant cells, point +
+textures or a matte-Kd 2D-uv checkerboard over constant cells (the
+BRUTE megakernel additionally runs grayscale imagemap Kd via an
+in-kernel VMEM mip atlas — megakernel.py eval_kd_tex; porting that
+fetch here is possible but the wide kernel's VMEM budget is already
+node-table-bound), point +
 spot + distant + diffuse-area lights on triangles AND full spheres
 (visible-cone NEE outside / uniform area inside, cone-density MIS
 pickup — sphere.rs sample_interaction), Oren-Nayar matte (sigma > 0),

@@ -128,9 +128,22 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
     prim = jnp.maximum(hit["prim"], 0)
     valid = hit["prim"] >= 0
     t = jnp.where(valid, hit["t"], 1.0)
-    kind = gather_rows(sa.prim_kind, prim)
-    geom = gather_rows(sa.prim_geom, prim)
-    flags = gather_rows(sa.prim_flags, prim)
+    has_inst0 = sa.prim_inst is not None and sa.inst_i2w is not None and sa.inst_i2w.shape[0] > 1
+    # fused fat-row gather: TPU row gathers are row-count-bound, so ONE
+    # (P, 32) row replaces the ~8 per-hit table gathers (builder
+    # prim_shade_tab; motion/instancing keep the per-table path — their
+    # keyframe lerps/instance transforms need the raw tables)
+    fat = None
+    if (getattr(sa, "prim_shade_tab", None) is not None and time is None
+            and not has_inst0):
+        fat = gather_rows(sa.prim_shade_tab, prim)  # (R, 32)
+        kind = fat[:, 24].astype(jnp.int32)
+        flags = fat[:, 25].astype(jnp.int32)
+        geom = fat[:, 28].astype(jnp.int32)
+    else:
+        kind = gather_rows(sa.prim_kind, prim)
+        geom = gather_rows(sa.prim_geom, prim)
+        flags = gather_rows(sa.prim_flags, prim)
     is_tri = kind == GEOM_TRI
 
     p = o + d * t[..., None]
@@ -143,8 +156,13 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
     dpdv = jnp.zeros((R, 3), F32)
     p_err = jnp.full((R, 3), 1e-4, F32)  # fallback bound for odd kinds
 
-    has_inst = sa.prim_inst is not None and sa.inst_i2w is not None and sa.inst_i2w.shape[0] > 1
-    if sa.tri_p.shape[0] > 0:
+    has_inst = has_inst0
+    if sa.tri_p.shape[0] > 0 and fat is not None:
+        # fused path: slices of the one fat row (no per-table gathers)
+        tv = fat[:, 0:9].reshape(-1, 3, 3)
+        tn = fat[:, 9:18].reshape(-1, 3, 3)
+        tuv = fat[:, 18:24].reshape(-1, 3, 2)
+    elif sa.tri_p.shape[0] > 0:
         ti = jnp.where(is_tri, geom, 0)
         tv = gather_rows(sa.tri_p, ti)  # (R, 3, 3)
         if time is not None and sa.anim is not None:
@@ -185,6 +203,7 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
                 xf_vector_t(w2i[:, :, :3], tn[:, 1]),
                 xf_vector_t(w2i[:, :, :3], tn[:, 2]),
             ], axis=1)
+    if sa.tri_p.shape[0] > 0:
         b1 = hit["b1"]
         b2 = hit["b2"]
         b0 = 1.0 - b1 - b2
@@ -389,8 +408,10 @@ def surface_interaction(sa: SceneArrays, hit, o, d, time=None):
         "ts": ts,
         "dpdu": dpdu,
         "dpdv": dpdv,
-        "mat": jnp.where(valid, gather_rows(sa.prim_mat, prim), 0),
-        "light": jnp.where(valid, gather_rows(sa.prim_light, prim), -1),
+        "mat": jnp.where(valid, fat[:, 26].astype(jnp.int32) if fat is not None
+                         else gather_rows(sa.prim_mat, prim), 0),
+        "light": jnp.where(valid, fat[:, 27].astype(jnp.int32) if fat is not None
+                           else gather_rows(sa.prim_light, prim), -1),
         "prim": hit["prim"],
         "wo": -d,
     }

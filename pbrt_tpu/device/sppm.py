@@ -480,6 +480,27 @@ def render_sppm(cs, seed: int = 0, progress=None):
         n_eff = jnp.where(has, n_new, n_eff)
         if progress:
             progress(it + 1, n_iters)
+        # progressive image writes every "imagewritefrequency" iterations
+        # (sppm.rs:505-528) to the film's own filename
+        wf = int(getattr(desc.integrator, "write_frequency", 1 << 31))
+        if wf < n_iters and (it + 1) % wf == 0 and (it + 1) < n_iters:
+            np_sofar = float(it + 1) * n_photons
+            prog_img = ld / (it + 1) + tau / (
+                np_sofar * jnp.pi * jnp.maximum(radius * radius, 1e-20))[:, None]
+            prog_img = np.asarray(prog_img, np.float32).reshape(H, W, 3)
+            name = getattr(desc.film, "filename", "pbrt.exr") or "pbrt.exr"
+            try:
+                if name.lower().endswith(".exr"):
+                    from ..core.imageio import write_exr
+
+                    write_exr(name, prog_img * desc.film.scale)
+                else:
+                    from ..core.imageio import write_image
+
+                    write_image(name, prog_img * desc.film.scale)
+                log.info("sppm: progressive image -> %s (iter %d)", name, it + 1)
+            except Exception as e:  # progressive writes must never kill a render
+                log.warning("sppm: progressive write failed: %s", e)
 
     np_total = float(n_iters) * n_photons
     img = ld / n_iters + tau / (np_total * jnp.pi * jnp.maximum(radius * radius, 1e-20))[:, None]

@@ -1138,6 +1138,9 @@ class API:
             y_samples=y_samples,
             sampled_dimensions=sp.find_one_int("dimensions", 4),
         )
+        if sp.find_one_int("dimensions", 4) != 4:
+            log.info("sampler \"dimensions\" has no effect: stateless hash "
+                     "samplers generate every dimension on demand")
 
         ip = ro.integrator_params
         pb = ip.find_ints("pixelbounds")
@@ -1154,6 +1157,8 @@ class API:
             photons_per_iteration=ip.find_one_int("photonsperiteration", -1),
             initial_radius=ip.find_one_float("radius", 1.0),
             write_frequency=ip.find_one_int("imagewritefrequency", 1 << 31),
+            visualize_strategies=ip.find_one_bool("visualizestrategies", False),
+            visualize_weights=ip.find_one_bool("visualizeweights", False),
             mutations_per_pixel=ip.find_one_int("mutationsperpixel", 100),
             large_step_probability=ip.find_one_float("largestepprobability", 0.3),
             sigma=ip.find_one_float("sigma", 0.01),

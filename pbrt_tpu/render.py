@@ -384,9 +384,10 @@ def make_persistent_fn(cs: CompiledScene, cam=None):
     # the whole bounce loop runs in one kernel with path state resident in
     # VMEM (device/megakernel.py). Estimator-equivalent to the XLA loop
     # below (tests/test_megakernel.py); PBRT_TPU_NO_MEGAKERNEL=1 opts out.
-    if icfg["kind"] == "path" and not os.environ.get("PBRT_TPU_NO_MEGAKERNEL"):
-        # (megakernels bake the path estimator; directlighting runs the
-        # XLA persistent wave below)
+    if icfg["kind"] in ("path", "directlighting") and not os.environ.get("PBRT_TPU_NO_MEGAKERNEL"):
+        # (the brute megakernel bakes the path AND directlighting
+        # estimators since round 5 — incl. grayscale imagemap Kd via an
+        # in-kernel mip atlas; the wide megakernel stays path-only)
         try:
             from .device.megakernel import make_megakernel_fn
 
@@ -404,7 +405,7 @@ def make_persistent_fn(cs: CompiledScene, cam=None):
         # faster at EVERY mesh size (1.2k..8.8k tris swept; 123k from r2
         # notes) — the in-kernel traversal serializes the same packet
         # unions without the wave's per-bounce ray re-sorting
-        if os.environ.get("PBRT_TPU_WIDEMEGA", "") == "1":
+        if os.environ.get("PBRT_TPU_WIDEMEGA", "") == "1" and icfg["kind"] == "path":
             try:
                 from .device.megakernel_wide import make_wide_megakernel_fn
 

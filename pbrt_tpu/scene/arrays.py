@@ -199,6 +199,10 @@ class SceneArrays:
     # per-material bump-map float texture id, -1 = none (material.rs:46-87
     # bump()); only consulted when static.has_bump
     mat_bump: jax.Array | None = None
+    # fused per-prim shading row (P, 32): tri verts(0:9) normals(9:18)
+    # uv(18:24) kind(24) flags(25) mat(26) light(27) geom(28) — ONE
+    # row-count-bound gather instead of ~8 (see shading.surface_interaction)
+    prim_shade_tab: jax.Array | None = None
     # --- quadratic-motion mid-shutter keyframes (parser/api.py slerp
     # sample); None unless a shutter transform ROTATES — linear motion
     # needs only the *_end tables ---

@@ -1161,10 +1161,34 @@ def compile_scene(desc: SceneDescription) -> CompiledScene:
             tvc[:, 0], tvc[:, 1], tvc[:, 2], rows.astype(np.float32), K=32)
         has_cluster = True
 
+    # fused per-prim shading row (P, 32): verts(0:9) normals(9:18) uv(18:24)
+    # kind(24) flags(25) mat(26) light(27) geom(28). TPU row gathers are
+    # ROW-COUNT-bound (~32 Mrows/s regardless of 256B-1536B row size,
+    # ROOFLINE r4), so surface_interaction's ~8 per-hit gathers collapse
+    # into ONE fat-row gather — measured 48ms -> ~12ms per 262k-lane wave.
+    # Triangle rows only; quadrics keep their table gathers (tiny counts).
+    _np_prim_kind = np.asarray(prim_kind, dtype=np.int32)
+    _np_prim_geom = np.asarray(prim_geom, dtype=np.int32)
+    shade_tab = np.zeros((max(len(_np_prim_kind), 1), 32), np.float32)
+    _tri_rows = np.nonzero(_np_prim_kind == GEOM_TRI)[0]
+    _tn_cat = _cat(tri_n, (3, 3))
+    _tuv_cat = _cat(tri_uv, (3, 2))
+    if len(_tri_rows) and len(tri_p_cat):
+        _g = _np_prim_geom[_tri_rows]
+        shade_tab[_tri_rows, 0:9] = np.asarray(tri_p_cat, np.float32).reshape(-1, 9)[_g]
+        shade_tab[_tri_rows, 9:18] = np.asarray(_tn_cat, np.float32).reshape(-1, 9)[_g]
+        shade_tab[_tri_rows, 18:24] = np.asarray(_tuv_cat, np.float32).reshape(-1, 6)[_g]
+    shade_tab[:, 24] = _np_prim_kind
+    shade_tab[:, 25] = np.asarray(prim_flags, np.float32)
+    shade_tab[:, 26] = np.asarray(prim_mat, np.float32)
+    shade_tab[:, 27] = np.asarray(prim_light, np.float32)
+    shade_tab[:, 28] = _np_prim_geom
+
     arrays = SceneArrays(
+        prim_shade_tab=jnp.asarray(shade_tab),
         tri_p=jnp.asarray(tri_p_cat),
-        tri_n=jnp.asarray(_cat(tri_n, (3, 3))),
-        tri_uv=jnp.asarray(_cat(tri_uv, (3, 2))),
+        tri_n=jnp.asarray(_tn_cat),
+        tri_uv=jnp.asarray(_tuv_cat),
         sph_o2w=jnp.asarray(np.asarray(sph_o2w, dtype=np.float32).reshape(-1, 3, 4)),
         sph_w2o=jnp.asarray(np.asarray(sph_w2o, dtype=np.float32).reshape(-1, 3, 4)),
         sph_param=jnp.asarray(np.asarray(sph_param, dtype=np.float32).reshape(-1, 12)),

@@ -240,6 +240,10 @@ class SamplerConfig:
     jitter: bool = True
     x_samples: int = 4
     y_samples: int = 4
+    # "dimensions": the reference pre-allocates this many sample dims per
+    # pixel (stratified.rs/random). STRUCTURALLY UNUSED here: the stateless
+    # hash samplers generate any dimension on demand, so there is nothing
+    # to size (api.py logs when a non-default value is given).
     sampled_dimensions: int = 4
 
 

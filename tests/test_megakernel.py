@@ -142,3 +142,85 @@ def test_megakernel_eligibility_gates():
 
     scfg2 = {"kind": "zerotwosequence", "spp": 2}
     assert extract_consts(cs, cam, icfg, scfg2, fcfg) is not None
+
+
+def _run_pair(desc, W, H, spp):
+    """(XLA image, megakernel-interpret image) for one scene."""
+    cs = compile_scene(desc)
+    ys, xs = np.mgrid[0:H, 0:W]
+    px = jnp.asarray(xs.ravel().astype(np.int32))
+    py = jnp.asarray(ys.ravel().astype(np.int32))
+    pid = jnp.asarray((ys * W + xs).ravel().astype(np.uint32))
+    from pbrt_tpu.render import make_persistent_fn
+    import pbrt_tpu.render as R
+
+    os.environ["PBRT_TPU_NO_MEGAKERNEL"] = "1"
+    try:
+        ref_fn = make_persistent_fn(cs)
+    finally:
+        del os.environ["PBRT_TPU_NO_MEGAKERNEL"]
+    Lr, wr, _ = ref_fn(cs.arrays, px, py, pid, jnp.uint32(0), spp, jnp.uint32(0))
+
+    os.environ["PBRT_TPU_MEGAKERNEL_INTERPRET"] = "1"
+    try:
+        mk_fn = make_persistent_fn(cs)
+        tier = R.LAST_PERSISTENT_TIER
+    finally:
+        del os.environ["PBRT_TPU_MEGAKERNEL_INTERPRET"]
+    assert tier == "brute-megakernel", tier
+    Lm, wm, _ = mk_fn(cs.arrays, px, py, pid, jnp.uint32(0), spp, jnp.uint32(0))
+    assert np.allclose(np.asarray(wr), np.asarray(wm))
+    return np.asarray(Lr), np.asarray(Lm)
+
+
+def test_megakernel_directlighting_matches_xla():
+    """Round-5 directlighting mode: NEE at every vertex, specular-only
+    continuation, no RR (integrator.rs:409-520) — exact stream parity
+    with trace_persistent's directlighting branch."""
+    desc = _mini_spheres("zerotwosequence", "distant")
+    desc.integrator = IntegratorConfig(kind="directlighting", max_depth=5)
+    Lr, Lm = _run_pair(desc, 64, 32, 2)
+    diff = np.abs(Lr - Lm)
+    rel = diff / (np.abs(Lr) + 1e-2)
+    assert float(rel.max()) < 2e-2, (float(rel.max()), float(diff.max()))
+    assert float(diff.mean()) < 1e-4
+
+
+def test_megakernel_imagemap_kd():
+    """Round-5 in-kernel grayscale imagemap Kd (VMEM mip atlas + ray-cone
+    trilinear): the estimator paths are identical except the texture
+    FILTER (XLA: EWA with camera differentials; kernel: ray-cone
+    trilinear), so images agree in mean brightness, not per pixel."""
+    desc = _mini_spheres("zerotwosequence", "distant")
+    g = np.linspace(0.2, 0.9, 16, dtype=np.float32)
+    img = np.repeat(((g[None, :] + g[:, None]) * 0.5)[:, :, None], 3, axis=2)
+    from pbrt_tpu.scene.host import HostTexture
+
+    tex = HostTexture(kind="imagemap", image=img, uscale=8.0, vscale=8.0)
+    desc.primitives[0].material = HostMaterial(kind="matte", params={"Kd": ("texture", tex)})
+    desc.integrator = IntegratorConfig(kind="directlighting", max_depth=4)
+    Lr, Lm = _run_pair(desc, 32, 16, 2)
+    assert np.isfinite(Lm).all()
+    r = Lm.mean() / max(Lr.mean(), 1e-9)
+    assert 0.93 < r < 1.07, r
+
+
+def test_megakernel_imagemap_eligibility():
+    """Colored or >128-wide imagemaps keep the XLA path."""
+    from pbrt_tpu.device.megakernel import extract_consts
+    from pbrt_tpu.render import make_camera
+    from pbrt_tpu.scene.host import HostTexture
+
+    icfg = {"kind": "path", "max_depth": 4, "rr_threshold": 1.0, "light_strategy": "uniform"}
+    scfg = {"kind": "zerotwosequence", "spp": 2}
+    fcfg = {"filter": "box", "filter_params": {}, "max_sample_luminance": float("inf")}
+
+    colored = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32)
+    big = np.repeat(np.random.RandomState(1).rand(256, 256, 1).astype(np.float32), 3, axis=2)
+    for img, ok in ((colored, False), (big, False)):
+        desc = _mini_spheres("zerotwosequence", "distant")
+        tex = HostTexture(kind="imagemap", image=img)
+        desc.primitives[0].material = HostMaterial(kind="matte", params={"Kd": ("texture", tex)})
+        cs = compile_scene(desc)
+        consts = extract_consts(cs, make_camera(desc.camera, desc.film), icfg, scfg, fcfg)
+        assert (consts is not None) == ok, (img.shape, consts is not None)
