@@ -490,8 +490,16 @@ def connect_bdpt(sa, static, possible, cam, prov, cam_v, n_cam, light_v, n_light
     g = 1.0 / d2  # cosines folded into _vertex_f (|cos ns|)
     L = pt["beta"] * f_pt * f_qs * qs["beta"] * g[:, None]
     ok = both & jnp.any(L > 0, axis=-1)
+    # occlusion: offset BOTH endpoints off their surfaces and shave only
+    # pbrt's relative ShadowEpsilon (1e-4) — the old 0.5% far-end shave
+    # left a blind zone proportional to the connection length (2 cm on a
+    # 4-unit connection), which let blockers hugging the far surface pass
+    # (caught by the mesh-agreement gate: a panel 1 cm under the ceiling
+    # never occluded ceiling->terrain connections, +38% brightness)
+    dest = _offset_ray(qs["p"], qs["ng"], -wdir)
+    t_sh = jnp.maximum(_dot(dest - _offset_ray(pt["p"], pt["ng"], wdir), wdir), 0.0)
     o_sh = _offset_ray(pt["p"], pt["ng"], wdir)
-    occ = intersect_p(sa, static, o_sh, wdir, jnp.sqrt(d2) * 0.995)
+    occ = intersect_p(sa, static, o_sh, wdir, t_sh * (1.0 - 1e-4))
     ok = ok & ~occ
 
     prev_c = _gather(cam_v, t - 2)
@@ -528,8 +536,10 @@ def connect_t1(sa, static, possible, cam, cam_v, light_v, n_light, s: int, W, H)
     f_qs = _vertex_f(qs, possible, cw["wi"], "importance")
     L = qs["beta"] * f_qs * (cw["we"] / jnp.maximum(cw["pdf"], 1e-20))[:, None]
     ok = ok & cw["valid"] & jnp.any(L > 0, axis=-1)
+    # camera endpoint is not geometry: only the origin needs an offset;
+    # shave pbrt's ShadowEpsilon, not 0.5% (see connect_bdpt note)
     o_sh = _offset_ray(qs["p"], qs["ng"], cw["wi"])
-    occ = intersect_p(sa, static, o_sh, cw["wi"], cw["dist"] * 0.995)
+    occ = intersect_p(sa, static, o_sh, cw["wi"], cw["dist"] * (1.0 - 1e-4))
     ok = ok & ~occ
     # junction overrides: qs.rev <- camera pdf toward qs; qs-1.rev <- qs pdf
     from .camera import camera_pdf_we

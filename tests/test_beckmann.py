@@ -87,10 +87,10 @@ def test_beckmann_plumbing():
         "distribution": ("const", "beckmann"),
         "remaproughness": ("const", True),
     })
-    kind, const, tex, remap = _compile_material(mat, _TextureRegistry(), lambda m: 0)
+    kind, const, tex, remap, _bump = _compile_material(mat, _TextureRegistry(), lambda m: 0)
     assert remap & 2, "beckmann bit must be set in mat_remap"
     assert remap & 1, "remap bit must survive"
 
     mat2 = HostMaterial(kind="metal", params={"roughness": ("const", np.array([0.1]))})
-    _k, _c, _t, remap2 = _compile_material(mat2, _TextureRegistry(), lambda m: 0)
+    _k, _c, _t, remap2, _b2 = _compile_material(mat2, _TextureRegistry(), lambda m: 0)
     assert not (remap2 & 2)
